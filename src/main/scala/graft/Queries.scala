@@ -1,0 +1,459 @@
+package graft
+
+import graft.core.Timeline
+import graft.ops.ScanOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query registry: every SURVEY §2 operator exposed as a named query over
+  * the driver's testdata tables, each with a DuckDB oracle where the
+  * semantics are SQL-expressible (CORRECTNESS gate), ScalaTest goldens
+  * otherwise.
+  *
+  * Cross-engine float discipline: every COMPUTED double is wrapped in
+  * round(1e-9 + x,4) on BOTH sides (different engines sum in different orders;
+  * 4 dp is far above the ~1e-10 noise floor at these magnitudes).
+  * Timestamps cross as BIGINT ns (`epoch_ns` in DuckDB — events.parquet is
+  * TIMESTAMP(NANOS)) or DATE. All outputs carry a deterministic ORDER BY.
+  */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private val HOUR = 3600L * 1000000000L
+  private val DAY = 24L * HOUR
+
+  /** Cross-engine stable rounding: +1e-9 pushes exact half-boundary values
+    * (common: inputs have 2 decimals, so means/vars land on 4dp halves where
+    * each engine's summation-order noise flips the side) consistently up.
+    * The DuckDB oracles apply the identical shift. */
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** Common DuckDB prelude: events with the ns clock + total order. */
+  private val E = "SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, event_type, value FROM events"
+
+  val registry: Seq[(String, Q)] = relational ++ stream
+
+  // ───────────────────────────── relational ───────────────────────────────
+
+  private def relational: Seq[(String, Q)] = Seq(
+
+    "q01_pricing_summary" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(sum("l_quantity")).as("sum_qty"),
+          r4(sum("l_extendedprice")).as("sum_base"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+          r4(avg("l_quantity")).as("avg_qty"),
+          r4(avg("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(1e-9 + sum(l_quantity),4) AS sum_qty,
+             |  round(1e-9 + sum(l_extendedprice),4) AS sum_base,
+             |  round(1e-9 + sum(l_extendedprice*(1-l_discount)),4) AS sum_disc,
+             |  round(1e-9 + avg(l_quantity),4) AS avg_qty,
+             |  round(1e-9 + avg(l_extendedprice),4) AS avg_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "q03_shipping_priority" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).where(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+        val l = Tables.lineitem(s, d).where(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+          .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+             |  round(1e-9 + sum(l_extendedprice*(1-l_discount)),4) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-03-15'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    "q05_regional_revenue" -> Q(
+      (s, d) => {
+        val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1994-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1995-01-01")))
+        val l = Tables.lineitem(s, d)
+        val su = Tables.supplier(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, round(1e-9 + sum(l_extendedprice*(1-l_discount)),4) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+             |  AND o_orderdate < TIMESTAMP '1995-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q_top3_parts_per_brand" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_brand").orderBy(desc("p_retailprice"), col("p_partkey"))
+        Tables.part(s, d)
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= 3).drop("__rn")
+          .select("p_brand", "p_partkey", "p_retailprice")
+          .orderBy(col("p_brand"), desc("p_retailprice"), col("p_partkey"))
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) WHERE rn <= 3
+             |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin)),
+
+    "q_semi_join" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n")).orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q_anti_join" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n")).orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q_distinct_parts" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nparts"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, count(DISTINCT l_partkey) AS nparts FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    "q_filter_pushdown" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-03-01")) &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate < TIMESTAMP '1995-03-01' AND l_quantity > 45
+             |ORDER BY 1,2""".stripMargin)),
+
+    "q_case_agg" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q_events_daily" -> Q(
+      (s, d) => Tables.events(s, d).df
+        .groupBy(col("event_type"), to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_v"))
+        .orderBy("event_type", "day"),
+      Some("""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  count(*) AS n, round(1e-9 + sum(value),4) AS sum_v
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+  )
+
+  // ─────────────────────── stream operators (events) ──────────────────────
+
+  private def ev(s: SparkSession, d: String): Timeline = Tables.events(s, d)
+
+  private def stream: Seq[(String, Q)] = Seq(
+
+    "evt_running_count" -> Q(
+      (s, d) => ev(s, d).runningCount("n").df
+        .select("user_id", "ts", "n").orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, CAST(row_number() OVER
+             |  (PARTITION BY user_id ORDER BY ts, seq) AS BIGINT) AS n
+             |FROM ($E) ORDER BY 1,2""".stripMargin)),
+
+    "evt_difference" -> Q(
+      (s, d) => ev(s, d).difference("diff").df
+        .select(col("user_id"), col("ts"), r4(col("diff")).as("diff"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, round(1e-9 + diff,4) AS diff FROM (
+             |  SELECT user_id, ts, value - lag(value) OVER
+             |    (PARTITION BY user_id ORDER BY ts, seq) AS diff FROM ($E))
+             |WHERE diff IS NOT NULL ORDER BY 1,2""".stripMargin)),
+
+    "evt_distinct_consec" -> Q(
+      (s, d) => ev(s, d).copy(valueCol = "event_type").distinctConsecutive().df
+        .select("user_id", "ts", "event_type").orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, event_type FROM (
+             |  SELECT user_id, ts, event_type, lag(event_type) OVER
+             |    (PARTITION BY user_id ORDER BY ts, seq) AS p FROM ($E))
+             |WHERE p IS NULL OR event_type <> p ORDER BY 1,2""".stripMargin)),
+
+    "evt_limit3" -> Q(
+      (s, d) => ev(s, d).limitTicks(3).df
+        .select("user_id", "ts", "value").orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, value FROM (
+             |  SELECT user_id, ts, value, row_number() OVER
+             |    (PARTITION BY user_id ORDER BY ts, seq) AS rn FROM ($E))
+             |WHERE rn <= 3 ORDER BY 1,2""".stripMargin)),
+
+    "evt_cumsum" -> Q(
+      (s, d) => ev(s, d).runningAgg("cumsum" -> (sum(_))).df
+        .select(col("user_id"), col("ts"), r4(col("cumsum")).as("cumsum"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, round(1e-9 + sum(value) OVER
+             |  (PARTITION BY user_id ORDER BY ts, seq
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS cumsum
+             |FROM ($E) ORDER BY 1,2""".stripMargin)),
+
+    "evt_accumulate" -> Q(
+      (s, d) => ev(s, d).copy(valueCol = "event_type").accumulate("acc").df
+        .select(col("user_id"), col("ts"), array_join(col("acc"), ",").as("acc"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, string_agg(event_type, ',') OVER
+             |  (PARTITION BY user_id ORDER BY ts, seq
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+             |FROM ($E) ORDER BY 1,2""".stripMargin)),
+
+    "evt_rolling5" -> Q(
+      (s, d) => ev(s, d)
+        .rolling(5, "sum" -> "r_sum", "mean" -> "r_mean", "min" -> "r_min",
+          "max" -> "r_max", "std" -> "r_std", "median" -> "r_median").df
+        .select(col("user_id"), col("ts"), r4(col("r_sum")).as("r_sum"),
+          r4(col("r_mean")).as("r_mean"), r4(col("r_min")).as("r_min"),
+          r4(col("r_max")).as("r_max"), r4(col("r_std")).as("r_std"),
+          r4(col("r_median")).as("r_median"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts,
+             |  round(1e-9 + sum(value) OVER w,4) AS r_sum,
+             |  round(1e-9 + avg(value) OVER w,4) AS r_mean,
+             |  round(1e-9 + min(value) OVER w,4) AS r_min,
+             |  round(1e-9 + max(value) OVER w,4) AS r_max,
+             |  round(1e-9 + coalesce(stddev_samp(value) OVER w, 0),4) AS r_std,
+             |  round(1e-9 + median(value) OVER w,4) AS r_median
+             |FROM ($E)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq
+             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY 1,2""".stripMargin)),
+
+    "evt_cumulative_stats" -> Q(
+      (s, d) => ev(s, d)
+        .cumulative("sum" -> "c_sum", "mean" -> "c_mean", "min" -> "c_min",
+          "max" -> "c_max", "var" -> "c_var", "std" -> "c_std", "median" -> "c_median").df
+        .select(col("user_id"), col("ts"), r4(col("c_sum")).as("c_sum"),
+          r4(col("c_mean")).as("c_mean"), r4(col("c_min")).as("c_min"),
+          r4(col("c_max")).as("c_max"), r4(col("c_var")).as("c_var"),
+          r4(col("c_std")).as("c_std"), r4(col("c_median")).as("c_median"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts,
+             |  round(1e-9 + sum(value) OVER w,4) AS c_sum,
+             |  round(1e-9 + avg(value) OVER w,4) AS c_mean,
+             |  round(1e-9 + min(value) OVER w,4) AS c_min,
+             |  round(1e-9 + max(value) OVER w,4) AS c_max,
+             |  round(1e-9 + coalesce(var_samp(value) OVER w, 0),4) AS c_var,
+             |  round(1e-9 + coalesce(stddev_samp(value) OVER w, 0),4) AS c_std,
+             |  round(1e-9 + median(value) OVER w,4) AS c_median
+             |FROM ($E)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY 1,2""".stripMargin)),
+
+    "evt_timewin_1h" -> Q(
+      (s, d) => ev(s, d)
+        .timeWindowed(HOUR, "sum" -> "t_sum", "mean" -> "t_mean", "min" -> "t_min",
+          "max" -> "t_max", "var" -> "t_var", "std" -> "t_std", "median" -> "t_median").df
+        .select(col("user_id"), col("ts"), r4(col("t_sum")).as("t_sum"),
+          r4(col("t_mean")).as("t_mean"), r4(col("t_min")).as("t_min"),
+          r4(col("t_max")).as("t_max"), r4(col("t_var")).as("t_var"),
+          r4(col("t_std")).as("t_std"), r4(col("t_median")).as("t_median"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts,
+             |  round(1e-9 + sum(value) OVER w,4) AS t_sum,
+             |  round(1e-9 + avg(value) OVER w,4) AS t_mean,
+             |  round(1e-9 + min(value) OVER w,4) AS t_min,
+             |  round(1e-9 + max(value) OVER w,4) AS t_max,
+             |  round(1e-9 + coalesce(var_samp(value) OVER w, 0),4) AS t_var,
+             |  round(1e-9 + coalesce(stddev_samp(value) OVER w, 0),4) AS t_std,
+             |  round(1e-9 + median(value) OVER w,4) AS t_median
+             |FROM ($E)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |  RANGE BETWEEN ${HOUR} PRECEDING AND CURRENT ROW)
+             |ORDER BY 1,2""".stripMargin)),
+
+    "evt_ewma" -> Q(
+      (s, d) => ScanOps.ewma(ev(s, d), ScanOps.PerTick(0.2), "ewma").df
+        .select(col("user_id"), col("ts"), r4(col("ewma")).as("ewma"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts,
+             |  round(1e-9 + list_reduce(list(value) OVER
+             |    (PARTITION BY user_id ORDER BY ts, seq
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    (acc, x) -> acc + 0.2*(x - acc)),4) AS ewma
+             |FROM ($E) ORDER BY 1,2""".stripMargin)),
+
+    "evt_sample_asof" -> Q(
+      (s, d) => Tables.eventsOf(s, d, "purchase")
+        .sample(Tables.eventsOf(s, d, "click")).df
+        .select(col("user_id"), col("ts"), col("value"))
+        .orderBy("user_id", "ts"),
+      Some("""SELECT c.user_id, epoch_ns(c.ts) AS ts, p.value AS value
+             |FROM (SELECT * FROM events WHERE event_type='click') c
+             |ASOF JOIN (SELECT * FROM events WHERE event_type='purchase') p
+             |  ON c.user_id = p.user_id AND c.ts >= p.ts
+             |ORDER BY 1,2""".stripMargin)),
+
+    "evt_join_latest" -> Q(
+      (s, d) => Tables.eventsOf(s, d, "purchase")
+        .joinLatest(Tables.eventsOf(s, d, "click"), "pv", "cv").df
+        .select(col("user_id"), col("ts"), col("pv"), col("cv"))
+        .orderBy("user_id", "ts"),
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, 0 AS src,
+             |         value AS pv, NULL::DOUBLE AS cv FROM events WHERE event_type='purchase'
+             |  UNION ALL
+             |  SELECT user_id, epoch_ns(ts), event_id, 1, NULL, value FROM events WHERE event_type='click')
+             |SELECT user_id, ts, pv, cv FROM (
+             |  SELECT user_id, ts,
+             |    last_value(pv IGNORE NULLS) OVER w AS pv,
+             |    last_value(cv IGNORE NULLS) OVER w AS cv
+             |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src, seq
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |WHERE pv IS NOT NULL AND cv IS NOT NULL ORDER BY 1,2""".stripMargin)),
+
+    "evt_join_passive" -> Q(
+      (s, d) => Tables.eventsOf(s, d, "purchase")
+        .joinPassive(Tables.eventsOf(s, d, "click"), "pv", "cv").df
+        .select(col("user_id"), col("ts"), col("pv"), col("cv"))
+        .orderBy("user_id", "ts"),
+      Some("""SELECT p.user_id, epoch_ns(p.ts) AS ts, p.value AS pv, c.value AS cv
+             |FROM (SELECT * FROM events WHERE event_type='purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type='click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY 1,2""".stripMargin)),
+
+    "evt_filter_gate" -> Q(
+      (s, d) => {
+        val src = Tables.eventsOf(s, d, "purchase")
+        val cond = Tables.eventsOf(s, d, "click").mapValue(_ > 100)
+        src.filterGate(cond).df
+          .select(col("user_id"), col("ts"), col("value"))
+          .orderBy("user_id", "ts")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, 0 AS src,
+             |         value AS v, NULL::BOOLEAN AS c FROM events WHERE event_type='purchase'
+             |  UNION ALL
+             |  SELECT user_id, epoch_ns(ts), event_id, 1, NULL, value > 100
+             |  FROM events WHERE event_type='click')
+             |SELECT user_id, ts, v AS value FROM (
+             |  SELECT user_id, ts,
+             |    last_value(v IGNORE NULLS) OVER w AS v,
+             |    last_value(c IGNORE NULLS) OVER w AS c
+             |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src, seq
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |WHERE c AND v IS NOT NULL ORDER BY 1,2""".stripMargin)),
+
+    "evt_merge" -> Q(
+      (s, d) => Tables.eventsOf(s, d, "purchase")
+        .merge(Tables.eventsOf(s, d, "error")).df
+        .select(col("user_id"), col("ts"), col("value"))
+        .orderBy("user_id", "ts"),
+      Some("""SELECT user_id, epoch_ns(ts) AS ts, value FROM events
+             |WHERE event_type IN ('purchase','error') ORDER BY 1,2""".stripMargin)),
+
+    "evt_throttle_1h" -> Q(
+      (s, d) => ev(s, d).throttleBucket(HOUR).df
+        .select("user_id", "ts", "value").orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, value FROM (
+             |  SELECT user_id, ts, value, row_number() OVER
+             |    (PARTITION BY user_id, ts // ${HOUR} ORDER BY ts, seq) AS rn
+             |  FROM ($E)) WHERE rn = 1 ORDER BY 1,2""".stripMargin)),
+
+    "evt_sessionize_1h" -> Q(
+      (s, d) => ev(s, d).sessionize(HOUR, "session_id").df
+        .select("user_id", "ts", "session_id").orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, CAST(sum(new_session) OVER
+             |  (PARTITION BY user_id ORDER BY ts, seq
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |FROM (
+             |  SELECT user_id, ts, seq,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, seq)
+             |         > ${HOUR} THEN 1
+             |         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, seq) IS NULL THEN 1
+             |         ELSE 0 END AS new_session
+             |  FROM ($E)) ORDER BY 1,2""".stripMargin)),
+
+    "evt_delay_1h" -> Q(
+      (s, d) => ev(s, d).delay(HOUR).df
+        .select("user_id", "ts", "value").orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts + ${HOUR} AS ts, value FROM ($E) ORDER BY 1,2""")),
+
+    "evt_tumbling_1d" -> Q(
+      (s, d) => ev(s, d).tumbling(DAY,
+        Seq(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v")))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, (ts // ${DAY}) * ${DAY} + ${DAY} AS ts,
+             |  count(*) AS n, round(1e-9 + sum(value),4) AS sum_v
+             |FROM ($E) GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "evt_buffer10" -> Q(
+      (s, d) => ev(s, d).countBuffer(10,
+        Seq(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v")))
+        .select("user_id", "bucket", "ts", "n", "sum_v")
+        .orderBy("user_id", "bucket"),
+      Some(s"""SELECT user_id, (rn - 1) // 10 AS bucket, max(ts) AS ts,
+             |  count(*) AS n, round(1e-9 + sum(value),4) AS sum_v
+             |FROM (SELECT user_id, ts, value, row_number() OVER
+             |        (PARTITION BY user_id ORDER BY ts, seq) AS rn FROM ($E))
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    "evt_tw_cumulative" -> Q(
+      (s, d) => ScanOps.cumulativeTimeWeighted(ev(s, d)).df
+        .select(col("user_id"), col("ts"), r4(col("tw_mean")).as("tw_mean"),
+          r4(col("tw_var")).as("tw_var"), r4(col("tw_std")).as("tw_std"))
+        .orderBy("user_id", "ts"),
+      Some(s"""WITH x AS (
+             |  SELECT user_id, ts, seq, value,
+             |    lag(value) OVER w AS pv,
+             |    ts - lag(ts) OVER w AS dt,
+             |    first_value(ts) OVER w AS t0
+             |  FROM ($E) WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+             |y AS (
+             |  SELECT user_id, ts, value,
+             |    sum(pv * dt) OVER w2 AS wv,
+             |    sum(pv * pv * dt) OVER w2 AS wv2,
+             |    CAST(ts - t0 AS DOUBLE) AS w
+             |  FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, seq
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, ts,
+             |  round(1e-9 + CASE WHEN w > 0 THEN wv/w ELSE value END,4) AS tw_mean,
+             |  round(1e-9 + CASE WHEN w > 0 THEN greatest(wv2/w - (wv/w)*(wv/w), 0) ELSE 0 END,4) AS tw_var,
+             |  round(1e-9 + CASE WHEN w > 0 THEN sqrt(greatest(wv2/w - (wv/w)*(wv/w), 0)) ELSE 0 END,4) AS tw_std
+             |FROM y ORDER BY 1,2""".stripMargin))
+  )
+}

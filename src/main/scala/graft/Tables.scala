@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.Timeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-provided parquet tables (TESTDATA.md). */
+object Tables {
+
+  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark rejects
+    * by default; `nanosAsLong` reads it as LongType ns — exactly our
+    * engine's authoritative clock (reference `NanoTime`, `time.rs:54`).
+    * DuckDB oracle side matches via `epoch_ns(ts)`. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events as a keyed Timeline: key=user_id, clock=ts (ns), seq=event_id
+    * (driver data has globally unique event ids → total intra-instant
+    * order), value=value. */
+  def events(spark: SparkSession, dir: String): Timeline =
+    Timeline(
+      load(spark, dir, "events")
+        // truncate to µs resolution (kept in ns units): DuckDB 1.0 reads
+        // TIMESTAMP(NANOS) parquet at µs precision, so the oracle clock is
+        // µs — both engines must see the identical clock.
+        .withColumn("ts", expr("(ts DIV 1000) * 1000"))
+        .withColumn("seq", col("event_id")),
+      keys = Seq("user_id"))
+
+  def eventsOf(spark: SparkSession, dir: String, eventType: String): Timeline = {
+    val t = events(spark, dir)
+    t.copy(df = t.df.where(col("event_type") === eventType))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,342 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** A tick-stream over event time — the Spark-native analog of the reference
+  * `Stream<T>` (reference: `crates/wingfoil/src/fluent.rs:618`).
+  *
+  * Contract: `df` carries
+  *   - `ts:  Long` — event time in nanoseconds (reference `NanoTime`,
+  *     `runtime/time.rs:54`); authoritative clock, never truncated to µs.
+  *   - `seq: Long` — total intra-instant order (burst order × source
+  *     priority, reference `runtime/burst.rs:17`): rows sharing a `ts` form
+  *     one "burst", never coalesced.
+  *   - `keys` — optional partition columns. The reference engine is
+  *     single-process; at Spark scale every per-stream op is keyed so state
+  *     and sorts distribute. An empty `keys` means one global stream
+  *     (fixtures/tests only — documented non-scalable, like the reference).
+  *   - `valueCol` — the primary value column (reference `Stream<f64>` ops
+  *     bind to it); arbitrary extra columns ride along.
+  *
+  * All operators are lazy plan construction — Catalyst sees one DAG and
+  * merges identical window specs, so chained scan ops cost ONE shuffle+sort
+  * per (keys) set, not one per op.
+  */
+final case class Timeline(
+    df: DataFrame,
+    keys: Seq[String] = Nil,
+    valueCol: String = "value") {
+
+  import Timeline._
+
+  private def keyCols: Seq[Column] = keys.map(col)
+
+  /** Canonical ordered window: one spec shared by every scan op so Catalyst
+    * plans a single sort (SURVEY §7.1). */
+  def w: WindowSpec = Window.partitionBy(keyCols: _*).orderBy(col("ts"), col("seq"))
+
+  def wRows(start: Long, end: Long): WindowSpec = w.rowsBetween(start, end)
+
+  /** Time-range window on the ns clock. Inclusive lower bound matches the
+    * reference retention rule "an entry exactly `window` old is retained"
+    * (reference `stats.rs:87-89`). Ordered by `ts` alone: all rows of a
+    * burst share the frame, matching burst-atomic window membership. */
+  def wRange(windowNs: Long): WindowSpec =
+    Window.partitionBy(keyCols: _*).orderBy(col("ts")).rangeBetween(-windowNs, 0)
+
+  private def v: Column = col(valueCol)
+
+  def select(cols: Column*): DataFrame = df.select(cols: _*)
+
+  private def withDf(d: DataFrame): Timeline = copy(df = d)
+
+  // ───────────────────────── stateless transforms (§2.2) ──────────────────
+
+  /** `map` (reference `ops.rs:113`): value projection. */
+  def mapValue(f: Column => Column): Timeline =
+    withDf(df.withColumn(valueCol, f(v)))
+
+  /** `filter_value` (reference `ops.rs:2716`): pure predicate on own value. */
+  def filterValue(pred: Column => Column): Timeline = withDf(df.where(pred(v)))
+
+  /** `not` (reference `ops.rs:304`). */
+  def notValue(): Timeline = mapValue(c => !c)
+
+  /** `filter_none` (reference `fluent.rs:1403`). */
+  def filterNone(): Timeline = withDf(df.where(v.isNotNull))
+
+  /** `with_time` (reference `ops.rs:749`): time is already a column. */
+  def withTime(): DataFrame = df.select((keyCols :+ col("ts") :+ v): _*)
+
+  /** `ticked_at` (reference `ops.rs:778`). */
+  def tickedAt(): DataFrame = df.select((keyCols :+ col("ts")): _*)
+
+  // ───────────────────────── rate control / filters (§2.3) ────────────────
+
+  /** `distinct` (reference `ops.rs:187`): suppress CONSECUTIVE duplicates —
+    * emit on change, NOT SQL DISTINCT. */
+  def distinctConsecutive(): Timeline = {
+    val prev = lag(v, 1).over(w)
+    withDf(df.withColumn("__prev", prev)
+      .where(col("__prev").isNull || v =!= col("__prev"))
+      .drop("__prev"))
+  }
+
+  /** `difference` (reference `ops.rs:263`): successive delta, quiet first tick. */
+  def difference(out: String = "diff"): Timeline = {
+    val prev = lag(v, 1).over(w)
+    withDf(df.withColumn(out, v - prev).where(col(out).isNotNull))
+  }
+
+  /** `limit` (reference `ops.rs:357`): first n ticks per key then quiet. */
+  def limitTicks(n: Int): Timeline =
+    withDf(df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn"))
+
+  /** `count` (reference `ops.rs:2819`): running tick count. */
+  def runningCount(out: String = "n"): Timeline =
+    withDf(df.withColumn(out, row_number().over(w).cast("long")))
+
+  /** Bucketed throttle: at most one emission per `intervalNs` bucket —
+    * the scalable approximation of `throttle` (reference `ops.rs:381`);
+    * exact running-state throttle lives in [[graft.ops.ScanOps.throttleExact]]. */
+  def throttleBucket(intervalNs: Long): Timeline = {
+    // integer division: ts ~ 1.7e18 ns exceeds double's exact range
+    val bucket = expr(s"ts DIV ${intervalNs}L")
+    val wb = Window.partitionBy((keyCols :+ bucket): _*).orderBy(col("ts"), col("seq"))
+    withDf(df.withColumn("__rn", row_number().over(wb)).where(col("__rn") === 1).drop("__rn"))
+  }
+
+  // ───────────────────────── scans / buffers / shifts (§2.4) ──────────────
+
+  /** `fold`/`scan` for Column-expressible monoids: running aggregate. */
+  def runningAgg(aggs: (String, Column => Column)*): Timeline = {
+    val frame = wRows(Window.unboundedPreceding, Window.currentRow)
+    withDf(aggs.foldLeft(df) { case (d, (out, f)) => d.withColumn(out, f(v).over(frame)) })
+  }
+
+  /** `accumulate` (reference `ops.rs:2843`): all values so far. */
+  def accumulate(out: String = "acc"): Timeline =
+    withDf(df.withColumn(out, collect_list(v).over(wRows(Window.unboundedPreceding, Window.currentRow))))
+
+  /** `delay` (reference `ops.rs:3090`): re-emit each value `delayNs` later on
+    * the engine clock. Output re-sorts on the shifted ts lazily (downstream
+    * window specs order on the new ts). */
+  def delay(delayNs: Long): Timeline =
+    withDf(df.withColumn("ts", col("ts") + delayNs))
+
+  /** `window` (reference `ops.rs:583`): tumbling time window. Emits one row
+    * per (key, window) with the collected values ordered by (ts, seq), ts =
+    * window end boundary (the flush instant). */
+  def tumbling(intervalNs: Long, aggs: Seq[Column] = Nil): DataFrame = {
+    val bucket = (expr(s"ts DIV ${intervalNs}L") * intervalNs + intervalNs).as("ts")
+    val sorted = df.withColumn("__b", bucket)
+    val as = if (aggs.isEmpty)
+      Seq(sort_array(collect_list(struct(col("ts"), col("seq"), v))).as("rows"))
+    else aggs
+    sorted.groupBy((keyCols :+ col("__b").as("ts")): _*).agg(as.head, as.tail: _*)
+  }
+
+  /** `buffer` (reference `ops.rs:659`): count window flushing every
+    * `capacity` values per key (+ final partial flush, as the reference). */
+  def countBuffer(capacity: Int, aggs: Seq[Column] = Nil): DataFrame = {
+    val bucketed = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__b", expr(s"(__rn - 1) DIV $capacity"))
+    val as = if (aggs.isEmpty)
+      Seq(max(col("ts")).as("ts"), sort_array(collect_list(struct(col("ts"), col("seq"), v))).as("rows"))
+    else max(col("ts")).as("ts") +: aggs
+    bucketed.groupBy((keyCols :+ col("__b").as("bucket")): _*).agg(as.head, as.tail: _*)
+  }
+
+  // ───────────────────────── as-of family (§2.4/2.5) ──────────────────────
+  //
+  // The general translation of every "passive input" in the reference
+  // (`sample` ops.rs:2867, `join_passive` ops.rs:3033, `filter` ops.rs:2671,
+  // `join` ops.rs:2983): union both tick sources tagged with a priority,
+  // carry the passive side's latest value forward with
+  // last(_, ignoreNulls).over(ordered window), keep the triggering rows.
+  // ONE shuffle+sort regardless of how many carried columns.
+
+  /** Union-and-carry primitive. `sides` = (timeline, columns to carry).
+    * Returns df with columns: keys, ts, seq, __src, and every carried column
+    * filled with the latest value at-or-before each row. `seq` is re-derived
+    * so that same-ts rows order by (source priority, original seq) —
+    * matching the reference's wiring-order tie-break (`fluent.rs:940-942`). */
+  def asOfUnion(sides: Seq[(Timeline, Seq[String])]): DataFrame = {
+    require(sides.nonEmpty)
+    val allCarried = sides.flatMap(_._2)
+    val tagged = sides.zipWithIndex.map { case ((t, carried), pri) =>
+      val base = t.df.select(
+        (t.keys.map(col) :+ col("ts") :+ col("seq") :+ lit(pri).as("__src")) ++
+          allCarried.map(c => if (carried.contains(c)) col(c) else lit(null).cast(
+            sides.find(_._2.contains(c)).get._1.df.schema(c).dataType).as(c)): _*)
+      base
+    }
+    val unioned = tagged.reduce(_ unionByName _)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts"), col("__src"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allCarried.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wAll))
+    }
+  }
+
+  /** `sample` (reference `ops.rs:2867`): emit this stream's held value at
+    * each tick of `trigger`. Quiet until the first value tick. */
+  def sample(trigger: Timeline): Timeline = {
+    val u = asOfUnion(Seq((this, Seq(valueCol)), (trigger, Nil)))
+    withDf(u.where(col("__src") === 1 && col(valueCol).isNotNull)
+      .drop("__src"))
+  }
+
+  /** `join` (reference `ops.rs:2983`): zip-latest — ticks when EITHER side
+    * ticks, combining latest values; quiet until both have ticked. */
+  def joinLatest(other: Timeline, thisOut: String, otherOut: String): Timeline = {
+    val l = withDf(df.withColumnRenamed(valueCol, thisOut)).copy(valueCol = thisOut)
+    val r = other.withDf(other.df.withColumnRenamed(other.valueCol, otherOut)).copy(valueCol = otherOut)
+    val u = asOfUnion(Seq((l, Seq(thisOut)), (r, Seq(otherOut))))
+    withDf(u.where(col(thisOut).isNotNull && col(otherOut).isNotNull).drop("__src"))
+  }
+
+  /** `join_passive` (reference `ops.rs:3033`): only `this` triggers; `other`
+    * is sampled. */
+  def joinPassive(other: Timeline, thisOut: String, otherOut: String): Timeline = {
+    val l = withDf(df.withColumnRenamed(valueCol, thisOut)).copy(valueCol = thisOut)
+    val r = other.withDf(other.df.withColumnRenamed(other.valueCol, otherOut)).copy(valueCol = otherOut)
+    val u = asOfUnion(Seq((l, Seq(thisOut)), (r, Seq(otherOut))))
+    withDf(u.where(col("__src") === 0 && col(otherOut).isNotNull).drop("__src"))
+  }
+
+  /** `filter` on a condition STREAM (reference `ops.rs:2671`): a latch — the
+    * held condition gates this stream's ticks, and condition ticks resample
+    * the held source (after its first tick). */
+  def filterGate(cond: Timeline): Timeline = {
+    val c = cond.withDf(cond.df.withColumnRenamed(cond.valueCol, "__cond")).copy(valueCol = "__cond")
+    val u = asOfUnion(Seq((this, Seq(valueCol)), (c, Seq("__cond"))))
+    withDf(u.where(col("__cond") && col(valueCol).isNotNull).drop("__src", "__cond"))
+  }
+
+  /** `merge` (reference `ops.rs:3156`) / `merge_all` (`ops.rs:3200`): union;
+    * same-instant tie → earliest-supplied input wins, dropping later sources'
+    * rows for that instant entirely (the reference emits one winner per
+    * cycle; a winning burst survives whole). */
+  def merge(others: Timeline*): Timeline = {
+    val tagged = (this +: others).zipWithIndex.map { case (t, pri) =>
+      t.df.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+        col(t.valueCol).as(valueCol) :+ lit(pri).as("__pri")): _*)
+    }
+    val u = tagged.reduce(_ unionByName _)
+    val wTs = Window.partitionBy((keyCols :+ col("ts")): _*)
+    withDf(u.withColumn("__win", min(col("__pri")).over(wTs))
+      .where(col("__pri") === col("__win"))
+      .drop("__win").withColumn("seq", col("__pri") * 1000000L + col("seq")).drop("__pri"))
+  }
+
+  /** `combine` (reference `ops.rs:3333`): group ALL same-instant ticks of n
+    * streams into one burst row, ordered by (source priority, seq). */
+  def combine(others: Timeline*): DataFrame = {
+    val tagged = (this +: others).zipWithIndex.map { case (t, pri) =>
+      t.df.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+        col(t.valueCol).as(valueCol) :+ lit(pri).as("__pri")): _*)
+    }
+    tagged.reduce(_ unionByName _)
+      .groupBy((keyCols :+ col("ts")): _*)
+      .agg(array_sort(collect_list(struct(col("__pri"), col("seq"), v))).as("burst"))
+  }
+
+  // ───────────────────────── statistics (§2.7, count-weighted) ────────────
+  //
+  // Conventions matched to the reference (`stats.rs:18-186`):
+  //   var/std: SAMPLE (ddof=1), 0.0 until two samples  → coalesce(var_samp, 0)
+  //   median: even count averages the two middle values → percentile 0.5
+  //   time windows: inclusive lower bound (rangeBetween is inclusive).
+
+  /** Exact median over a window frame: Spark's `median` aggregate rejects
+    * window frames, so collect-sort-pick; even count averages the two middle
+    * values (reference `stats.rs:53-55`). Memory ∝ frame size — same bound
+    * as the reference's recompute-per-tick median (`stats.rs:82-85`). */
+  private def medianOver(c: Column, frame: WindowSpec): Column = {
+    val arr = sort_array(collect_list(c).over(frame))
+    val n = size(arr)
+    val mid = floor((n + lit(1)) / 2).cast("int") // Column./ is double division
+    val lo = floor(n / 2).cast("int")
+    when(n % 2 === 1, element_at(arr, mid))
+      .otherwise((element_at(arr, lo) + element_at(arr, lo + 1)) / 2.0)
+  }
+
+  private def statOver(stat: String, c: Column, frame: WindowSpec): Column = stat match {
+    case "sum"    => sum(c).over(frame)
+    case "mean"   => avg(c).over(frame)
+    case "min"    => min(c).over(frame)
+    case "max"    => max(c).over(frame)
+    // 0.0 until two samples (stats.rs:43-46)
+    case "var"    => coalesce(var_samp(c).over(frame), lit(0.0))
+    case "std"    => coalesce(stddev_samp(c).over(frame), lit(0.0))
+    case "median" => medianOver(c, frame)
+  }
+
+  /** `rolling_*` (reference `ops.rs:984-1309`): last-N-values window. */
+  def rolling(n: Int, stats: (String, String)*): Timeline = {
+    val frame = wRows(-(n - 1).toLong, 0)
+    withDf(stats.foldLeft(df) { case (d, (stat, out)) =>
+      d.withColumn(out, statOver(stat, v, frame))
+    })
+  }
+
+  /** `cumulative_*` (reference `ops.rs:1339-1596`): expanding window. */
+  def cumulative(stats: (String, String)*): Timeline = {
+    val frame = wRows(Window.unboundedPreceding, Window.currentRow)
+    withDf(stats.foldLeft(df) { case (d, (stat, out)) =>
+      d.withColumn(out, statOver(stat, v, frame))
+    })
+  }
+
+  /** `time_windowed_*` (reference `ops.rs:1597-2114`): last-Δt window on the
+    * ns clock; an entry exactly `windowNs` old is retained (stats.rs:87-89). */
+  def timeWindowed(windowNs: Long, stats: (String, String)*): Timeline = {
+    val frame = wRange(windowNs)
+    withDf(stats.foldLeft(df) { case (d, (stat, out)) =>
+      d.withColumn(out, statOver(stat, v, frame))
+    })
+  }
+
+  // ───────────────────────── sessionization (extension) ───────────────────
+
+  /** Gap-based sessionization: a new session starts when the gap from the
+    * previous tick exceeds `gapNs`. (Training-pipeline extension op; the
+    * reference's dynamic_group keyed-lifecycle analog for event data.) */
+  def sessionize(gapNs: Long, out: String = "session_id"): Timeline = {
+    val gap = (col("ts") - lag(col("ts"), 1).over(w) > gapNs).cast("long")
+    withDf(df.withColumn("__new", coalesce(gap, lit(1L)))
+      .withColumn(out, sum(col("__new")).over(wRows(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new"))
+  }
+}
+
+object Timeline {
+  /** `replay_results` (reference `fluent.rs:252`): literal timestamped rows —
+    * the test workhorse. seq = supply order within equal ts. */
+  def fromRows(spark: org.apache.spark.sql.SparkSession, rows: Seq[(Long, Double)], keys: Seq[(String, String)] = Nil): Timeline = {
+    import spark.implicits._
+    val withSeq = rows.zipWithIndex.map { case ((ts, v), i) => (ts, i.toLong, v) }
+    var df = withSeq.toDF("ts", "seq", "value")
+    keys.foreach { case (k, value) => df = df.withColumn(k, lit(value)) }
+    Timeline(df, keys.map(_._1))
+  }
+
+  /** `ticker` (reference `ops.rs:40`): fires every `periodNs` of engine time,
+    * n ticks from `startNs + periodNs`. Batch form; scales via range split. */
+  def ticker(spark: org.apache.spark.sql.SparkSession, periodNs: Long, n: Long, startNs: Long = 0L): Timeline = {
+    val df = spark.range(1, n + 1)
+      .select((col("id") * periodNs + startNs).as("ts"), lit(0L).as("seq"), lit(null).cast("double").as("value"))
+    Timeline(df)
+  }
+
+  /** `constant` (reference `ops.rs:84`): ticks once at start. */
+  def constant(spark: org.apache.spark.sql.SparkSession, value: Double, atNs: Long = 0L): Timeline = {
+    import spark.implicits._
+    Timeline(Seq((atNs, 0L, value)).toDF("ts", "seq", "value"))
+  }
+}
