@@ -1,0 +1,270 @@
+package graft
+
+import graft.Queries.Q
+import graft.functions.{Similarity, TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries: text analysis, deduplication (exact /
+  * fingerprint / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search. Hashes are md5-derived so every stage is replicated exactly in
+  * the DuckDB oracle (`hash60` ≡ ('0x'||substr(md5(x),1,15))::BIGINT). */
+object QueriesPipeline {
+
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
+
+  /** DuckDB token-list snippet (mirrors TextFunctions.tokens). */
+  private val TOKS =
+    """list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')"""
+  /** DuckDB bigram shingle set (mirrors TF.ngrams(toks, 2) + distinct). */
+  private val SH2 =
+    "list_distinct(list_transform(range(1, greatest(len(toks)-1, 0)+1), i -> toks[i] || ' ' || toks[i+1]))"
+  private val H60 = "('0x' || substr(md5(%s),1,15))::BIGINT"
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  /** Bigram shingle sets per doc (Spark side of SH2). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      array_distinct(TF.ngrams(TF.tokens(col("text")), 2)).as("sh"))
+
+  /** Tall minhash signature over bigram shingles, k hashes. */
+  private def minhashTall(s: SparkSession, d: String, k: Int): DataFrame = {
+    val ks = broadcast(s.range(k).select(col("id").as("i")))
+    shingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .crossJoin(ks)
+      .withColumn("h", TF.hash60(concat(col("i").cast("string"), lit(":"), col("tok"))))
+      .groupBy("doc_id", "i").agg(min("h").as("minhash"))
+  }
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    "doc_token_stats" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(TF.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+        r4(TF.meanTokenLen(col("text"))).as("mean_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len(toks) AS n_tokens,
+              |  len(list_distinct(toks)) AS n_distinct,
+              |  round(1e-9 + CASE WHEN len(toks) > 0
+              |    THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+              |    ELSE 0 END, 4) AS mean_len
+              |FROM (SELECT doc_id, $TOKS AS toks FROM documents) ORDER BY 1""".stripMargin)),
+
+    "doc_quality" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        r4(TF.punctRatio(col("text"))).as("punct_ratio"),
+        r4(TF.digitRatio(col("text"))).as("digit_ratio"),
+        r4(TF.stopwordRatio(col("text"))).as("stop_ratio"),
+        r4(TF.qualityScore(col("text"))).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |    / greatest(length(text), 1) AS punct_ratio,
+              |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              |    / greatest(length(text), 1) AS digit_ratio,
+              |  CASE WHEN len(toks) > 0 THEN
+              |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','a','is','it','on','for')))::DOUBLE / len(toks)
+              |    ELSE 0 END AS stop_ratio,
+              |  least(length(text)::DOUBLE / 500.0, 1.0) AS len_score
+              |  FROM t)
+              |SELECT doc_id, round(1e-9 + punct_ratio,4) AS punct_ratio,
+              |  round(1e-9 + digit_ratio,4) AS digit_ratio,
+              |  round(1e-9 + stop_ratio,4) AS stop_ratio,
+              |  round(1e-9 + greatest(least(
+              |    len_score*0.4 + least(stop_ratio*5.0,1.0)*0.3
+              |    + (1.0-punct_ratio)*0.2 + (1.0-digit_ratio)*0.1, 1.0), 0.0),4) AS quality
+              |FROM m ORDER BY 1""".stripMargin)),
+
+    "doc_lang_guess" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
+        TF.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      Some {
+        val scores = TF.langStopwords.map { case (l, ws) =>
+          s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+        }.mkString(",\n  ")
+        val langs = TF.langStopwords.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
+        val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+           |sc AS (SELECT doc_id, lang, $scores FROM t),
+           |b AS (SELECT *, $best AS best FROM sc)
+           |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_guess
+           |FROM b ORDER BY 1""".stripMargin
+      }),
+
+    "doc_fingerprint" -> Q(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TF.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+              |FROM (SELECT doc_id, $TOKS AS toks FROM documents) ORDER BY 1""".stripMargin)),
+
+    // exact dedup at the token-set level: the testdata's near-dups are
+    // word-order shuffles, invisible to md5(text), caught by the canonical
+    // fingerprint. keep = lowest doc_id of each dup group.
+    "doc_dedup_exact" -> Q(
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+        .where(col("n") > 1).orderBy("fp"),
+      Some(s"""SELECT fp, count(*) AS n, min(doc_id) AS keep
+              |FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+              |      FROM (SELECT doc_id, $TOKS AS toks FROM documents))
+              |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
+    "doc_minhash" -> Q(
+      (s, d) => minhashTall(s, d, 8).orderBy("doc_id", "i"),
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |sh AS (SELECT doc_id, unnest($SH2) AS tok FROM t),
+              |k AS (SELECT unnest(range(8)) AS i)
+              |SELECT doc_id, i, min(${H60.format("i::VARCHAR || ':' || tok")}) AS minhash
+              |FROM sh, k GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // MinHash-LSH near-dup detection: 8 hashes → 4 bands × 2; band-collision
+    // candidates verified with exact bigram-shingle Jaccard ≥ 0.2. At scale
+    // the band join is the only shuffle (no all-pairs compare).
+    "doc_dedup_minhash" -> Q(
+      (s, d) => {
+        val m = minhashTall(s, d, 8)
+        val bands = m.groupBy(col("doc_id"), expr("i DIV 2").as("band"))
+          .agg(concat_ws(":",
+            min(when(col("i") % 2 === 0, col("minhash"))).cast("string"),
+            min(when(col("i") % 2 === 1, col("minhash"))).cast("string")).as("key"))
+        val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        val sh = shingles(s, d)
+        cand
+          .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .withColumn("j", TF.jaccard(col("sha"), col("shb")))
+          .where(col("j") >= 0.2)
+          .select(col("a"), col("b"), r4(col("j")).as("j"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |g AS (SELECT doc_id, $SH2 AS sh FROM t),
+              |e AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+              |k AS (SELECT unnest(range(8)) AS i),
+              |m AS (SELECT doc_id, i, min(${H60.format("i::VARCHAR || ':' || tok")}) AS minhash
+              |      FROM e, k GROUP BY 1,2),
+              |bands AS (SELECT doc_id, i // 2 AS band,
+              |    min(CASE WHEN i % 2 = 0 THEN minhash END)::VARCHAR || ':' ||
+              |    min(CASE WHEN i % 2 = 1 THEN minhash END)::VARCHAR AS key
+              |  FROM m GROUP BY 1,2),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+              |v AS (SELECT a, b,
+              |    len(list_intersect(ga.sh, gb.sh))::DOUBLE /
+              |      (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS j
+              |  FROM cand JOIN g ga ON ga.doc_id = a JOIN g gb ON gb.doc_id = b)
+              |SELECT a, b, round(1e-9 + j,4) AS j FROM v WHERE j >= 0.2 ORDER BY 1,2""".stripMargin)),
+
+    // n-gram Jaccard near-dup: all same-source pairs, trigram shingles.
+    "doc_ngram_jaccard" -> Q(
+      (s, d) => {
+        val g = docs(s, d).select(col("doc_id"), col("source"),
+          array_distinct(TF.ngrams(TF.tokens(col("text")), 3)).as("sh"))
+        g.as("x").join(g.as("y"),
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            TF.jaccard(col("x.sh"), col("y.sh")).as("j"))
+          .where(col("j") >= 0.05)
+          .select(col("a"), col("b"), r4(col("j")).as("j"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+              |g AS (SELECT doc_id, source,
+              |  list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+              |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+              |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+              |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+              |  FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id)
+              |SELECT a, b, round(1e-9 + j,4) AS j FROM p WHERE j >= 0.05 ORDER BY 1,2""".stripMargin)),
+
+    // 60-bit SimHash over distinct tokens: near-dups differ in few bits.
+    "doc_simhash" -> Q(
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
+          .withColumn("h", TF.hash60(col("tok")))
+        val bits = broadcast(s.range(60).select(col("id").cast("int").as("b")))
+        toks.crossJoin(bits)
+          .groupBy("doc_id", "b")
+          .agg(sum(when(expr("(h >> b) & 1") === 1, 1L).otherwise(-1L)).as("sgn"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("sgn") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
+              |h AS (SELECT doc_id, ${H60.format("tok")} AS h FROM t),
+              |bits AS (SELECT unnest(range(60)) AS b),
+              |sg AS (SELECT doc_id, b,
+              |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+              |  FROM h, bits GROUP BY 1,2)
+              |SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // brute-force cosine top-3 for the first 10 query vectors — the
+    // correctness baseline for ANN.
+    "emb_cosine_topk" -> Q(
+      (s, d) => Similarity.bruteTopK(
+        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3)
+        .orderBy("qid", "rank"),
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings),
+             |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim FROM q, c WHERE qid <> nid),
+             |r AS (SELECT qid, nid, round(1e-9 + sim,4) AS sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY round(1e-9 + sim,4) DESC, nid) AS BIGINT) AS rank
+             |  FROM s)
+             |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)),
+
+    // LSH-bucketed ANN (the scale path; deterministic md5-derived planes).
+    // Same output shape as emb_cosine_topk restricted to in-bucket pairs.
+    "emb_ann_lsh" -> Q(
+      (s, d) => Similarity.annTopK(
+        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3, 4)
+        .orderBy("qid", "rank"),
+      None), // hyperplane fold not practical in SQL — rows-only + ScalaTest
+
+    // cosine of each vector to its label centroid (cluster cohesion).
+    "emb_centroid_cos" -> Q(
+      (s, d) => {
+        val x = emb(s, d).select(col("vec_id"), col("label"),
+          posexplode(Similarity.toDouble(col("embedding")))).toDF("vec_id", "label", "pos", "v")
+        val cent = x.groupBy("label", "pos").agg(avg("v").as("c"))
+        x.join(cent, Seq("label", "pos"))
+          .groupBy("vec_id", "label")
+          .agg((sum(col("v") * col("c")) /
+            (sqrt(sum(col("v") * col("v"))) * sqrt(sum(col("c") * col("c"))))).as("cos"))
+          .select(col("vec_id"), col("label"), r4(col("cos")).as("cos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH x AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+             |  FROM embeddings, (SELECT unnest(range(1,65)) AS i)),
+             |cent AS (SELECT label, i, avg(v) AS c FROM x GROUP BY 1,2),
+             |j AS (SELECT vec_id, x.label AS label, sum(v*c) AS dot,
+             |    sum(v*v) AS n1, sum(c*c) AS n2
+             |  FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i GROUP BY 1,2)
+             |SELECT vec_id, label, round(1e-9 + dot/(sqrt(n1)*sqrt(n2)),4) AS cos
+             |FROM j ORDER BY 1""".stripMargin)),
+
+    // JSON property extraction from the events props column.
+    "evt_json_extract" -> Q(
+      (s, d) => Tables.events(s, d).df
+        .select(col("user_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("user_id", "ts"),
+      Some("""SELECT user_id, epoch_ns(ts) AS ts, json_extract(props, '$.k')::BIGINT AS k
+             |FROM events ORDER BY 1,2""".stripMargin))
+  )
+}
