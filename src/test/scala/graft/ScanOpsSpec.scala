@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.Timeline
+import graft.ops.ScanOps
+
+/** Goldens for the stateful scan ops, matching the reference conventions
+  * (stats.rs docs + ops.rs implementations). The irregular-ts f64 fixture
+  * is FIXTURES.md §A.4: values 1,2,4,7,11 at ts 10,15,40,41,100. */
+class ScanOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val regular = Seq(10L -> 1.0, 20L -> 2.0, 30L -> 4.0, 40L -> 7.0, 50L -> 11.0)
+  private val irregular = Seq(10L -> 1.0, 15L -> 2.0, 40L -> 4.0, 41L -> 7.0, 100L -> 11.0)
+
+  private def t(rows: Seq[(Long, Double)]) = Timeline.fromRows(spark, rows)
+
+  private def outCol(tl: Timeline, c: String): Seq[Double] =
+    tl.df.select("ts", c).orderBy("ts").collect().map(_.getDouble(1)).toSeq
+
+  private def assertSeq(got: Seq[Double], exp: Seq[Double], tol: Double = 1e-9): Unit =
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= tol, s"row $i: got $g expected $e")
+    }
+
+  test("ewma per-tick: seeded with first sample (ops.rs:852-896)") {
+    val got = outCol(ScanOps.ewma(t(regular), ScanOps.PerTick(0.5)), "ewma")
+    assertSeq(got, Seq(1.0, 1.5, 2.75, 4.875, 7.9375), 0.0)
+  }
+
+  test("ewma half-life: alpha = 1 - 2^(-dt/hl) off engine time (ops.rs:875-889)") {
+    val got = outCol(ScanOps.ewma(t(irregular), ScanOps.HalfLife(10.0)), "ewma")
+    assertSeq(got, Seq(1.0, 1.2928932188134525, 3.5214466094067265,
+      3.7543949237542535, 10.878661761863462))
+  }
+
+  test("cumulative time-weighted moments: left-continuous weights, population var (stats.rs:116-127)") {
+    val r = ScanOps.cumulativeTimeWeighted(t(irregular))
+    assertSeq(outCol(r, "tw_mean"), Seq(1.0, 1.0, 1.8333333333333335, 1.903225806451613, 5.2444444444444445))
+    assertSeq(outCol(r, "tw_var"), Seq(0.0, 0.0, 0.13888888888888876, 0.28095733610822043, 5.962469135802469))
+    assertSeq(outCol(r, "tw_std"), Seq(0.0, 0.0, 0.3726779962499648, 0.5300540879082251, 2.441816769498168))
+  }
+
+  test("rolling(3) time-weighted moments: committed weight reverts on eviction (ops.rs:2223+)") {
+    val r = ScanOps.rollingTimeWeighted(t(irregular), 3)
+    assertSeq(outCol(r, "tw_mean"), Seq(1.0, 1.0, 1.8333333333333335, 2.076923076923077, 6.95))
+    assertSeq(outCol(r, "tw_var"), Seq(0.0, 0.0, 0.13888888888888876, 0.14792899408283994, 0.1474999999999985))
+  }
+
+  test("cumulative time-weighted median: cumulative weight crossing half (ops.rs:2507-2548)") {
+    val got = outCol(ScanOps.medianTimeWeighted(t(irregular), "cumulative"), "tw_median")
+    assertSeq(got, Seq(1.0, 1.0, 2.0, 2.0, 7.0), 0.0)
+  }
+
+  test("time-windowed(30) time-weighted median: all-zero weights fall back to latest") {
+    val got = outCol(ScanOps.medianTimeWeighted(t(irregular), "time", windowNs = 30), "tw_median")
+    assertSeq(got, Seq(1.0, 1.0, 2.0, 2.0, 11.0), 0.0)
+  }
+
+  test("throttleExact: one emission per interval from last EMITTED tick (ops.rs:381)") {
+    val src = Timeline.fromRows(spark, (1 to 9).map(i => (i * 10L, i.toDouble)))
+    val got = ScanOps.throttleExact(src, 25).df.select("ts").as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 40L, 70L), "running gate, not a bucket (bucket would give 10,30,50,80)")
+  }
+
+  test("dropSmallChange: reference is last EMITTED value (ops.rs:227-262)") {
+    val got = ScanOps.dropSmallChange(t(regular), 1.5).df
+      .select("ts", "value").orderBy("ts").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 1.0), (30L, 4.0), (40L, 7.0), (50L, 11.0)),
+      "2.0 suppressed (|2-1|<=1.5); drift still ticks via 4.0")
+  }
+
+  test("delayWithReset: reset snaps to current value and drops pending (ops.rs:3486)") {
+    val src = Timeline.fromRows(spark, Seq(10L -> 1.0, 20L -> 2.0, 30L -> 3.0))
+    val resets = Timeline.fromRows(spark, Seq(25L -> 0.0, 100L -> 0.0))
+    val got = ScanOps.delayWithReset(src, 15, resets).df
+      .select("ts", "value").orderBy("ts").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((25L, 2.0), (45L, 3.0), (100L, 3.0)))
+  }
+
+  test("keyed scans stay per-key (two keys share no state)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 10L, 0L, 1.0), ("b", 10L, 1L, 100.0), ("a", 20L, 2L, 2.0), ("b", 20L, 3L, 200.0))
+      .toDF("k", "ts", "seq", "value")
+    val got = ScanOps.ewma(Timeline(df, Seq("k")), ScanOps.PerTick(0.5)).df
+      .select("k", "ts", "ewma").orderBy("k", "ts").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 10L, 1.0), ("a", 20L, 1.5), ("b", 10L, 100.0), ("b", 20L, 150.0)))
+  }
+}
