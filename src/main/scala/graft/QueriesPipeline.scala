@@ -29,15 +29,27 @@ object QueriesPipeline {
     docs(s, d).select(col("doc_id"),
       array_distinct(TF.ngrams(TF.tokens(col("text")), 2)).as("sh"))
 
-  /** Tall minhash signature over bigram shingles, k hashes. */
-  private def minhashTall(s: SparkSession, d: String, k: Int): DataFrame = {
-    val ks = broadcast(s.range(k).select(col("id").as("i")))
-    shingles(s, d)
-      .select(col("doc_id"), explode(col("sh")).as("tok"))
-      .crossJoin(ks)
-      .withColumn("h", TF.hash60(concat(col("i").cast("string"), lit(":"), col("tok"))))
-      .groupBy("doc_id", "i").agg(min("h").as("minhash"))
-  }
+  /** MinHash signature as ONE per-doc projection — zero shuffle: for each
+    * hash index i, min over the shingle set of hash60(i ':' tok). Identical
+    * values to the former explode×crossJoin×groupBy plan, computed inside
+    * whole-stage codegen at scan time (the 100 TB shape: signatures are a
+    * map-side column, the only shuffle in any LSH pipeline is the band
+    * join). Null (empty shingle set) callers must pre-filter. */
+  private def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, t => TF.hash60(concat(i.cast("string"), lit(":"), t)))))
+
+  /** LSH band keys from a 2k-wide signature: band b = sig[2b] ':' sig[2b+1]
+    * (r = 2 rows per band). */
+  private def bandKeys(sig: Column, nBands: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => concat_ws(":", get(sig, b * 2).cast("string"), get(sig, b * 2 + 1).cast("string")))
+
+  /** Shingle set hashed to 60-bit longs: the candidate-verify join ships
+    * 8-byte elements instead of full shingle strings (both engines hash with
+    * the same md5-derived hash60, so exact Jaccard agrees exactly). */
+  private def hashedShingles(sh: Column): Column =
+    array_distinct(transform(sh, t => TF.hash60(t)))
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -118,7 +130,10 @@ object QueriesPipeline {
               |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
 
     "doc_minhash" -> Q(
-      (s, d) => minhashTall(s, d, 8).orderBy("doc_id", "i"),
+      (s, d) => shingles(s, d).where(size(col("sh")) > 0)
+        .select(col("doc_id"), posexplode(minhashSig(col("sh"), 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("i"), col("col").as("minhash"))
+        .orderBy("doc_id", "i"),
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
               |sh AS (SELECT doc_id, unnest($SH2) AS tok FROM t),
               |k AS (SELECT unnest(range(8)) AS i)
@@ -126,23 +141,24 @@ object QueriesPipeline {
               |FROM sh, k GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
     // MinHash-LSH near-dup detection: 8 hashes → 4 bands × 2; band-collision
-    // candidates verified with exact bigram-shingle Jaccard ≥ 0.2. At scale
-    // the band join is the only shuffle (no all-pairs compare).
+    // candidates verified with exact Jaccard ≥ 0.2 over hash60'd shingle
+    // sets. At scale: signatures are a scan-time projection (minhashSig),
+    // the band self-join is the only shuffle, and the verify join carries
+    // 8-byte hashed shingles, never the strings.
     "doc_dedup_minhash" -> Q(
       (s, d) => {
-        val m = minhashTall(s, d, 8)
-        val bands = m.groupBy(col("doc_id"), expr("i DIV 2").as("band"))
-          .agg(concat_ws(":",
-            min(when(col("i") % 2 === 0, col("minhash"))).cast("string"),
-            min(when(col("i") % 2 === 1, col("minhash"))).cast("string")).as("key"))
+        val base = shingles(s, d).where(size(col("sh")) > 0)
+          .select(col("doc_id"), minhashSig(col("sh"), 8).as("sig"),
+            hashedShingles(col("sh")).as("shh"))
+        val bands = base.select(col("doc_id"), posexplode(bandKeys(col("sig"), 4)))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
         val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-        val sh = shingles(s, d)
         cand
-          .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-          .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+          .join(base.select(col("doc_id").as("a"), col("shh").as("sha")), "a")
+          .join(base.select(col("doc_id").as("b"), col("shh").as("shb")), "b")
           .withColumn("j", TF.jaccard(col("sha"), col("shb")))
           .where(col("j") >= 0.2)
           .select(col("a"), col("b"), r4(col("j")).as("j"))
@@ -150,7 +166,10 @@ object QueriesPipeline {
       },
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
               |g AS (SELECT doc_id, $SH2 AS sh FROM t),
-              |e AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+              |g2 AS (SELECT doc_id, sh,
+              |    list_distinct(list_transform(sh, tok -> ${H60.format("tok")})) AS shh
+              |  FROM g WHERE len(sh) > 0),
+              |e AS (SELECT doc_id, unnest(sh) AS tok FROM g2),
               |k AS (SELECT unnest(range(8)) AS i),
               |m AS (SELECT doc_id, i, min(${H60.format("i::VARCHAR || ':' || tok")}) AS minhash
               |      FROM e, k GROUP BY 1,2),
@@ -162,20 +181,33 @@ object QueriesPipeline {
               |  FROM bands x JOIN bands y
               |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
               |v AS (SELECT a, b,
-              |    len(list_intersect(ga.sh, gb.sh))::DOUBLE /
-              |      (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS j
-              |  FROM cand JOIN g ga ON ga.doc_id = a JOIN g gb ON gb.doc_id = b)
+              |    len(list_intersect(ga.shh, gb.shh))::DOUBLE /
+              |      (len(ga.shh) + len(gb.shh) - len(list_intersect(ga.shh, gb.shh))) AS j
+              |  FROM cand JOIN g2 ga ON ga.doc_id = a JOIN g2 gb ON gb.doc_id = b)
               |SELECT a, b, round(1e-9 + j,4) AS j FROM v WHERE j >= 0.2 ORDER BY 1,2""".stripMargin)),
 
-    // n-gram Jaccard near-dup: all same-source pairs, trigram shingles.
+    // n-gram (trigram) Jaccard near-dup, LSH-routed: candidates come from
+    // trigram-MinHash band collisions WITHIN the same source, then exact
+    // Jaccard ≥ 0.05 verifies each candidate. Replaces the round-1 all-pairs
+    // O(n²) self-join (the 62%-of-bench scale-killer): linear signatures,
+    // one banded shuffle, verification proportional to candidates.
     "doc_ngram_jaccard" -> Q(
       (s, d) => {
         val g = docs(s, d).select(col("doc_id"), col("source"),
           array_distinct(TF.ngrams(TF.tokens(col("text")), 3)).as("sh"))
-        g.as("x").join(g.as("y"),
-          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-            TF.jaccard(col("x.sh"), col("y.sh")).as("j"))
+          .where(size(col("sh")) > 0)
+        val base = g.select(col("doc_id"), col("source"),
+          minhashSig(col("sh"), 8).as("sig"), hashedShingles(col("sh")).as("shh"))
+        val bands = base.select(col("doc_id"), col("source"), posexplode(bandKeys(col("sig"), 4)))
+          .select(col("doc_id"), col("source"), col("pos").as("band"), col("col").as("key"))
+        val cand = bands.as("x").join(bands.as("y"),
+          col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
+            col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        cand
+          .join(base.select(col("doc_id").as("a"), col("shh").as("sha")), "a")
+          .join(base.select(col("doc_id").as("b"), col("shh").as("shb")), "b")
+          .withColumn("j", TF.jaccard(col("sha"), col("shb")))
           .where(col("j") >= 0.05)
           .select(col("a"), col("b"), r4(col("j")).as("j"))
           .orderBy("a", "b")
@@ -184,27 +216,44 @@ object QueriesPipeline {
               |g AS (SELECT doc_id, source,
               |  list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1),
               |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
-              |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
-              |    len(list_intersect(x.sh, y.sh))::DOUBLE /
-              |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
-              |  FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id)
-              |SELECT a, b, round(1e-9 + j,4) AS j FROM p WHERE j >= 0.05 ORDER BY 1,2""".stripMargin)),
+              |g2 AS (SELECT doc_id, source, sh,
+              |    list_distinct(list_transform(sh, tok -> ${H60.format("tok")})) AS shh
+              |  FROM g WHERE len(sh) > 0),
+              |e AS (SELECT doc_id, unnest(sh) AS tok FROM g2),
+              |k AS (SELECT unnest(range(8)) AS i),
+              |m AS (SELECT doc_id, i, min(${H60.format("i::VARCHAR || ':' || tok")}) AS minhash
+              |      FROM e, k GROUP BY 1,2),
+              |bands AS (SELECT b.doc_id, g2.source, b.band, b.key FROM (
+              |    SELECT doc_id, i // 2 AS band,
+              |      min(CASE WHEN i % 2 = 0 THEN minhash END)::VARCHAR || ':' ||
+              |      min(CASE WHEN i % 2 = 1 THEN minhash END)::VARCHAR AS key
+              |    FROM m GROUP BY 1,2) b JOIN g2 ON g2.doc_id = b.doc_id),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y
+              |    ON x.source = y.source AND x.band = y.band AND x.key = y.key
+              |      AND x.doc_id < y.doc_id),
+              |v AS (SELECT a, b,
+              |    len(list_intersect(ga.shh, gb.shh))::DOUBLE /
+              |      (len(ga.shh) + len(gb.shh) - len(list_intersect(ga.shh, gb.shh))) AS j
+              |  FROM cand JOIN g2 ga ON ga.doc_id = a JOIN g2 gb ON gb.doc_id = b)
+              |SELECT a, b, round(1e-9 + j,4) AS j FROM v WHERE j >= 0.05 ORDER BY 1,2""".stripMargin)),
 
     // 60-bit SimHash over distinct tokens: near-dups differ in few bits.
+    // One per-doc fold (nested aggregate over the hashed token array) —
+    // zero shuffle, replacing the round-1 60× bit crossJoin.
     "doc_simhash" -> Q(
-      (s, d) => {
-        val toks = docs(s, d)
-          .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
-          .withColumn("h", TF.hash60(col("tok")))
-        val bits = broadcast(s.range(60).select(col("id").cast("int").as("b")))
-        toks.crossJoin(bits)
-          .groupBy("doc_id", "b")
-          .agg(sum(when(expr("(h >> b) & 1") === 1, 1L).otherwise(-1L)).as("sgn"))
-          .groupBy("doc_id")
-          .agg(sum(when(col("sgn") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          transform(TF.distinctTokens(col("text")), t => TF.hash60(t)).as("hs"))
+        .where(size(col("hs")) > 0)
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc +
+            |  IF(aggregate(hs, CAST(0 AS BIGINT),
+            |       (a, h) -> a + IF((shiftright(h, b) & 1) = 1,
+            |                        CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+            |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+          .as("simhash"))
+        .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
               |h AS (SELECT doc_id, ${H60.format("tok")} AS h FROM t),
               |bits AS (SELECT unnest(range(60)) AS b),
