@@ -383,8 +383,15 @@ object Queries {
         .merge(Tables.eventsOf(s, d, "error")).df
         .select(col("user_id"), col("ts"), col("value"))
         .orderBy("user_id", "ts"),
-      Some("""SELECT user_id, epoch_ns(ts) AS ts, value FROM events
-             |WHERE event_type IN ('purchase','error') ORDER BY 1,2""".stripMargin)),
+      // tie-break encoded: at a tied (user_id, ts) instant the earliest-
+      // supplied source (purchase, pri 0) wins and the other source's rows
+      // at that instant are dropped — the reference MergeN winner rule
+      // (`ops.rs:3215`), not a plain UNION.
+      Some("""WITH u AS (SELECT user_id, epoch_ns(ts) AS ts, value,
+             |    CASE event_type WHEN 'purchase' THEN 0 ELSE 1 END AS pri
+             |  FROM events WHERE event_type IN ('purchase','error')),
+             |w AS (SELECT *, min(pri) OVER (PARTITION BY user_id, ts) AS win FROM u)
+             |SELECT user_id, ts, value FROM w WHERE pri = win ORDER BY 1,2""".stripMargin)),
 
     "evt_throttle_1h" -> Q(
       (s, d) => ev(s, d).throttleBucket(HOUR).df

@@ -298,8 +298,12 @@ object QueriesPipeline {
           .select(col("vec_id"), col("label"), r4(col("cos")).as("cos"))
           .orderBy("vec_id")
       },
-      Some("""WITH x AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
-             |  FROM embeddings, (SELECT unnest(range(1,65)) AS i)),
+      // dimension derived from the data (not a literal): a testdata dim
+      // change fails loudly instead of silently truncating the cosine.
+      Some("""WITH dims AS (SELECT unnest(range(1,
+             |    (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+             |x AS (SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+             |  FROM embeddings, dims WHERE i <= len(embedding)),
              |cent AS (SELECT label, i, avg(v) AS c FROM x GROUP BY 1,2),
              |j AS (SELECT vec_id, x.label AS label, sum(v*c) AS dot,
              |    sum(v*v) AS n1, sum(c*c) AS n2

@@ -230,18 +230,27 @@ object ScanOps {
     * `delayNs` later, but a reset tick snaps the output to the value
     * stream's current value and drops everything pending. Batch derivation:
     * a delayed emission at `ts+delay` survives iff no reset tick lands in
-    * (valueTs, valueTs+delay]; each reset emits the value stream's held
-    * value at the reset instant. */
+    * the closed interval [valueTs, valueTs+delay] (the reference checks the
+    * trigger FIRST within a cycle, ops.rs:3531-3536, so a reset at either
+    * boundary clears the queue before the pop/push); each reset emits the
+    * value stream's held value at the reset instant.
+    *
+    * Scale shape: the reset join is bucketed on `ts DIV delayNs` — a reset
+    * can only kill values in the two delay-width buckets it overlaps, so
+    * each value row joins O(resets-in-2-buckets), never all resets (the
+    * round-1 crossJoin is gone). */
   def delayWithReset(t: Timeline, delayNs: Long, resets: Timeline): Timeline = {
     import org.apache.spark.sql.functions._
-    val vdf = t.df.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col(t.valueCol).as("value")): _*)
-    val rdf = resets.df.select((resets.keys.map(col) :+ col("ts").as("rts")): _*)
-    val joined =
-      if (t.keys.nonEmpty) vdf.join(rdf, t.keys, "left")
-      else vdf.crossJoin(rdf)
-    // pending emission killed by any reset in [ts, ts+delay]: the reference
-    // checks the trigger FIRST in a cycle (ops.rs:3531-3536), so a reset at
-    // either boundary clears the queue before the pop/push.
+    val vdf = t.df
+      .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col(t.valueCol).as("value")): _*)
+      .withColumn("__vb", expr(s"ts DIV ${delayNs}L"))
+    // a reset at rts kills values with ts in [rts-delay, rts]: exactly the
+    // value buckets {rts DIV delay - 1, rts DIV delay}
+    val rdf = resets.df
+      .select((resets.keys.map(col) :+ col("ts").as("rts")): _*)
+      .withColumn("__vb", explode(array(
+        expr(s"rts DIV ${delayNs}L - 1"), expr(s"rts DIV ${delayNs}L"))))
+    val joined = vdf.join(rdf, (t.keys :+ "__vb").toSeq, "left")
     val killed = joined
       .withColumn("__killed", col("rts").isNotNull && col("rts") >= col("ts") && col("rts") <= col("ts") + delayNs)
       .groupBy((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col("value")): _*)

@@ -77,6 +77,29 @@ class ScanOpsSpec extends SparkSuite {
     assert(got == Seq((25L, 2.0), (45L, 3.0), (100L, 3.0)))
   }
 
+  test("composite keys that concatenate identically stay distinct (encodeKey)") {
+    import org.apache.spark.sql.functions._
+    // ("a b", "c") vs ("a", "b c"): a naive join-with-separator collides
+    val df = Seq(
+      ("a b", "c", 10L, 0L, 1.0), ("a", "b c", 10L, 1L, 100.0),
+      ("a b", "c", 20L, 2L, 2.0), ("a", "b c", 20L, 3L, 200.0))
+      .toDF("k1", "k2", "ts", "seq", "value")
+    val got = ScanOps.ewma(Timeline(df, Seq("k1", "k2")), ScanOps.PerTick(0.5)).df
+      .select("k1", "ts", "ewma").orderBy("k1", "ts").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 10L, 100.0), ("a", 20L, 150.0), ("a b", 10L, 1.0), ("a b", 20L, 1.5)))
+    // null key vs the literal string "null" are distinct groups
+    assert(graft.core.KeyedScan.encodeKey(Seq(null)) != graft.core.KeyedScan.encodeKey(Seq("null")))
+  }
+
+  test("scanDouble skips null value rows without touching state") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((10L, 0L, Some(1.0)), (20L, 1L, None), (30L, 2L, Some(3.0)))
+      .toDF("ts", "seq", "value")
+    val got = ScanOps.ewma(Timeline(df), ScanOps.PerTick(0.5)).df
+      .select("ts", "ewma").orderBy("ts").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 1.0), (30L, 2.0)), "null row dropped, ewma folds 1.0 then 3.0")
+  }
+
   test("keyed scans stay per-key (two keys share no state)") {
     import org.apache.spark.sql.functions._
     val df = Seq(("a", 10L, 0L, 1.0), ("b", 10L, 1L, 100.0), ("a", 20L, 2L, 2.0), ("b", 20L, 3L, 200.0))
