@@ -29,27 +29,67 @@ object QueriesPipeline {
     docs(s, d).select(col("doc_id"),
       array_distinct(TF.ngrams(TF.tokens(col("text")), 2)).as("sh"))
 
-  /** MinHash signature as ONE per-doc projection — zero shuffle: for each
-    * hash index i, min over the shingle set of hash60(i ':' tok). Identical
-    * values to the former explode×crossJoin×groupBy plan, computed inside
-    * whole-stage codegen at scan time (the 100 TB shape: signatures are a
-    * map-side column, the only shuffle in any LSH pipeline is the band
-    * join). Null (empty shingle set) callers must pre-filter. */
-  private def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, t => TF.hash60(concat(i.cast("string"), lit(":"), t)))))
+  // ── MinHash via a universal affine hash family ──────────────────────────
+  //
+  // Scale + speed shape (chosen by measurement, not the obvious rewrite):
+  // each shingle is md5-hashed ONCE (h = hash60(tok)), then the k signature
+  // components are mins of cheap integer transforms (A_i*h30 + B_i) mod P
+  // computed inside ONE codegen'd hash-aggregate with map-side combine —
+  // the shuffle carries #docs × (k+|set|) longs, never k× the shingle
+  // volume, and nothing runs in Spark's interpreted higher-order-function
+  // evaluator (transform/aggregate lambdas are NOT codegen'd and measured
+  // 5-7× slower here than the exploded wide-agg). h30 keeps products under
+  // 2^60 so BIGINT arithmetic is overflow-free in both engines.
+  private val P30 = 1073741789L  // largest prime < 2^30
+  private val M30 = 1073741824L  // 2^30
+  private val AB: Seq[(Long, Long)] = Seq(
+    937123479L  -> 726351723L, 581109269L -> 448923471L,
+    412092103L  -> 356493459L, 317243987L -> 266280083L,
+    267413183L  -> 201672531L, 173927101L -> 150550587L,
+    133902991L  -> 119177419L, 113109407L -> 101090251L)
 
-  /** LSH band keys from a 2k-wide signature: band b = sig[2b] ':' sig[2b+1]
-    * (r = 2 rows per band). */
-  private def bandKeys(sig: Column, nBands: Int): Column =
-    transform(sequence(lit(0), lit(nBands - 1)),
-      b => concat_ws(":", get(sig, b * 2).cast("string"), get(sig, b * 2 + 1).cast("string")))
+  /** Exploded (doc, shingle-hash) rows: one md5 per shingle. Extra group
+    * columns ride along. */
+  private def hashedShingleRows(g: DataFrame, extra: Seq[String]): DataFrame =
+    g.select((Seq(col("doc_id")) ++ extra.map(col) :+ explode(col("sh")).as("tok")): _*)
+      .withColumn("h", TF.hash60(col("tok")))
+      .withColumn("h30", col("h") % M30)
 
-  /** Shingle set hashed to 60-bit longs: the candidate-verify join ships
-    * 8-byte elements instead of full shingle strings (both engines hash with
-    * the same md5-derived hash60, so exact Jaccard agrees exactly). */
-  private def hashedShingles(sh: Column): Column =
-    array_distinct(transform(sh, t => TF.hash60(t)))
+  /** MinHash signature (+ optionally the hashed shingle set `shh`, for
+    * exact Jaccard verification over 8-byte elements instead of strings) in
+    * ONE groupBy: columns mh0..mh7. */
+  private def minhashAgg(ex: DataFrame, extra: Seq[String], withSet: Boolean): DataFrame = {
+    val mins: Seq[Column] = AB.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h30") * a + b) % P30).as(s"mh$i") }
+    val aggs = if (withSet) mins :+ collect_set(col("h")).as("shh") else mins
+    ex.groupBy((Seq(col("doc_id")) ++ extra.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 4 LSH band keys (r=2) from the wide signature, as (band, key) rows. */
+  private def bandRows(sig: DataFrame, extra: Seq[String]): DataFrame = {
+    val pairs = (0 until 4).flatMap(b => Seq(s"$b",
+      s"concat(cast(mh${2 * b} AS string), ':', cast(mh${2 * b + 1} AS string))"))
+    sig.selectExpr(Seq("doc_id") ++ extra :+
+      s"stack(4, ${pairs.mkString(", ")}) AS (band, key)": _*)
+  }
+
+  /** Oracle-side prelude mirroring hashedShingleRows+minhashAgg: CTEs `e`
+    * (doc_id, h, h30) from shingle list `sh` in CTE `g2`, `ab` constants,
+    * `m` (doc_id, i, minhash), `bands`, `sets` (doc_id, shh). */
+  private def oracleMinhash: String = {
+    val abValues = AB.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""e AS (SELECT doc_id, ${H60.format("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS tok FROM g2)),
+       |ab AS (SELECT * FROM (VALUES $abValues) AS v(i, a, b)),
+       |m AS (SELECT doc_id, i, min((a * (h % $M30) + b) % $P30) AS minhash
+       |  FROM e, ab GROUP BY 1,2),
+       |bands AS (SELECT doc_id, i // 2 AS band,
+       |    min(CASE WHEN i % 2 = 0 THEN minhash END)::VARCHAR || ':' ||
+       |    min(CASE WHEN i % 2 = 1 THEN minhash END)::VARCHAR AS key
+       |  FROM m GROUP BY 1,2)""".stripMargin
+  }
 
   val entries: Seq[(String, Q)] = Seq(
 
@@ -130,15 +170,16 @@ object QueriesPipeline {
               |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
 
     "doc_minhash" -> Q(
-      (s, d) => shingles(s, d).where(size(col("sh")) > 0)
-        .select(col("doc_id"), posexplode(minhashSig(col("sh"), 8)))
-        .select(col("doc_id"), col("pos").cast("long").as("i"), col("col").as("minhash"))
-        .orderBy("doc_id", "i"),
+      (s, d) => {
+        val sig = minhashAgg(hashedShingleRows(shingles(s, d), Nil), Nil, withSet = false)
+        val stackArgs = (0 until 8).map(i => s"CAST($i AS BIGINT), mh$i").mkString(", ")
+        sig.selectExpr("doc_id", s"stack(8, $stackArgs) AS (i, minhash)")
+          .orderBy("doc_id", "i")
+      },
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-              |sh AS (SELECT doc_id, unnest($SH2) AS tok FROM t),
-              |k AS (SELECT unnest(range(8)) AS i)
-              |SELECT doc_id, i, min(${H60.format("i::VARCHAR || ':' || tok")}) AS minhash
-              |FROM sh, k GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+              |g2 AS (SELECT doc_id, $SH2 AS sh FROM t),
+              |$oracleMinhash
+              |SELECT doc_id, i, minhash FROM m ORDER BY 1,2""".stripMargin)),
 
     // MinHash-LSH near-dup detection: 8 hashes → 4 bands × 2; band-collision
     // candidates verified with exact Jaccard ≥ 0.2 over hash60'd shingle
@@ -147,11 +188,8 @@ object QueriesPipeline {
     // 8-byte hashed shingles, never the strings.
     "doc_dedup_minhash" -> Q(
       (s, d) => {
-        val base = shingles(s, d).where(size(col("sh")) > 0)
-          .select(col("doc_id"), minhashSig(col("sh"), 8).as("sig"),
-            hashedShingles(col("sh")).as("shh"))
-        val bands = base.select(col("doc_id"), posexplode(bandKeys(col("sig"), 4)))
-          .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+        val base = minhashAgg(hashedShingleRows(shingles(s, d), Nil), Nil, withSet = true)
+        val bands = bandRows(base, Nil)
         val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -165,25 +203,16 @@ object QueriesPipeline {
           .orderBy("a", "b")
       },
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-              |g AS (SELECT doc_id, $SH2 AS sh FROM t),
-              |g2 AS (SELECT doc_id, sh,
-              |    list_distinct(list_transform(sh, tok -> ${H60.format("tok")})) AS shh
-              |  FROM g WHERE len(sh) > 0),
-              |e AS (SELECT doc_id, unnest(sh) AS tok FROM g2),
-              |k AS (SELECT unnest(range(8)) AS i),
-              |m AS (SELECT doc_id, i, min(${H60.format("i::VARCHAR || ':' || tok")}) AS minhash
-              |      FROM e, k GROUP BY 1,2),
-              |bands AS (SELECT doc_id, i // 2 AS band,
-              |    min(CASE WHEN i % 2 = 0 THEN minhash END)::VARCHAR || ':' ||
-              |    min(CASE WHEN i % 2 = 1 THEN minhash END)::VARCHAR AS key
-              |  FROM m GROUP BY 1,2),
+              |g2 AS (SELECT doc_id, $SH2 AS sh FROM t),
+              |$oracleMinhash,
+              |sets AS (SELECT doc_id, list_distinct(list(h)) AS shh FROM e GROUP BY 1),
               |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
               |  FROM bands x JOIN bands y
               |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
               |v AS (SELECT a, b,
               |    len(list_intersect(ga.shh, gb.shh))::DOUBLE /
               |      (len(ga.shh) + len(gb.shh) - len(list_intersect(ga.shh, gb.shh))) AS j
-              |  FROM cand JOIN g2 ga ON ga.doc_id = a JOIN g2 gb ON gb.doc_id = b)
+              |  FROM cand JOIN sets ga ON ga.doc_id = a JOIN sets gb ON gb.doc_id = b)
               |SELECT a, b, round(1e-9 + j,4) AS j FROM v WHERE j >= 0.2 ORDER BY 1,2""".stripMargin)),
 
     // n-gram (trigram) Jaccard near-dup, LSH-routed: candidates come from
@@ -195,11 +224,8 @@ object QueriesPipeline {
       (s, d) => {
         val g = docs(s, d).select(col("doc_id"), col("source"),
           array_distinct(TF.ngrams(TF.tokens(col("text")), 3)).as("sh"))
-          .where(size(col("sh")) > 0)
-        val base = g.select(col("doc_id"), col("source"),
-          minhashSig(col("sh"), 8).as("sig"), hashedShingles(col("sh")).as("shh"))
-        val bands = base.select(col("doc_id"), col("source"), posexplode(bandKeys(col("sig"), 4)))
-          .select(col("doc_id"), col("source"), col("pos").as("band"), col("col").as("key"))
+        val base = minhashAgg(hashedShingleRows(g, Seq("source")), Seq("source"), withSet = true)
+        val bands = bandRows(base, Seq("source"))
         val cand = bands.as("x").join(bands.as("y"),
           col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
             col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
@@ -213,47 +239,43 @@ object QueriesPipeline {
           .orderBy("a", "b")
       },
       Some(s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
-              |g AS (SELECT doc_id, source,
+              |g2 AS (SELECT doc_id, source,
               |  list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1),
               |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
-              |g2 AS (SELECT doc_id, source, sh,
-              |    list_distinct(list_transform(sh, tok -> ${H60.format("tok")})) AS shh
-              |  FROM g WHERE len(sh) > 0),
-              |e AS (SELECT doc_id, unnest(sh) AS tok FROM g2),
-              |k AS (SELECT unnest(range(8)) AS i),
-              |m AS (SELECT doc_id, i, min(${H60.format("i::VARCHAR || ':' || tok")}) AS minhash
-              |      FROM e, k GROUP BY 1,2),
-              |bands AS (SELECT b.doc_id, g2.source, b.band, b.key FROM (
-              |    SELECT doc_id, i // 2 AS band,
-              |      min(CASE WHEN i % 2 = 0 THEN minhash END)::VARCHAR || ':' ||
-              |      min(CASE WHEN i % 2 = 1 THEN minhash END)::VARCHAR AS key
-              |    FROM m GROUP BY 1,2) b JOIN g2 ON g2.doc_id = b.doc_id),
+              |$oracleMinhash,
+              |sets AS (SELECT doc_id, list_distinct(list(h)) AS shh FROM e GROUP BY 1),
+              |sbands AS (SELECT b.doc_id, g2.source, b.band, b.key
+              |  FROM bands b JOIN g2 ON g2.doc_id = b.doc_id),
               |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |  FROM bands x JOIN bands y
+              |  FROM sbands x JOIN sbands y
               |    ON x.source = y.source AND x.band = y.band AND x.key = y.key
               |      AND x.doc_id < y.doc_id),
               |v AS (SELECT a, b,
               |    len(list_intersect(ga.shh, gb.shh))::DOUBLE /
               |      (len(ga.shh) + len(gb.shh) - len(list_intersect(ga.shh, gb.shh))) AS j
-              |  FROM cand JOIN g2 ga ON ga.doc_id = a JOIN g2 gb ON gb.doc_id = b)
+              |  FROM cand JOIN sets ga ON ga.doc_id = a JOIN sets gb ON gb.doc_id = b)
               |SELECT a, b, round(1e-9 + j,4) AS j FROM v WHERE j >= 0.05 ORDER BY 1,2""".stripMargin)),
 
     // 60-bit SimHash over distinct tokens: near-dups differ in few bits.
-    // One per-doc fold (nested aggregate over the hashed token array) —
-    // zero shuffle, replacing the round-1 60× bit crossJoin.
+    // One md5 per token, then ONE wide hash-aggregate: 60 per-bit ±1 sums
+    // as agg columns (codegen'd, map-side combined — the shuffle carries
+    // #docs rows of 60 longs), bits recombined in the output projection.
+    // Replaces both the round-1 60× bit crossJoin (2 shuffles of 60× rows)
+    // and the interpreted per-doc HOF fold (no codegen, measured 7× slower).
     "doc_simhash" -> Q(
-      (s, d) => docs(s, d)
-        .select(col("doc_id"),
-          transform(TF.distinctTokens(col("text")), t => TF.hash60(t)).as("hs"))
-        .where(size(col("hs")) > 0)
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc +
-            |  IF(aggregate(hs, CAST(0 AS BIGINT),
-            |       (a, h) -> a + IF((shiftright(h, b) & 1) = 1,
-            |                        CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-            |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
-          .as("simhash"))
-        .orderBy("doc_id"),
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
+          .withColumn("h", TF.hash60(col("tok")))
+        val bitSums = (0 until 60).map(b =>
+          sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+        val recombine = (0 until 60)
+          .map(b => s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
+          .mkString(" + ")
+        toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .selectExpr("doc_id", s"$recombine AS simhash")
+          .orderBy("doc_id")
+      },
       Some(s"""WITH t AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
               |h AS (SELECT doc_id, ${H60.format("tok")} AS h FROM t),
               |bits AS (SELECT unnest(range(60)) AS b),
