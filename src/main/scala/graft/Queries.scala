@@ -32,7 +32,8 @@ object Queries {
   /** Common DuckDB prelude: events with the ns clock + total order. */
   private val E = "SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, event_type, value FROM events"
 
-  val registry: Seq[(String, Q)] = relational ++ stream ++ QueriesPipeline.entries
+  val registry: Seq[(String, Q)] =
+    relational ++ stream ++ QueriesPipeline.entries ++ QueriesMarket.entries
 
   // ───────────────────────────── relational ───────────────────────────────
 

@@ -1,0 +1,81 @@
+package graft
+
+import graft.Queries.Q
+import graft.market.{BookUpdateIn, OrderBookOp}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-data queries: the order-book state machine under the driver's
+  * CORRECTNESS gate. The update stream is derived deterministically from
+  * the `events` table (instrument = user_id): each user's first event is an
+  * empty snapshot (book goes Live, unsequenced), every later event an
+  * unsequenced level delta — side from event-id parity, small integer
+  * price/qty grids so levels collide and zero qtys exercise removals. The
+  * DuckDB oracle recomputes top-of-book relationally as last-qty-per-level
+  * (`arg_max` over updates at-or-before each row).
+  *
+  * Gap / stale-snapshot / buffering semantics are NOT SQL-expressible —
+  * those paths are gated by the OrderBookSpec goldens + the
+  * batch↔streaming parity test (reference `market.rs:50-83,810-1120`).
+  */
+object QueriesMarket {
+
+  /** Deterministic book-update stream from events (see object doc). */
+  def updatesFromEvents(s: SparkSession, d: String): Dataset[BookUpdateIn] = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "seq")
+    Tables.events(s, d).df
+      .select(col("user_id"), col("ts"), col("seq"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .as[(Long, Long, Long, Double, Int)]
+      .map { case (uid, ts, seq, value, rn) =>
+        if (rn == 1) // empty snapshot: book Live, unsequenced venue
+          BookUpdateIn(ts, seq, uid.toString, "snapshot", Nil, Nil, Nil, None, None)
+        else {
+          val side = if (seq % 2 == 0) "bid" else "ask"
+          val price = BigDecimal(math.floor(value).toLong % 20)
+          val qty = BigDecimal(math.floor(value * 10).toLong % 7)
+          BookUpdateIn(ts, seq, uid.toString, "delta", Nil, Nil,
+            Seq((side, price, qty)), None, None)
+        }
+      }
+  }
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    "book_top" -> Q(
+      (s, d) => OrderBookOp.batch(updatesFromEvents(s, d)).toDF()
+        .select(col("instrument").cast("long").as("user_id"), col("ts"), col("seq"),
+          col("best_bid").cast("double").as("best_bid"),
+          col("best_bid_qty").cast("double").as("best_bid_qty"),
+          col("best_ask").cast("double").as("best_ask"),
+          col("best_ask_qty").cast("double").as("best_ask_qty"),
+          col("bid_depth").cast("long").as("bid_depth"),
+          col("ask_depth").cast("long").as("ask_depth"))
+        .orderBy("user_id", "seq"),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |d AS (SELECT user_id, rn,
+             |    CASE WHEN seq % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+             |    CAST(floor(value) AS BIGINT) % 20 AS price,
+             |    CAST(floor(value * 10) AS BIGINT) % 7 AS qty
+             |  FROM e WHERE rn > 1),
+             |lv AS (SELECT r.user_id, r.rn, q.side, q.price, arg_max(q.qty, q.rn) AS qty
+             |  FROM e r JOIN d q ON q.user_id = r.user_id AND q.rn <= r.rn
+             |  GROUP BY 1,2,3,4),
+             |top AS (SELECT r.user_id, r.ts, r.seq,
+             |    CAST((max(l.price) FILTER (WHERE l.side='bid' AND l.qty<>0)) AS DOUBLE) AS best_bid,
+             |    CAST((arg_max(l.qty, l.price) FILTER (WHERE l.side='bid' AND l.qty<>0)) AS DOUBLE) AS best_bid_qty,
+             |    CAST((min(l.price) FILTER (WHERE l.side='ask' AND l.qty<>0)) AS DOUBLE) AS best_ask,
+             |    CAST((arg_min(l.qty, l.price) FILTER (WHERE l.side='ask' AND l.qty<>0)) AS DOUBLE) AS best_ask_qty,
+             |    count(*) FILTER (WHERE l.side='bid' AND l.qty<>0) AS bid_depth,
+             |    count(*) FILTER (WHERE l.side='ask' AND l.qty<>0) AS ask_depth
+             |  FROM e r LEFT JOIN lv l ON l.user_id = r.user_id AND l.rn = r.rn
+             |  GROUP BY 1,2,3)
+             |SELECT user_id, ts, seq, best_bid, best_bid_qty, best_ask, best_ask_qty,
+             |  bid_depth, ask_depth
+             |FROM top ORDER BY 1,3""".stripMargin))
+  )
+}

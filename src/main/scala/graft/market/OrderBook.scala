@@ -77,13 +77,15 @@ final class OrderBookMachine {
     // mid-replay leaves nothing stale for the next snapshot
     val buffered = pending.toSeq
     pending.clear()
-    buffered.foreach { case (cs, f, l) =>
-      applyDelta(cs, f, l) match {
-        case g if g.startsWith("gap") => return g
-        case _                        =>
-      }
+    var i = 0
+    var result = "applied"
+    while (i < buffered.length && !result.startsWith("gap")) {
+      val (cs, f, l) = buffered(i)
+      val r = applyDelta(cs, f, l)
+      if (r.startsWith("gap")) result = r // gap mid-replay aborts the rest
+      i += 1
     }
-    "applied"
+    result
   }
 
   def applyDelta(changes: Seq[(String, BigDecimal, BigDecimal)],
