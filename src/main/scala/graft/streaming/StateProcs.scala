@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.ops.ScanOps
+
+/** The stateful-operator library as [[BurstProc]]s — each the single
+  * definition of that op's semantics, runnable in both RunModes. Where a
+  * window-function Timeline implementation of the same op exists, ParitySpec
+  * cross-checks the two (the analog of the reference's
+  * interpreted-vs-compiled parity, `tests/compiled_parity.rs`). */
+object StateProcs {
+
+  /** Lift a per-event step into a burst processor (ops whose reference
+    * semantics are per-tick, not per-cycle). */
+  private def perEvent[S](initS: () => S)(f: (S, Ev) => (S, Option[Double])): BurstProc[S] =
+    new BurstProc[S] {
+      def init(): S = initS()
+      def onBurst(s: S, key: String, ts: Long, evs: Seq[Ev]): (S, Seq[Out]) = {
+        var st = s
+        val out = Seq.newBuilder[Out]
+        evs.foreach { ev =>
+          val (s2, o) = f(st, ev)
+          st = s2
+          o.foreach(v => out += Out(key, ts, v, 0.0))
+        }
+        (st, out.result())
+      }
+    }
+
+  final case class EwmaS(seeded: Boolean, value: Double, lastTs: Long)
+
+  /** `ewma` (reference `ops.rs:852-896`), any decay policy. */
+  def ewma(decay: ScanOps.EwmaDecay): BurstProc[EwmaS] =
+    perEvent(() => EwmaS(seeded = false, 0.0, 0L)) { (s, ev) =>
+      if (!s.seeded) (EwmaS(seeded = true, ev.value, ev.ts), Some(ev.value))
+      else {
+        val (alpha, t) = decay match {
+          case ScanOps.PerTick(a)   => (a, s.lastTs)
+          case ScanOps.HalfLife(hl) =>
+            val dt = (ev.ts - s.lastTs).toDouble
+            (if (hl <= 0.0) 1.0 else 1.0 - math.exp(-(dt / hl) * math.log(2.0)), ev.ts)
+        }
+        val v = s.value + alpha * (ev.value - s.value)
+        (EwmaS(seeded = true, v, t), Some(v))
+      }
+    }
+
+  final case class TsS(last: Long)
+
+  /** Exact `throttle` (reference `ops.rs:381-414`). */
+  def throttle(intervalNs: Long): BurstProc[TsS] =
+    perEvent(() => TsS(Long.MinValue)) { (s, ev) =>
+      if (s.last == Long.MinValue || ev.ts - s.last >= intervalNs) (TsS(ev.ts), Some(ev.value))
+      else (s, None)
+    }
+
+  final case class HeldS(has: Boolean, v: Double)
+
+  /** `drop_small_change` (reference `ops.rs:227-262`). */
+  def dropSmallChange(minDelta: Double): BurstProc[HeldS] =
+    perEvent(() => HeldS(has = false, 0.0)) { (s, ev) =>
+      if (!s.has || math.abs(ev.value - s.v) > minDelta) (HeldS(has = true, ev.value), Some(ev.value))
+      else (s, None)
+    }
+
+  final case class AccS(acc: Double)
+
+  /** Running sum (`fold`, reference `ops.rs:2748`). */
+  def cumSum: BurstProc[AccS] =
+    perEvent(() => AccS(0.0)) { (s, ev) => val a = s.acc + ev.value; (AccS(a), Some(a)) }
+
+  final case class CntS(n: Long)
+
+  /** Running tick count (reference `ops.rs:2819`). */
+  def count: BurstProc[CntS] =
+    perEvent(() => CntS(0L)) { (s, _) => val n = s.n + 1; (CntS(n), Some(n.toDouble)) }
+
+  /** `difference` (reference `ops.rs:263`): v - prev, quiet first. */
+  def difference: BurstProc[HeldS] =
+    perEvent(() => HeldS(has = false, 0.0)) { (s, ev) =>
+      (HeldS(has = true, ev.value), if (s.has) Some(ev.value - s.v) else None)
+    }
+
+  /** `distinct` (reference `ops.rs:187`): suppress consecutive duplicates. */
+  def distinctConsecutive: BurstProc[HeldS] =
+    perEvent(() => HeldS(has = false, 0.0)) { (s, ev) =>
+      if (!s.has || ev.value != s.v) (HeldS(has = true, ev.value), Some(ev.value))
+      else (s, None)
+    }
+
+  /** `limit` (reference `ops.rs:357`): first n ticks then quiet. */
+  def limit(n: Long): BurstProc[CntS] =
+    perEvent(() => CntS(0L)) { (s, ev) =>
+      if (s.n < n) (CntS(s.n + 1), Some(ev.value)) else (s, None)
+    }
+
+  final case class NoS()
+
+  /** `delay` (reference `ops.rs:3090`): stateless ts shift. */
+  def delay(delayNs: Long): BurstProc[NoS] = new BurstProc[NoS] {
+    def init(): NoS = NoS()
+    def onBurst(s: NoS, key: String, ts: Long, evs: Seq[Ev]): (NoS, Seq[Out]) =
+      (s, evs.map(ev => Out(key, ts + delayNs, ev.value, 0.0)))
+  }
+
+  /** `sample` (reference `ops.rs:2867`): src 0 = value (passive), src 1 =
+    * trigger; each trigger tick emits the value held SO FAR in the cycle
+    * (a same-instant value tick sorted earlier is visible — upstream fires
+    * first within a cycle). */
+  def sample: BurstProc[HeldS] = new BurstProc[HeldS] {
+    def init(): HeldS = HeldS(has = false, 0.0)
+    def onBurst(s: HeldS, key: String, ts: Long, evs: Seq[Ev]): (HeldS, Seq[Out]) = {
+      var st = s
+      val out = Seq.newBuilder[Out]
+      evs.foreach { ev =>
+        if (ev.src == 0) st = HeldS(has = true, ev.value)
+        else if (st.has) out += Out(key, ts, st.v, 0.0)
+      }
+      (st, out.result())
+    }
+  }
+
+  final case class PairS(hasA: Boolean, a: Double, hasB: Boolean, b: Double)
+
+  /** `join` zip-latest (reference `ops.rs:2983`): ticks when either side
+    * ticks, ONE emission per cycle carrying both latest values; quiet until
+    * both sides have ticked. */
+  def joinLatest: BurstProc[PairS] = new BurstProc[PairS] {
+    def init(): PairS = PairS(hasA = false, 0.0, hasB = false, 0.0)
+    def onBurst(s: PairS, key: String, ts: Long, evs: Seq[Ev]): (PairS, Seq[Out]) = {
+      var st = s
+      evs.foreach { ev =>
+        if (ev.src == 0) st = st.copy(hasA = true, a = ev.value)
+        else st = st.copy(hasB = true, b = ev.value)
+      }
+      (st, if (st.hasA && st.hasB) Seq(Out(key, ts, st.a, st.b)) else Nil)
+    }
+  }
+
+  /** `merge` (reference `ops.rs:3156`): same-cycle tie → lowest src wins,
+    * the winner's whole burst survives, other sources' rows drop. */
+  def merge: BurstProc[NoS] = new BurstProc[NoS] {
+    def init(): NoS = NoS()
+    def onBurst(s: NoS, key: String, ts: Long, evs: Seq[Ev]): (NoS, Seq[Out]) = {
+      val win = evs.map(_.src).min
+      (s, evs.filter(_.src == win).map(ev => Out(key, ts, ev.value, 0.0)))
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.core.Timeline
+import graft.ops.ScanOps
+import graft.streaming.{BurstProc, Ev, Out, RunMode, StateProcs => P}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import scala.reflect.ClassTag
+
+/** The RunMode duality gate (SURVEY §5a): every stateful processor runs
+  * batch (flatMapSortedGroups) and streaming (flatMapGroupsWithState over a
+  * MemoryStream fed in 3 micro-batches) and must produce IDENTICAL rows —
+  * the transplant of the reference's interpreted-vs-compiled parity
+  * (`tests/compiled_parity.rs:1-50`). Where a window-function Timeline
+  * implementation of the same op exists, its output is the third leg of the
+  * parity triangle (one op asserted across all execution strategies in one
+  * test, `docs/wingfoil-architecture.md:174-176`). */
+class ParitySpec extends SparkSuite {
+  import spark.implicits._
+
+  // single-input fixture: two keys, a same-instant burst, irregular gaps,
+  // a consecutive duplicate (for distinct), values re-used across keys
+  private val single: Seq[Ev] = Seq(
+    Ev("a", 10L, 1L, 0, 5.0), Ev("a", 20L, 2L, 0, 5.0), Ev("a", 20L, 3L, 0, 7.0),
+    Ev("a", 40L, 4L, 0, 2.0), Ev("a", 41L, 5L, 0, 2.0), Ev("a", 100L, 6L, 0, 9.0),
+    Ev("b", 10L, 7L, 0, 1.0), Ev("b", 15L, 8L, 0, 4.0), Ev("b", 15L, 9L, 0, 4.0),
+    Ev("b", 70L, 10L, 0, 8.0))
+
+  // dual-input fixture: src 0 = value side, src 1 = trigger/other side;
+  // seq encodes side priority within an instant (value before trigger),
+  // matching asOfUnion's (ts, __src, seq) ordering
+  private val dual: Seq[Ev] = Seq(
+    Ev("a", 10L, 10L, 0, 1.0), Ev("a", 20L, 21L, 1, 50.0),
+    Ev("a", 30L, 30L, 0, 3.0), Ev("a", 30L, 31L, 1, 60.0), // same-instant both
+    Ev("a", 50L, 51L, 1, 70.0), Ev("a", 60L, 60L, 0, 6.0),
+    Ev("b", 5L, 1L, 1, 80.0),   // trigger before any value: quiet
+    Ev("b", 10L, 2L, 0, 2.0), Ev("b", 40L, 3L, 1, 90.0))
+
+  private type Row4 = (String, Long, Double, Double)
+  private def norm(o: Seq[Out]): Seq[Row4] = o.map(x => (x.key, x.ts, x.v1, x.v2)).sorted
+
+  private def streamRun[S: ClassTag](evs: Seq[Ev], proc: BurstProc[S], name: String): Seq[Out] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = RunMode.streaming(mem.toDS(), proc)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    // three micro-batches split on instant boundaries (bursts never split —
+    // the source contract, reference channel.rs:15-22)
+    Seq(evs.filter(_.ts <= 20), evs.filter(e => e.ts > 20 && e.ts <= 50), evs.filter(_.ts > 50))
+      .foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).as[Out].collect().toSeq
+  }
+
+  /** batch == streaming; returns the (normalized) agreed rows. */
+  private def parity[S: ClassTag](name: String, evs: Seq[Ev], proc: BurstProc[S]): Seq[Row4] = {
+    val b = norm(RunMode.batch(spark.createDataset(evs), proc).collect().toSeq)
+    val s = norm(streamRun(evs, proc, s"par_$name"))
+    assert(b == s, s"$name: batch and streaming runs must agree exactly")
+    b
+  }
+
+  private def tl(evs: Seq[Ev], src: Int = -1): Timeline = {
+    val rows = evs.filter(e => src < 0 || e.src == src)
+    Timeline(spark.createDataset(rows).toDF().drop("src"), Seq("key"))
+  }
+
+  private def tlOut(df: DataFrame, vcol: String): Seq[Row4] =
+    df.select(col("key"), col("ts"), col(vcol).cast("double"))
+      .as[(String, Long, Double)].collect().map(t => (t._1, t._2, t._3, 0.0)).toSeq.sorted
+
+  test("ewma per-tick: batch == streaming == ScanOps") {
+    val agreed = parity("ewma", single, P.ewma(ScanOps.PerTick(0.3)))
+    assert(agreed == tlOut(ScanOps.ewma(tl(single), ScanOps.PerTick(0.3)).df, "ewma"))
+  }
+
+  test("ewma half-life: batch == streaming == ScanOps") {
+    val agreed = parity("ewmahl", single, P.ewma(ScanOps.HalfLife(20.0)))
+    assert(agreed == tlOut(ScanOps.ewma(tl(single), ScanOps.HalfLife(20.0)).df, "ewma"))
+  }
+
+  test("throttle exact: batch == streaming == ScanOps") {
+    val agreed = parity("throttle", single, P.throttle(25L))
+    assert(agreed == tlOut(ScanOps.throttleExact(tl(single), 25L).df, "value"))
+  }
+
+  test("dropSmallChange: batch == streaming == ScanOps") {
+    val agreed = parity("dsc", single, P.dropSmallChange(1.5))
+    assert(agreed == tlOut(ScanOps.dropSmallChange(tl(single), 1.5).df, "value"))
+  }
+
+  test("cumulative sum: batch == streaming == Timeline window fn") {
+    val agreed = parity("cumsum", single, P.cumSum)
+    assert(agreed == tlOut(tl(single).runningAgg("c" -> (sum(_))).df, "c"))
+  }
+
+  test("running count: batch == streaming == Timeline window fn") {
+    val agreed = parity("count", single, P.count)
+    assert(agreed == tlOut(tl(single).runningCount("n").df, "n"))
+  }
+
+  test("difference: batch == streaming == Timeline window fn") {
+    val agreed = parity("diff", single, P.difference)
+    assert(agreed == tlOut(tl(single).difference("d").df, "d"))
+  }
+
+  test("distinct consecutive: batch == streaming == Timeline window fn") {
+    val agreed = parity("distinct", single, P.distinctConsecutive)
+    assert(agreed == tlOut(tl(single).distinctConsecutive().df, "value"))
+  }
+
+  test("limit: batch == streaming == Timeline window fn") {
+    val agreed = parity("limit", single, P.limit(3))
+    assert(agreed == tlOut(tl(single).limitTicks(3).df, "value"))
+  }
+
+  test("delay: batch == streaming == Timeline ts shift") {
+    val agreed = parity("delay", single, P.delay(7L))
+    assert(agreed == tlOut(tl(single).delay(7L).df, "value"))
+  }
+
+  test("sample: batch == streaming == Timeline as-of union") {
+    val agreed = parity("sample", dual, P.sample)
+    assert(agreed == tlOut(tl(dual, 0).sample(tl(dual, 1)).df, "value"))
+  }
+
+  test("join zip-latest: batch == streaming == Timeline as-of union") {
+    val agreed = parity("join", dual, P.joinLatest)
+    val t = tl(dual, 0).joinLatest(tl(dual, 1), "pv", "cv").df
+      .select(col("key"), col("ts"), col("pv"), col("cv"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    assert(agreed == t)
+  }
+
+  test("merge tie-break: batch == streaming == Timeline merge") {
+    val agreed = parity("merge", dual, P.merge)
+    assert(agreed == tlOut(tl(dual, 0).merge(tl(dual, 1)).df, "value"))
+  }
+}
