@@ -33,7 +33,8 @@ object Queries {
   private val E = "SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, event_type, value FROM events"
 
   val registry: Seq[(String, Q)] =
-    relational ++ stream ++ QueriesPipeline.entries ++ QueriesMarket.entries
+    relational ++ stream ++ QueriesPipeline.entries ++ QueriesMarket.entries ++
+      QueriesAugurs.entries
 
   // ───────────────────────────── relational ───────────────────────────────
 

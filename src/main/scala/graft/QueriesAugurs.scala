@@ -1,0 +1,86 @@
+package graft
+
+import graft.Queries.Q
+import graft.ops.Augurs
+import org.apache.spark.sql.functions._
+
+/** Augurs-family analytics queries (reference `adapters/augurs.rs`) over
+  * the events stream, each with a DuckDB oracle. Outlier/changepoint flags
+  * are derived from the 4dp-ROUNDED statistics on BOTH engines so boundary
+  * comparisons cannot flip on summation-order noise. */
+object QueriesAugurs {
+
+  private def r4c(c: org.apache.spark.sql.Column) = round(c + lit(1e-9), 4)
+
+  /** Same events prelude as Queries.E. */
+  private val E = "SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, value FROM events"
+
+  val entries: Seq[(String, Q)] = Seq(
+
+    "aug_outlier_mad" -> Q(
+      (s, d) => {
+        val o = Augurs.outlierMad(Tables.events(s, d), 20)
+        o.df.select(col("user_id"), col("ts"),
+          r4c(col("med")).as("med"), r4c(col("mad")).as("mad"),
+          r4c(col("score")).as("score"))
+          .withColumn("is_outlier", col("score") > col("mad") * (3.0 * 1.4826))
+          .orderBy("user_id", "ts")
+      },
+      Some(s"""WITH x AS (SELECT user_id, ts, value,
+             |    list_sort(list(value) OVER w) AS arr
+             |  FROM ($E)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq
+             |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+             |m AS (SELECT *, CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+             |    ELSE (arr[len(arr)//2] + arr[len(arr)//2+1])/2.0 END AS med FROM x),
+             |d AS (SELECT *, list_sort(list_transform(arr, v -> abs(v - med))) AS devs FROM m),
+             |m2 AS (SELECT *, CASE WHEN len(devs) % 2 = 1 THEN devs[(len(devs)+1)//2]
+             |    ELSE (devs[len(devs)//2] + devs[len(devs)//2+1])/2.0 END AS mad FROM d),
+             |r AS (SELECT user_id, ts, round(1e-9 + med,4) AS med,
+             |    round(1e-9 + mad,4) AS mad, round(1e-9 + abs(value - med),4) AS score
+             |  FROM m2)
+             |SELECT user_id, ts, med, mad, score,
+             |  score > mad * (3.0 * 1.4826) AS is_outlier
+             |FROM r ORDER BY 1,2""".stripMargin)),
+
+    "aug_changepoint" -> Q(
+      (s, d) => {
+        val c = Augurs.changepointMeanShift(Tables.events(s, d), 10)
+        c.df.select(col("user_id"), col("ts"), r4c(col("z")).as("z"))
+          .withColumn("is_cp", col("z") > 3.0)
+          .orderBy("user_id", "ts")
+      },
+      Some(s"""WITH x AS (SELECT user_id, ts,
+             |    count(value) OVER pre AS npre,
+             |    avg(value) OVER pre AS mp, avg(value) OVER post AS mq,
+             |    coalesce(var_samp(value) OVER pre, 0) AS vp,
+             |    coalesce(var_samp(value) OVER post, 0) AS vq
+             |  FROM ($E)
+             |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, seq
+             |      ROWS BETWEEN 19 PRECEDING AND 10 PRECEDING),
+             |    post AS (PARTITION BY user_id ORDER BY ts, seq
+             |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+             |r AS (SELECT user_id, ts,
+             |    round(1e-9 + abs(mq - mp) / sqrt(vp/10 + vq/10 + 1e-9),4) AS z
+             |  FROM x WHERE npre = 10)
+             |SELECT user_id, ts, z, z > 3.0 AS is_cp FROM r ORDER BY 1,2""".stripMargin)),
+
+    "aug_seasons" -> Q(
+      (s, d) => Augurs.seasonsAutocorr(Tables.events(s, d), 12)
+        .orderBy("user_id"),
+      Some(s"""WITH e AS (SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, seq) AS rn
+             |  FROM ($E)),
+             |l AS (SELECT unnest(range(2, 13)) AS lag),
+             |p AS (SELECT a.user_id, l.lag, corr(a.value, b.value) AS c, count(*) AS n
+             |  FROM e a JOIN l ON true
+             |  JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn - l.lag
+             |  GROUP BY 1,2),
+             |r AS (SELECT user_id, lag, round(1e-9 + c,4) AS cr,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY round(1e-9 + c,4) DESC, lag) AS rk
+             |  FROM p WHERE n >= 10 AND c IS NOT NULL)
+             |SELECT user_id, CAST(lag AS BIGINT) AS best_lag, cr AS best_corr
+             |FROM r WHERE rk = 1 ORDER BY 1""".stripMargin))
+  )
+}
