@@ -358,6 +358,34 @@ object Queries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY 1,2""".stripMargin)),
 
+    "evt_join3" -> Q(
+      (s, d) => Tables.eventsOf(s, d, "purchase")
+        .join3(Tables.eventsOf(s, d, "click"), Tables.eventsOf(s, d, "error"),
+          "pv", "cv", "ev")
+        .df.select(col("user_id"), col("ts"), col("pv"), col("cv"), col("ev"))
+        .orderBy("user_id", "ts"),
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, 0 AS src,
+             |         value AS pv, NULL::DOUBLE AS cv, NULL::DOUBLE AS ev
+             |  FROM events WHERE event_type='purchase'
+             |  UNION ALL
+             |  SELECT user_id, epoch_ns(ts), event_id, 1, NULL, value, NULL
+             |  FROM events WHERE event_type='click'
+             |  UNION ALL
+             |  SELECT user_id, epoch_ns(ts), event_id, 2, NULL, NULL, value
+             |  FROM events WHERE event_type='error')
+             |SELECT user_id, ts, pv, cv, ev FROM (
+             |  SELECT user_id, ts,
+             |    last_value(pv IGNORE NULLS) OVER w AS pv,
+             |    last_value(cv IGNORE NULLS) OVER w AS cv,
+             |    last_value(ev IGNORE NULLS) OVER w AS ev,
+             |    row_number() OVER (PARTITION BY user_id, ts
+             |      ORDER BY src DESC, seq DESC) AS rl
+             |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, src, seq
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |WHERE rl = 1 AND pv IS NOT NULL AND cv IS NOT NULL AND ev IS NOT NULL
+             |ORDER BY 1,2""".stripMargin)),
+
     "evt_filter_gate" -> Q(
       (s, d) => {
         val src = Tables.eventsOf(s, d, "purchase")

@@ -226,6 +226,66 @@ final case class Timeline(
     withDf(u.where(col("__src") === 1 && col(otherOut).isNotNull).drop("__src"))
   }
 
+  /** `join3` (reference `ops.rs:687`): 3-ary zip-latest — ticks when ANY of
+    * the three sides ticks, one emission per instant carrying all three
+    * latest values; quiet until every side has ticked. Same carry-forward
+    * primitive as [[joinLatest]] (asOfUnion takes n sides — ONE shuffle+sort
+    * regardless of arity, the reference's single-MergeN-node lesson,
+    * `fluent.rs:944-949`). */
+  def join3(b: Timeline, c: Timeline, out1: String, out2: String, out3: String): Timeline = {
+    val s1 = copy(df = df.withColumnRenamed(valueCol, out1), valueCol = out1)
+    val s2 = b.copy(df = b.df.withColumnRenamed(b.valueCol, out2), valueCol = out2)
+    val s3 = c.copy(df = c.df.withColumnRenamed(c.valueCol, out3), valueCol = out3)
+    val u = asOfUnion(Seq((s1, Seq(out1)), (s2, Seq(out2)), (s3, Seq(out3))))
+    copy(df = lastPerInstant(u)
+      .where(col(out1).isNotNull && col(out2).isNotNull && col(out3).isNotNull)
+      .drop("__src"))
+  }
+
+  // ───────────────────── fallible twins (§2.2/2.5) ─────────────────────────
+  //
+  // The reference's try_* ops abort the whole run on Err
+  // (`tests/fallibility.rs`); the Spark abort contract is an exception from
+  // a raise_error expression → task failure → job failure. The `ok`
+  // predicate is the Result boundary: rows failing it raise.
+
+  /** `try_map` (reference `ops.rs:136`): map whose failure aborts the run. */
+  def tryMapValue(f: Column => Column, ok: Column => Column,
+      msg: String = "try_map failed"): Timeline =
+    copy(df = df.withColumn(valueCol,
+      when(ok(v), f(v)).otherwise(raise_error(concat(lit(msg + ": value="), v.cast("string"))))))
+
+  /** `try_join` (reference `ops.rs:3009`): zip-latest + fallible combine. */
+  def tryJoinLatest(other: Timeline, thisOut: String, otherOut: String,
+      combine: (Column, Column) => Column, ok: (Column, Column) => Column,
+      out: String = "value", msg: String = "try_join failed"): Timeline = {
+    val j = joinLatest(other, thisOut, otherOut)
+    j.copy(df = j.df.withColumn(out,
+      when(ok(col(thisOut), col(otherOut)), combine(col(thisOut), col(otherOut)))
+        .otherwise(raise_error(lit(msg)))), valueCol = out)
+  }
+
+  /** `try_join_passive` (reference `ops.rs:3064`). */
+  def tryJoinPassive(other: Timeline, thisOut: String, otherOut: String,
+      combine: (Column, Column) => Column, ok: (Column, Column) => Column,
+      out: String = "value", msg: String = "try_join failed"): Timeline = {
+    val j = joinPassive(other, thisOut, otherOut)
+    j.copy(df = j.df.withColumn(out,
+      when(ok(col(thisOut), col(otherOut)), combine(col(thisOut), col(otherOut)))
+        .otherwise(raise_error(lit(msg)))), valueCol = out)
+  }
+
+  /** `try_join3` (reference `ops.rs:718`). */
+  def tryJoin3(b: Timeline, c: Timeline, out1: String, out2: String, out3: String,
+      combine: (Column, Column, Column) => Column,
+      ok: (Column, Column, Column) => Column,
+      out: String = "value", msg: String = "try_join3 failed"): Timeline = {
+    val j = join3(b, c, out1, out2, out3)
+    j.copy(df = j.df.withColumn(out,
+      when(ok(col(out1), col(out2), col(out3)), combine(col(out1), col(out2), col(out3)))
+        .otherwise(raise_error(lit(msg)))), valueCol = out)
+  }
+
   /** `filter` on a condition STREAM (reference `ops.rs:2671`): a latch — the
     * held condition gates this stream's ticks, and condition ticks resample
     * the held source (after its first tick). One emission per instant. */
