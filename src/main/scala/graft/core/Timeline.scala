@@ -73,6 +73,31 @@ final case class Timeline(
   /** `ticked_at` (reference `ops.rs:778`). */
   def tickedAt(): DataFrame = df.select((keyCols :+ col("ts")): _*)
 
+  /** `ticked_at_elapsed` (reference `ops.rs:799-817`): tick times relative
+    * to the run start (`ctx.start_time()`), i.e. HistoricalFrom(startNs). */
+  def tickedAtElapsed(startNs: Long): DataFrame =
+    df.select((keyCols :+ (col("ts") - startNs).as("elapsed")): _*)
+
+  /** `collapse` (reference `ops.rs:328`): last item of an array value,
+    * quiet if empty. */
+  def collapse(): Timeline =
+    withDf(df.withColumn(valueCol, try_element_at(v, lit(-1))).where(col(valueCol).isNotNull))
+
+  /** `split` (reference `fluent.rs:1393`): a struct-valued stream into one
+    * stream per field. */
+  def split(f1: String = "_1", f2: String = "_2"): (Timeline, Timeline) =
+    (withDf(df.withColumn(valueCol, v.getField(f1))),
+      withDf(df.withColumn(valueCol, v.getField(f2))))
+
+  /** `map_filter` (reference `ops.rs:159`): map + keep flag in one op. */
+  def mapFilter(f: Column => Column, keep: Column => Column): Timeline =
+    withDf(df.where(keep(v)).withColumn(valueCol, f(v)))
+
+  /** `collapse_accumulate` (reference `fluent.rs:1378`): flatten array
+    * values (bursts) into the running list of all elements so far. */
+  def collapseAccumulate(out: String = "acc"): Timeline =
+    withDf(df.withColumn(valueCol, explode(v))).accumulate(out)
+
   // ───────────────────────── rate control / filters (§2.3) ────────────────
 
   /** `distinct` (reference `ops.rs:187`): suppress CONSECUTIVE duplicates —
@@ -418,5 +443,11 @@ object Timeline {
   def constant(spark: org.apache.spark.sql.SparkSession, value: Double, atNs: Long = 0L): Timeline = {
     import spark.implicits._
     Timeline(Seq((atNs, 0L, value)).toDF("ts", "seq", "value"))
+  }
+
+  /** `never` (reference `ops.rs:3465`): a stream that never ticks. */
+  def never(spark: org.apache.spark.sql.SparkSession): Timeline = {
+    import spark.implicits._
+    Timeline(Seq.empty[(Long, Long, Double)].toDF("ts", "seq", "value"))
   }
 }

@@ -13,7 +13,10 @@ import scala.collection.mutable
   */
 object ScanOps {
 
-  /** EWMA decay policy (reference `ops.rs:821-828`). */
+  /** EWMA decay policy (reference `ops.rs:819-828`). The reference enum has
+    * exactly these two variants; its THREE fluent entry points (`ewma`,
+    * `ewma_per_tick`, `ewma_half_life`, `ops.rs:852,904,928`) are call-site
+    * sugar over them — all three reachable here via the decay argument. */
   sealed trait EwmaDecay
   /** Fixed smoothing factor alpha applied once per tick. */
   final case class PerTick(alpha: Double) extends EwmaDecay
