@@ -20,21 +20,32 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign bit of vec · hyperplane(plane), with hyperplane components derived
-    * from the portable hash60(plane:dim) mapped to [-1, 1) — deterministic,
-    * engine-portable pseudo-random planes (no stored model). */
-  def hyperplaneSign(vec: Column, plane: Int): Column = {
-    val d = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x * ((TextFunctions.hash60(concat(lit(s"$plane:"), i)) % 2000001L) - 1000000L).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Driver-side md5-prefix hash, identical to [[TextFunctions.hash60]]. */
+  private def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Deterministic pseudo-random hyperplane for (plane, dim): components
+    * hash60("plane:i") mapped to [-1e6, 1e6], materialized as PLAN-TIME
+    * literals — zero hashing at runtime (round 1 recomputed one md5 per
+    * component × plane × row). No stored model; any executor rebuilds the
+    * same planes. */
+  def planeVec(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => ((hash60Local(s"$plane:$i") % 2000001L) - 1000000L).toDouble)
+
+  /** Sign bit of vec · hyperplane(plane). */
+  def hyperplaneSign(vec: Column, plane: Int, dim: Int): Column = {
+    val p = array(planeVec(plane, dim).map(lit(_)): _*)
+    val d = aggregate(zip_with(vec, p, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
     when(d >= 0, lit(1)).otherwise(lit(0))
   }
 
   /** Random-hyperplane LSH bucket key over `nPlanes` planes: concatenated
     * sign bits. Cosine-similar vectors collide with high probability. */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    concat((0 until nPlanes).map(p => hyperplaneSign(vec, p).cast("string")): _*)
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    concat((0 until nPlanes).map(p => hyperplaneSign(vec, p, dim).cast("string")): _*)
 
   /** Brute-force cosine top-k: every query row against every candidate row.
     * Correctness baseline; O(|Q|·|C|) — at scale use [[annTopK]]. */
@@ -50,16 +61,35 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates restricted to the query's
-    * bucket. The scale path: the join is co-partitioned on the bucket key,
-    * each bucket ~ |C| / 2^nPlanes rows. */
-  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int): DataFrame = {
+  /** Bucket keys for `nTables` independent LSH tables (table t uses planes
+    * [t*nPlanes, (t+1)*nPlanes)), as (table, bucket) rows via one explode. */
+  private def tableBuckets(vec: Column, nPlanes: Int, nTables: Int, dim: Int): Column =
+    array((0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        concat((t * nPlanes until (t + 1) * nPlanes)
+          .map(p => hyperplaneSign(vec, p, dim).cast("string")): _*).as("bucket"))
+    }: _*)
+
+  /** Multi-table LSH approximate top-k (the classic recall lever: L
+    * independent tables, union of in-bucket candidates, exact cosine +
+    * top-k on the union). The scale shape: candidate generation is an
+    * equi-join co-partitioned on (table, bucket) — per query ~
+    * L·|C|/2^nPlanes candidates, never |C|; recall 1-(1-p)^L vs p for one
+    * table. Gated by the recall@k spec against [[bruteTopK]]. */
+  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int,
+      nTables: Int = 8): DataFrame = {
+    val dim = candidates.select(size(col("embedding"))).head.getInt(0)
     val q = queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+      .select(col("qid"), col("qv"),
+        explode(tableBuckets(col("qv"), nPlanes, nTables, dim)).as("tb"))
+      .select(col("qid"), col("qv"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val c = candidates.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("nv"))
-      .withColumn("bucket", lshBucket(col("nv"), nPlanes))
-    val sims = q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .select(col("nid"), col("nv"),
+        explode(tableBuckets(col("nv"), nPlanes, nTables, dim)).as("tb"))
+      .select(col("nid"), col("nv"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val cand = q.join(c, Seq("table", "bucket")).where(col("qid") =!= col("nid"))
+      .select("qid", "qv", "nid", "nv").dropDuplicates("qid", "nid")
+    val sims = cand.withColumn("sim", cosine(col("qv"), col("nv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(round(col("sim") + lit(1e-9), 4).desc, col("nid"))
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -77,8 +77,22 @@ class PipelineSpec extends SparkSuite {
       assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, "ranks consecutive from 1")
     }
     // buckets are non-degenerate: not every vector in one bucket
-    val buckets = e.select(Similarity.lshBucket(Similarity.toDouble(col("embedding")), 4).as("b"))
+    val buckets = e.select(Similarity.lshBucket(Similarity.toDouble(col("embedding")), 4, 64).as("b"))
       .groupBy("b").count().collect()
     assert(buckets.length > 1, "hyperplanes split the space")
+  }
+
+  test("ANN recall@3 vs brute force clears the frozen gate (no_oracle -> still gated)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val q = e.where(col("vec_id") < 50)
+    val brute = Similarity.bruteTopK(q, e, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(q, e, 3, 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    info(f"recall@3 = $recall%.3f over ${brute.size} truth pairs")
+    assert(recall >= 0.55, f"recall@3 $recall%.3f fell below the frozen 0.55 gate " +
+      "(8 tables x 4 planes on 500 vectors; measured 0.727 when frozen)")
   }
 }
