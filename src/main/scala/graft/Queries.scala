@@ -34,7 +34,7 @@ object Queries {
 
   val registry: Seq[(String, Q)] =
     relational ++ stream ++ QueriesPipeline.entries ++ QueriesMarket.entries ++
-      QueriesAugurs.entries
+      QueriesAugurs.entries ++ QueriesMultimodal.entries
 
   // ───────────────────────────── relational ───────────────────────────────
 

@@ -1,0 +1,64 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Plumbing gates for the multimodal module: payload schema, stub
+  * determinism across both implementations (Column expression vs the
+  * batched JVM slot where a real decoder plugs in), batch-shape
+  * preservation, frame arithmetic. */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("payload schema: binary bytes + typed metadata") {
+    val p = Multimodal.payloads(docs)
+    val f = p.schema("bytes")
+    assert(f.dataType.typeName == "binary")
+    assert(p.schema("meta").dataType.typeName == "struct")
+    val r = p.select(col("meta.n_bytes"), length(col("bytes"))).head
+    assert(r.getInt(0) == r.getInt(1))
+  }
+
+  test("column-expression stub == batched JVM stub (the decoder contract)") {
+    val p = Multimodal.payloads(docs).limit(50)
+    val viaExpr = p.select(col("doc_id"), Multimodal.featureStub(col("bytes")).as("fv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val viaBatch = Multimodal.decodeBatched(
+      p.select(col("doc_id"), col("bytes")).as[(Long, Array[Byte])], batchSize = 7)
+      .collect().toMap
+    assert(viaExpr.keySet == viaBatch.keySet)
+    viaExpr.foreach { case (id, fv) =>
+      fv.zip(viaBatch(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-15, s"doc $id: expression and JVM stub must agree")
+      }
+    }
+  }
+
+  test("batched decode preserves rows and order within partitions") {
+    val ds = (1L to 100L).map(i => (i, s"payload-$i".getBytes("UTF-8"))).toDS().repartition(4)
+    val out = Multimodal.decodeBatched(ds, batchSize = 9).collect()
+    assert(out.length == 100)
+    assert(out.map(_._1).toSet == (1L to 100L).toSet)
+    assert(out.forall(_._2.length == Multimodal.FeatureDim))
+    assert(out.forall(_._2.forall(v => v >= 0.0 && v < 1.0)))
+  }
+
+  test("frame sampling: n frames, even offsets, byte-faithful hex") {
+    val one = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789", "s"))
+      .toDF("doc_id", "text", "source")
+    val frames = Multimodal.frameSample(Multimodal.payloads(one), n = 4, frameBytes = 16)
+      .orderBy("frame").as[(Long, Long, String)].collect()
+    assert(frames.length == 4)
+    // 36 bytes, step = (36-16)/3 = 6 -> offsets 0,6,12,18
+    val txt = "abcdefghijklmnopqrstuvwxyz0123456789"
+    frames.zipWithIndex.foreach { case ((_, fi, hx), i) =>
+      val exp = txt.slice(i * 6, i * 6 + 16).getBytes("UTF-8").map("%02X".format(_)).mkString
+      assert(fi == i && hx == exp, s"frame $i slice mismatch")
+    }
+    // too-short payloads are excluded, not crashed
+    val short = Seq((2L, "tiny", "s")).toDF("doc_id", "text", "source")
+    assert(Multimodal.frameSample(Multimodal.payloads(short)).count() == 0)
+  }
+}
