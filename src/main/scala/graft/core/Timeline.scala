@@ -405,6 +405,32 @@ final case class Timeline(
     })
   }
 
+  // ───────────────────────── topology (§2.5/2.11) ─────────────────────────
+
+  /** `fan` (reference `fluent.rs:963`): n parallel branches of this stream,
+    * merged back (merge tie-break applies). Pure plan topology — Catalyst
+    * sees one scan feeding n branches. */
+  def fan(n: Int)(branch: (Timeline, Int) => Timeline): Timeline = {
+    require(n >= 1)
+    val bs = (0 until n).map(i => branch(this, i))
+    bs.head.merge(bs.tail: _*)
+  }
+
+  /** `map_n` (reference `fluent.rs:954`): chain a transform n times —
+    * bounded repetition sugar at plan-construction time. */
+  def mapN(n: Int)(f: (Timeline, Int) => Timeline): Timeline =
+    (0 until n).foldLeft(this)((t, i) => f(t, i))
+
+  /** `demux` (reference `interp.rs:4064`): route each row to one of n
+    * branches by `route(value)` ∈ [0, n); out-of-range or null routes land
+    * on the overflow branch (the reference's overflow child). n+1 filtered
+    * branches of one scan — no shuffle. */
+  def demux(n: Int, route: Column => Column): (IndexedSeq[Timeline], Timeline) = {
+    val r = route(v)
+    ((0 until n).map(i => withDf(df.where(r === i))),
+      withDf(df.where(r.isNull || r < 0 || r >= n)))
+  }
+
   // ───────────────────────── sessionization (extension) ───────────────────
 
   /** Gap-based sessionization: a new session starts when the gap from the

@@ -118,6 +118,30 @@ class OrderBookSpec extends SparkSuite {
     assert(m.bids.isEmpty, "gap mid-replay clears; nothing stale for the next snapshot")
   }
 
+  test("MarketEvent demux: trades() and book_updates() split a mixed stream (market.rs:1262)") {
+    import spark.implicits._
+    def trade(ts: Long, seq: Long, px: Int, q: Int): MarketEventRow =
+      MarketEventRow(ts, seq, "A", "trade", Some(ts - 1), Some("buy"),
+        Some(bd(px)), Some(bd(q)), Some(s"T$seq"), Nil, Nil, Nil, None, None)
+    def bookEv(u: BookUpdateIn): MarketEventRow =
+      MarketEventRow(u.ts, u.seq, u.instrument, u.kind, None, None, None, None, None,
+        u.bids, u.asks, u.changes, u.seq_first, u.seq_last)
+    val mixed = spark.createDataset(Seq(
+      bookEv(snap(10, 1, Seq((100, 5)), Seq((101, 5)), seqLast = Some(10))),
+      trade(15, 2, 100, 3),
+      bookEv(delta(20, 3, Seq(("bid", 99, 1)), Some(11), Some(11))),
+      trade(25, 4, 101, 2)))
+
+    val t = MarketEvents.trades(mixed).collect().sortBy(_.seq)
+    assert(t.map(_.trade_id) === Seq(Some("T2"), Some("T4")))
+    assert(t.head.price == bd(100) && t.head.venue_time.contains(14L))
+
+    // the book half feeds the order book unchanged
+    val tops = OrderBookOp.batch(MarketEvents.bookUpdates(mixed)).collect().sortBy(_.seq)
+    assert(tops.length == 2 && tops.last.best_bid.contains(bd(100)))
+    assert(tops.last.bid_depth == 2, "the demuxed delta applied on the snapshot image")
+  }
+
   test("batch and streaming runs produce identical rows (RunMode duality, run.rs:16-20)") {
     import spark.implicits._
     val updates = Seq(
