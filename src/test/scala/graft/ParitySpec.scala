@@ -138,4 +138,17 @@ class ParitySpec extends SparkSuite {
     val agreed = parity("merge", dual, P.merge)
     assert(agreed == tlOut(tl(dual, 0).merge(tl(dual, 1)).df, "value"))
   }
+
+  test("feedback: previous cycle's output feeds the next cycle (fluent.rs:363, §7.4 subset)") {
+    import graft.streaming.Feedback
+    // EMA of own output: out = fed*0.5 + input*0.5; first cycle passes input
+    val proc = Feedback.proc { (fed, evs) =>
+      val x = evs.last.value
+      fed.map(f => f * 0.5 + x * 0.5).getOrElse(x)
+    }
+    val evs = Seq(Ev("a", 10L, 1L, 0, 4.0), Ev("a", 20L, 2L, 0, 8.0), Ev("a", 30L, 3L, 0, 2.0))
+    val agreed = parity("feedback", evs, proc)
+    assert(agreed == Seq(("a", 10L, 4.0, 0.0), ("a", 20L, 6.0, 0.0), ("a", 30L, 4.0, 0.0)),
+      "cycle n sees cycle n-1's OUTPUT, not its input")
+  }
 }
