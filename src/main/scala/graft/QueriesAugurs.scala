@@ -65,6 +65,33 @@ object QueriesAugurs {
              |  FROM x WHERE npre = 10)
              |SELECT user_id, ts, z, z > 3.0 AS is_cp FROM r ORDER BY 1,2""".stripMargin)),
 
+    "aug_forecast" -> Q(
+      (s, d) => Augurs.forecastSeasonalNaive(Tables.events(s, d),
+        window = 28, season = 7, horizon = 4)
+        .select(col("user_id"), col("step"), r4c(col("forecast")).as("forecast"),
+          r4c(col("lo")).as("lo"), r4c(col("hi")).as("hi"))
+        .orderBy("user_id", "step"),
+      Some(s"""WITH a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl
+             |  FROM ($E) GROUP BY 1),
+             |w AS (SELECT user_id,
+             |    list_slice(fl, greatest(len(fl)-27, 1), len(fl)) AS arr
+             |  FROM a WHERE len(fl) >= 8),
+             |p AS (SELECT user_id, arr, len(arr) AS n,
+             |    (arr[len(arr)] - arr[1]) / greatest(len(arr)-1, 1) AS drift,
+             |    list_transform(range(8, len(arr)+1), i -> arr[i] - arr[i-7]) AS resid
+             |  FROM w),
+             |s AS (SELECT *, CASE WHEN len(resid) >= 2
+             |    THEN coalesce(list_aggregate(resid, 'stddev_samp'), 0) ELSE 0 END AS sigma
+             |  FROM p),
+             |f AS (SELECT user_id, j AS step,
+             |    arr[n - 7 + ((j-1) % 7) + 1] + drift * j AS fc, sigma
+             |  FROM s, (SELECT unnest(range(1, 5)) AS j))
+             |SELECT user_id, CAST(step AS BIGINT) AS step,
+             |  round(1e-9 + fc,4) AS forecast,
+             |  round(1e-9 + fc - 1.96*sigma,4) AS lo,
+             |  round(1e-9 + fc + 1.96*sigma,4) AS hi
+             |FROM f ORDER BY 1,2""".stripMargin)),
+
     "aug_seasons" -> Q(
       (s, d) => Augurs.seasonsAutocorr(Tables.events(s, d), 12)
         .orderBy("user_id"),

@@ -66,6 +66,122 @@ object Augurs {
     t.copy(df = d)
   }
 
+  /** Forecast (reference `augurs_forecast`, `augurs.rs:441`; the
+    * deterministic seasonal-naive + drift model standing in for MSTL/ETS —
+    * same output shape: point + confidence bounds, `augurs.rs:139`): over
+    * the last `window` samples per key, forecast `horizon` steps as
+    * last-season value + drift·j, with bounds ±1.96·σ of the one-season
+    * naive residuals. One row per (key, step). */
+  def forecastSeasonalNaive(t: Timeline, window: Int, season: Int, horizon: Int): DataFrame = {
+    val g = t.df.groupBy(t.keys.map(col): _*)
+      .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
+        .as("full"))
+      .where(size(col("full")) >= season + 1)
+      .withColumn("arr", expr(s"slice(full, greatest(size(full) - ${window - 1}, 1), $window)"))
+      .withColumn("n", size(col("arr")))
+      .withColumn("drift",
+        expr("(element_at(arr, n) - element_at(arr, 1)) / greatest(n - 1, 1)"))
+      .withColumn("resid", expr(
+        s"transform(sequence($season + 1, n), i -> element_at(arr, i) - element_at(arr, i - $season))"))
+      .withColumn("mu", expr("aggregate(resid, 0D, (a, x) -> a + x) / size(resid)"))
+      .withColumn("sigma", expr(
+        "IF(size(resid) >= 2, sqrt(aggregate(resid, 0D, (a, x) -> a + (x - mu) * (x - mu)) / (size(resid) - 1)), 0D)"))
+      .withColumn("fc", expr(
+        s"transform(sequence(1, $horizon), j -> struct(CAST(j AS BIGINT) AS step, " +
+          s"element_at(arr, n - $season + ((j - 1) % $season) + 1) + drift * j AS f))"))
+    g.select((t.keys.map(col) :+ explode(col("fc")).as("e") :+ col("sigma")): _*)
+      .select((t.keys.map(col) :+ col("e.step").as("step") :+ col("e.f").as("forecast") :+
+        (col("e.f") - lit(1.96) * col("sigma")).as("lo") :+
+        (col("e.f") + lit(1.96) * col("sigma")).as("hi")): _*)
+  }
+
+  /** Dynamic-time-warping distance (reference `augurs_dtw`,
+    * `augurs.rs:1038`): classic O(|a|·|b|) DP with |x-y| local cost and an
+    * optional Sakoe-Chiba band (the scale lever: band r makes each pair
+    * O(n·r)). Pure function — used per pair inside executors. */
+  def dtw(a: IndexedSeq[Double], b: IndexedSeq[Double], band: Int = Int.MaxValue): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return Double.PositiveInfinity
+    val INF = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(INF); prev(0) = 0.0
+    var cur = Array.fill(m + 1)(INF)
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1L, i.toLong - band).toInt
+      val hi = math.min(m.toLong, i.toLong + band).toInt
+      var j = lo
+      while (j <= hi) {
+        val cost = math.abs(a(i - 1) - b(j - 1))
+        cur(j) = cost + math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Per-key trailing-window series (single-key Timelines — a distance
+    * matrix is indexed by series id, as in the reference). */
+  private def seriesOf(t: Timeline, window: Int): DataFrame = {
+    require(t.keys.size == 1, "dtwMatrix/clusterDtw need exactly one key column (the series id)")
+    t.df.groupBy(col(t.keys.head))
+      .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
+        .as("full"))
+      .select(col(t.keys.head).cast("string").as("sid"),
+        expr(s"slice(full, greatest(size(full) - ${window - 1}, 1), $window)").as("series"))
+  }
+
+  /** Pairwise DTW distance matrix (upper triangle, sid_a < sid_b). The
+    * matrix is O(k²) pairs by definition (k = #series, not #rows) — the
+    * reference materializes the same `AugursDistanceMatrix`. */
+  def dtwMatrix(t: Timeline, window: Int, band: Int = Int.MaxValue): DataFrame = {
+    val dtwUdf = udf((a: Seq[Double], b: Seq[Double]) => dtw(a.toIndexedSeq, b.toIndexedSeq, band))
+    val s = seriesOf(t, window)
+    s.as("a").join(s.as("b"), col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
+        dtwUdf(col("a.series"), col("b.series")).as("dtw"))
+  }
+
+  /** DBSCAN over the DTW matrix (reference `augurs_cluster`,
+    * `augurs.rs:1159`): core series have ≥ minPts neighbors (incl. self)
+    * within eps; clusters are components over core-core edges; border
+    * series join a neighboring core's cluster; the rest are noise (-1).
+    * The k×k matrix collects to the driver — inherent to the op's shape
+    * (k = #series), not a row-count bound. Cluster ids are deterministic:
+    * the lexicographically smallest core sid of the cluster. */
+  def clusterDtw(t: Timeline, window: Int, eps: Double, minPts: Int,
+      band: Int = Int.MaxValue): DataFrame = {
+    val spark = t.df.sparkSession
+    val pairs = dtwMatrix(t, window, band)
+      .where(col("dtw") <= eps)
+      .select("sid_a", "sid_b").collect().map(r => (r.getString(0), r.getString(1)))
+    val sids = seriesOf(t, window).select("sid").collect().map(_.getString(0)).sorted
+    val nbrs = sids.map(s => s -> scala.collection.mutable.Set(s)).toMap
+    pairs.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val core = sids.filter(s => nbrs(s).size >= minPts).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(sids.map(s => s -> s): _*)
+    def find(x: String): String = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      if (core(a) && core(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    val clusterOf = scala.collection.mutable.Map.empty[String, String]
+    sids.foreach { s =>
+      if (core(s)) clusterOf(s) = find(s)
+      else nbrs(s).toSeq.sorted.find(core) match { // border → smallest core neighbor
+        case Some(c) => clusterOf(s) = find(c)
+        case None    => clusterOf(s) = "-1"        // noise
+      }
+    }
+    import spark.implicits._
+    sids.map(s => (s, clusterOf(s))).toSeq.toDF("sid", "cluster")
+  }
+
   /** Season (dominant period) detection by autocorrelation (reference
     * `augurs_seasons`, `augurs.rs:893`; periodogram replaced by the ACF —
     * same deterministic argmax shape): for row-lags 2..maxLag, Pearson

@@ -35,6 +35,53 @@ class AugursSpec extends SparkSuite {
     assert(cps == 0, "constant series never trips")
   }
 
+  test("dtw: identity is zero, unit shift costs the corner path (augurs.rs:1038)") {
+    assert(Augurs.dtw(IndexedSeq(1.0, 2.0, 3.0), IndexedSeq(1.0, 2.0, 3.0)) == 0.0)
+    // hand-computed DP: |a|=|b|=3, shifted by one level → distance 2
+    assert(Augurs.dtw(IndexedSeq(1.0, 2.0, 3.0), IndexedSeq(2.0, 3.0, 4.0)) == 2.0)
+    // warping absorbs a time shift that Euclidean cannot: same shape,
+    // one-step lag → small distance
+    val a = IndexedSeq(0.0, 0.0, 5.0, 0.0, 0.0)
+    val b = IndexedSeq(0.0, 0.0, 0.0, 5.0, 0.0)
+    assert(Augurs.dtw(a, b) == 0.0, "the warp path aligns the spikes exactly")
+    // Sakoe-Chiba band 0 = lockstep (no warping) → full Euclidean-ish cost
+    assert(Augurs.dtw(a, b, band = 0) == 10.0)
+  }
+
+  test("dtwMatrix + clusterDtw: near series cluster, far series is noise (augurs.rs:1159)") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("s1", Seq(1.0, 2.0, 3.0, 2.0, 1.0)), ("s2", Seq(1.0, 2.0, 3.1, 2.0, 1.0)),
+      ("s3", Seq(1.1, 2.0, 3.0, 2.1, 1.0)), ("far", Seq(50.0, 60.0, 70.0, 60.0, 50.0)))
+      .flatMap { case (k, vs) => vs.zipWithIndex.map { case (v, i) => (k, i * 10L, i.toLong, v) } }
+    val t = graft.core.Timeline(rows.toDF("k", "ts", "seq", "value"), keys = Seq("k"))
+
+    val m = Augurs.dtwMatrix(t, window = 5).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(m.size == 6, "upper triangle of 4 series")
+    assert(m(("s1", "s2")) <= 0.2 && m(("s1", "s3")) <= 0.3)
+    assert(m(("far", "s1")) > 100.0)
+
+    val c = Augurs.clusterDtw(t, window = 5, eps = 1.0, minPts = 2)
+      .as[(String, String)].collect().toMap
+    assert(c("s1") == "s1" && c("s2") == "s1" && c("s3") == "s1",
+      "cluster id = smallest core sid")
+    assert(c("far") == "-1", "no neighbors within eps → noise")
+  }
+
+  test("forecastSeasonalNaive: pure seasonal signal repeats; drift extrapolates") {
+    // first sample == last sample → the (last-first)/(n-1) drift estimate is 0
+    val cycle = Seq(1.0, 5.0, 9.0, 2.0, 7.0, 4.0, 1.0) // season 7
+    val t = series(Seq.fill(4)(cycle).flatten)          // 28 samples
+    val f = Augurs.forecastSeasonalNaive(t, window = 28, season = 7, horizon = 4)
+      .orderBy("step").select("forecast").as[Double].collect().toSeq
+    assert(f == Seq(1.0, 5.0, 9.0, 2.0), "zero drift → next season verbatim")
+    val drifty = series((1 to 28).map(_.toDouble))      // pure trend, drift 1/step
+    val fd = Augurs.forecastSeasonalNaive(drifty, window = 28, season = 7, horizon = 2)
+      .orderBy("step").select("forecast").as[Double].collect().toSeq
+    assert(fd == Seq(23.0, 25.0), "last-season value + drift*j: 22+1, 23+2")
+  }
+
   test("seasonsAutocorr finds the dominant period") {
     val cycle = Seq(1.0, 5.0, 9.0, 2.0, 7.0)
     val vs = Seq.fill(10)(cycle).flatten // period 5, 50 samples
