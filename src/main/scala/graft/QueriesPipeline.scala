@@ -188,7 +188,14 @@ object QueriesPipeline {
     // 8-byte hashed shingles, never the strings.
     "doc_dedup_minhash" -> Q(
       (s, d) => {
+        // persist: the signature frame feeds FOUR plan branches (band self-
+        // join x2, verify join x2) — without it Spark recomputes the whole
+        // tokenize+md5 pass per branch (no CSE across exchanges). The
+        // persisted frame is #docs × (8 longs + hashed set) — tiny next to
+        // the text it derives from; at scale this is the materialized
+        // signature table every LSH pipeline keeps.
         val base = minhashAgg(hashedShingleRows(shingles(s, d), Nil), Nil, withSet = true)
+          .persist()
         val bands = bandRows(base, Nil)
         val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -225,6 +232,7 @@ object QueriesPipeline {
         val g = docs(s, d).select(col("doc_id"), col("source"),
           array_distinct(TF.ngrams(TF.tokens(col("text")), 3)).as("sh"))
         val base = minhashAgg(hashedShingleRows(g, Seq("source")), Seq("source"), withSet = true)
+          .persist() // same four-branch reuse as doc_dedup_minhash
         val bands = bandRows(base, Seq("source"))
         val cand = bands.as("x").join(bands.as("y"),
           col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
