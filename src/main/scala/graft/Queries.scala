@@ -446,7 +446,7 @@ object Queries {
              |  FROM ($E)) ORDER BY 1,2""".stripMargin)),
 
     "evt_delay_1h" -> Q(
-      (s, d) => ev(s, d).delay(HOUR).df
+      (s, d) => ev(s, d).delay(HOUR).ticks
         .select("user_id", "ts", "value").orderBy("user_id", "ts"),
       Some(s"""SELECT user_id, ts + ${HOUR} AS ts, value FROM ($E) ORDER BY 1,2""")),
 

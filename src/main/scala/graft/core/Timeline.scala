@@ -48,6 +48,11 @@ final case class Timeline(
 
   private def v: Column = col(valueCol)
 
+  /** Op input base: every op that ACTIVATES on ticks consumes the emission
+    * view (silent slot updates don't fire downstream nodes, reference
+    * `op.rs:72-90`); only the as-of carry-forward family reads `df`. */
+  private def tdf: DataFrame = ticks
+
   def select(cols: Column*): DataFrame = df.select(cols: _*)
 
   private def withDf(d: DataFrame): Timeline = copy(df = d)
@@ -56,47 +61,47 @@ final case class Timeline(
 
   /** `map` (reference `ops.rs:113`): value projection. */
   def mapValue(f: Column => Column): Timeline =
-    withDf(df.withColumn(valueCol, f(v)))
+    withDf(tdf.withColumn(valueCol, f(v)))
 
   /** `filter_value` (reference `ops.rs:2716`): pure predicate on own value. */
-  def filterValue(pred: Column => Column): Timeline = withDf(df.where(pred(v)))
+  def filterValue(pred: Column => Column): Timeline = withDf(tdf.where(pred(v)))
 
   /** `not` (reference `ops.rs:304`). */
   def notValue(): Timeline = mapValue(c => !c)
 
   /** `filter_none` (reference `fluent.rs:1403`). */
-  def filterNone(): Timeline = withDf(df.where(v.isNotNull))
+  def filterNone(): Timeline = withDf(tdf.where(v.isNotNull))
 
   /** `with_time` (reference `ops.rs:749`): time is already a column. */
-  def withTime(): DataFrame = df.select((keyCols :+ col("ts") :+ v): _*)
+  def withTime(): DataFrame = tdf.select((keyCols :+ col("ts") :+ v): _*)
 
   /** `ticked_at` (reference `ops.rs:778`). */
-  def tickedAt(): DataFrame = df.select((keyCols :+ col("ts")): _*)
+  def tickedAt(): DataFrame = tdf.select((keyCols :+ col("ts")): _*)
 
   /** `ticked_at_elapsed` (reference `ops.rs:799-817`): tick times relative
     * to the run start (`ctx.start_time()`), i.e. HistoricalFrom(startNs). */
   def tickedAtElapsed(startNs: Long): DataFrame =
-    df.select((keyCols :+ (col("ts") - startNs).as("elapsed")): _*)
+    tdf.select((keyCols :+ (col("ts") - startNs).as("elapsed")): _*)
 
   /** `collapse` (reference `ops.rs:328`): last item of an array value,
     * quiet if empty. */
   def collapse(): Timeline =
-    withDf(df.withColumn(valueCol, try_element_at(v, lit(-1))).where(col(valueCol).isNotNull))
+    withDf(tdf.withColumn(valueCol, try_element_at(v, lit(-1))).where(col(valueCol).isNotNull))
 
   /** `split` (reference `fluent.rs:1393`): a struct-valued stream into one
     * stream per field. */
   def split(f1: String = "_1", f2: String = "_2"): (Timeline, Timeline) =
-    (withDf(df.withColumn(valueCol, v.getField(f1))),
-      withDf(df.withColumn(valueCol, v.getField(f2))))
+    (withDf(tdf.withColumn(valueCol, v.getField(f1))),
+      withDf(tdf.withColumn(valueCol, v.getField(f2))))
 
   /** `map_filter` (reference `ops.rs:159`): map + keep flag in one op. */
   def mapFilter(f: Column => Column, keep: Column => Column): Timeline =
-    withDf(df.where(keep(v)).withColumn(valueCol, f(v)))
+    withDf(tdf.where(keep(v)).withColumn(valueCol, f(v)))
 
   /** `collapse_accumulate` (reference `fluent.rs:1378`): flatten array
     * values (bursts) into the running list of all elements so far. */
   def collapseAccumulate(out: String = "acc"): Timeline =
-    withDf(df.withColumn(valueCol, explode(v))).accumulate(out)
+    withDf(tdf.withColumn(valueCol, explode(v))).accumulate(out)
 
   // ───────────────────────── rate control / filters (§2.3) ────────────────
 
@@ -104,7 +109,7 @@ final case class Timeline(
     * emit on change, NOT SQL DISTINCT. */
   def distinctConsecutive(): Timeline = {
     val prev = lag(v, 1).over(w)
-    withDf(df.withColumn("__prev", prev)
+    withDf(tdf.withColumn("__prev", prev)
       .where(col("__prev").isNull || v =!= col("__prev"))
       .drop("__prev"))
   }
@@ -112,16 +117,16 @@ final case class Timeline(
   /** `difference` (reference `ops.rs:263`): successive delta, quiet first tick. */
   def difference(out: String = "diff"): Timeline = {
     val prev = lag(v, 1).over(w)
-    withDf(df.withColumn(out, v - prev).where(col(out).isNotNull))
+    withDf(tdf.withColumn(out, v - prev).where(col(out).isNotNull))
   }
 
   /** `limit` (reference `ops.rs:357`): first n ticks per key then quiet. */
   def limitTicks(n: Int): Timeline =
-    withDf(df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn"))
+    withDf(tdf.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn"))
 
   /** `count` (reference `ops.rs:2819`): running tick count. */
   def runningCount(out: String = "n"): Timeline =
-    withDf(df.withColumn(out, row_number().over(w).cast("long")))
+    withDf(tdf.withColumn(out, row_number().over(w).cast("long")))
 
   /** Bucketed throttle: at most one emission per `intervalNs` bucket —
     * the scalable approximation of `throttle` (reference `ops.rs:381`);
@@ -130,7 +135,7 @@ final case class Timeline(
     // integer division: ts ~ 1.7e18 ns exceeds double's exact range
     val bucket = expr(s"ts DIV ${intervalNs}L")
     val wb = Window.partitionBy((keyCols :+ bucket): _*).orderBy(col("ts"), col("seq"))
-    withDf(df.withColumn("__rn", row_number().over(wb)).where(col("__rn") === 1).drop("__rn"))
+    withDf(tdf.withColumn("__rn", row_number().over(wb)).where(col("__rn") === 1).drop("__rn"))
   }
 
   // ───────────────────────── scans / buffers / shifts (§2.4) ──────────────
@@ -138,25 +143,47 @@ final case class Timeline(
   /** `fold`/`scan` for Column-expressible monoids: running aggregate. */
   def runningAgg(aggs: (String, Column => Column)*): Timeline = {
     val frame = wRows(Window.unboundedPreceding, Window.currentRow)
-    withDf(aggs.foldLeft(df) { case (d, (out, f)) => d.withColumn(out, f(v).over(frame)) })
+    withDf(aggs.foldLeft(tdf) { case (d, (out, f)) => d.withColumn(out, f(v).over(frame)) })
   }
 
   /** `accumulate` (reference `ops.rs:2843`): all values so far. */
   def accumulate(out: String = "acc"): Timeline =
-    withDf(df.withColumn(out, collect_list(v).over(wRows(Window.unboundedPreceding, Window.currentRow))))
+    withDf(tdf.withColumn(out, collect_list(v).over(wRows(Window.unboundedPreceding, Window.currentRow))))
 
-  /** `delay` (reference `ops.rs:3090`): re-emit each value `delayNs` later on
-    * the engine clock. Output re-sorts on the shifted ts lazily (downstream
-    * window specs order on the new ts). */
-  def delay(delayNs: Long): Timeline =
-    withDf(df.withColumn("ts", col("ts") + delayNs))
+  /** `delay` (reference `ops.rs:3090-3155`): re-emit each value `delayNs`
+    * later on the engine clock. Output re-sorts on the shifted ts lazily
+    * (downstream window specs order on the new ts).
+    *
+    * Tick-vs-Silent (reference `op.rs:72-90`, delay's "legacy parity"
+    * seed): the FIRST value per key is additionally stored into the value
+    * slot at its ORIGINAL tick time WITHOUT ticking — passive readers
+    * (sample, a join's passive leg) see it before the delay elapses, never
+    * a default. Encoded as an extra row flagged `__silent = true`: present
+    * in `df` (the slot view, what as-of carry-forward reads), excluded
+    * from [[ticks]] (the emission view) and from firing instant-based
+    * joins. */
+  def delay(delayNs: Long): Timeline = {
+    if (delayNs == 0L) return this // zero delay emits inline (ops.rs:3126)
+    val base = tdf
+    val landed = base.withColumn("ts", col("ts") + delayNs)
+      .withColumn("__silent", lit(false))
+    val seed = base.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn").withColumn("__silent", lit(true))
+    withDf(landed.unionByName(seed))
+  }
+
+  /** The emission view: rows that actually tick downstream. Identity for
+    * streams with no silent slot updates. Terminal consumers (collect,
+    * sinks, stateful folds) read this; as-of carry-forward reads `df`. */
+  def ticks: DataFrame =
+    if (df.columns.contains("__silent")) df.where(!col("__silent")).drop("__silent") else df
 
   /** `window` (reference `ops.rs:583`): tumbling time window. Emits one row
     * per (key, window) with the collected values ordered by (ts, seq), ts =
     * window end boundary (the flush instant). */
   def tumbling(intervalNs: Long, aggs: Seq[Column] = Nil): DataFrame = {
     val bucket = (expr(s"ts DIV ${intervalNs}L") * intervalNs + intervalNs).as("ts")
-    val sorted = df.withColumn("__b", bucket)
+    val sorted = tdf.withColumn("__b", bucket)
     val as = if (aggs.isEmpty)
       Seq(sort_array(collect_list(struct(col("ts"), col("seq"), v))).as("rows"))
     else aggs
@@ -166,7 +193,7 @@ final case class Timeline(
   /** `buffer` (reference `ops.rs:659`): count window flushing every
     * `capacity` values per key (+ final partial flush, as the reference). */
   def countBuffer(capacity: Int, aggs: Seq[Column] = Nil): DataFrame = {
-    val bucketed = df
+    val bucketed = tdf
       .withColumn("__rn", row_number().over(w))
       .withColumn("__b", expr(s"(__rn - 1) DIV $capacity"))
     val as = if (aggs.isEmpty)
@@ -193,8 +220,12 @@ final case class Timeline(
     require(sides.nonEmpty)
     val allCarried = sides.flatMap(_._2)
     val tagged = sides.zipWithIndex.map { case ((t, carried), pri) =>
+      // silent slot updates (delay's seed) join the carry-forward window but
+      // must never act as a trigger row — the Tick::Silent contract
+      val silent = if (t.df.columns.contains("__silent")) col("__silent")
+        else lit(false).as("__silent")
       val base = t.df.select(
-        (t.keys.map(col) :+ col("ts") :+ col("seq") :+ lit(pri).as("__src")) ++
+        (t.keys.map(col) :+ col("ts") :+ col("seq") :+ lit(pri).as("__src") :+ silent) ++
           allCarried.map(c => if (carried.contains(c)) col(c) else lit(null).cast(
             sides.find(_._2.contains(c)).get._1.df.schema(c).dataType).as(c)): _*)
       base
@@ -212,8 +243,8 @@ final case class Timeline(
     * each tick of `trigger`. Quiet until the first value tick. */
   def sample(trigger: Timeline): Timeline = {
     val u = asOfUnion(Seq((this, Seq(valueCol)), (trigger, Nil)))
-    withDf(u.where(col("__src") === 1 && col(valueCol).isNotNull)
-      .drop("__src"))
+    withDf(u.where(col("__src") === 1 && !col("__silent") && col(valueCol).isNotNull)
+      .drop("__src", "__silent"))
   }
 
   /** Keep only the LAST union row per (keys, ts): one emission per engine
@@ -222,8 +253,12 @@ final case class Timeline(
   private def lastPerInstant(u: DataFrame): DataFrame = {
     val wTs = Window.partitionBy((keyCols :+ col("ts")): _*)
       .orderBy(col("__src").desc, col("seq").desc)
+    val wInst = Window.partitionBy((keyCols :+ col("ts")): _*)
     u.withColumn("__last", row_number().over(wTs))
-      .where(col("__last") === 1).drop("__last")
+      // an instant where ONLY silent slot updates occurred fires nothing
+      .withColumn("__real", max(when(col("__silent"), 0).otherwise(1)).over(wInst))
+      .where(col("__last") === 1 && col("__real") === 1)
+      .drop("__last", "__real", "__silent")
   }
 
   /** `join` (reference `ops.rs:2983`): zip-latest — ticks when EITHER side
@@ -248,7 +283,8 @@ final case class Timeline(
     val l = withDf(df.withColumnRenamed(valueCol, thisOut)).copy(valueCol = thisOut)
     val r = other.withDf(other.df.withColumnRenamed(other.valueCol, otherOut)).copy(valueCol = otherOut)
     val u = asOfUnion(Seq((r, Seq(otherOut)), (l, Seq(thisOut))))
-    withDf(u.where(col("__src") === 1 && col(otherOut).isNotNull).drop("__src"))
+    withDf(u.where(col("__src") === 1 && !col("__silent") && col(otherOut).isNotNull)
+      .drop("__src", "__silent"))
   }
 
   /** `join3` (reference `ops.rs:687`): 3-ary zip-latest — ticks when ANY of
@@ -327,7 +363,7 @@ final case class Timeline(
     * cycle; a winning burst survives whole). */
   def merge(others: Timeline*): Timeline = {
     val tagged = (this +: others).zipWithIndex.map { case (t, pri) =>
-      t.df.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+      t.ticks.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
         col(t.valueCol).as(valueCol) :+ lit(pri).as("__pri")): _*)
     }
     val u = tagged.reduce(_ unionByName _)
@@ -341,7 +377,7 @@ final case class Timeline(
     * streams into one burst row, ordered by (source priority, seq). */
   def combine(others: Timeline*): DataFrame = {
     val tagged = (this +: others).zipWithIndex.map { case (t, pri) =>
-      t.df.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+      t.ticks.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
         col(t.valueCol).as(valueCol) :+ lit(pri).as("__pri")): _*)
     }
     tagged.reduce(_ unionByName _)

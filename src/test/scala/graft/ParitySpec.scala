@@ -118,7 +118,7 @@ class ParitySpec extends SparkSuite {
 
   test("delay: batch == streaming == Timeline ts shift") {
     val agreed = parity("delay", single, P.delay(7L))
-    assert(agreed == tlOut(tl(single).delay(7L).df, "value"))
+    assert(agreed == tlOut(tl(single).delay(7L).ticks, "value"))
   }
 
   test("sample: batch == streaming == Timeline as-of union") {

@@ -135,7 +135,25 @@ class TimelineSpec extends SparkSuite {
 
   test("delay shifts the clock (ops.rs:3090)") {
     val t = Timeline.fromRows(spark, Seq(10L -> 1.0, 20L -> 2.0))
-    assert(t.delay(5).df.select("ts").as[Long].collect().sorted.toSeq == Seq(15L, 25L))
+    assert(t.delay(5).ticks.select("ts").as[Long].collect().sorted.toSeq == Seq(15L, 25L))
+  }
+
+  test("delay seeds the FIRST value silently: passive readers see it pre-landing (op.rs:72-90)") {
+    // values at 10,50 delayed by 100; triggers at 20 (pre-landing), 120, 160
+    val delayed = Timeline.fromRows(spark, Seq(10L -> 1.0, 50L -> 2.0)).delay(100L)
+    val trigger = Timeline.fromRows(spark, Seq(20L -> 0.0, 120L -> 0.0, 160L -> 0.0))
+    val got = delayed.sample(trigger).df.select("ts", "value")
+      .as[(Long, Double)].collect().toSeq.sorted
+    assert(got == Seq((20L, 1.0), (120L, 1.0), (160L, 2.0)),
+      "at ts=20 the seeded first value is visible; 2.0 only after landing at 150")
+    // the seed never ticks: delay's own emissions are the landed rows only
+    assert(delayed.ticks.select("ts").as[Long].collect().sorted.toSeq == Seq(110L, 150L))
+    // and a zip-latest join does NOT fire at the silent seed instant
+    val other = Timeline.fromRows(spark, Seq(30L -> 5.0))
+    val j = other.joinLatest(delayed, "a", "b").df.select("ts", "a", "b")
+      .as[(Long, Double, Double)].collect().toSeq.sorted
+    assert(j == Seq((30L, 5.0, 1.0), (110L, 5.0, 1.0), (150L, 5.0, 2.0)),
+      "fires at 30 (other ticks, seeded slot visible), 110 and 150 (landings); never at 10")
   }
 
   test("combine groups same-instant ticks into one burst (ops.rs:3333)") {
