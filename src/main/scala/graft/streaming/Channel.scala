@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import scala.collection.mutable.ArrayBuffer
+
+/** `channel` / `external` ingress (reference `fluent.rs:291-311`,
+  * `channel.rs`): a thread-fed source whose timestamped sends replay
+  * deterministically — the reference groups `send_at` values by instant
+  * and replays them on the graph clock (`channel.rs:15-22`).
+  *
+  * Spark-native: [[MemoryStream]] is the in-process transport (the
+  * reference channel's test-workhorse role); production ingress is any
+  * streaming source honoring the same contract. The `Message` envelope
+  * (`channel.rs:31-50`) maps onto streaming concepts: `ValueAt` = a row
+  * with event time, `Checkpoint` = watermark advance, `EndOfStream` =
+  * query stop, `Error` = task failure.
+  *
+  * `sendAt` buffers; [[flush]] delivers everything buffered as ONE
+  * micro-batch, sorted by (ts, seq) with bursts intact — the determinism
+  * contract [[RunMode.streaming]] requires. Backpressure
+  * (`channel_bounded`) is the trigger's `maxOffsetsPerTrigger` in
+  * deployment. */
+final class Channel(spark: SparkSession) {
+  import spark.implicits._
+
+  private val mem = MemoryStream[Ev](
+    org.apache.spark.sql.catalyst.encoders.encoderFor[Ev], spark.sqlContext)
+  private val pending = ArrayBuffer.empty[Ev]
+  private var autoSeq = 0L
+
+  /** Timestamped send (reference `ChannelSender::send_at`). Assigns the
+    * intra-instant burst order in send order when `seq` is not given. */
+  def sendAt(key: String, ts: Long, value: Double, src: Int = 0): Unit = synchronized {
+    autoSeq += 1
+    pending += Ev(key, ts, autoSeq, src, value)
+  }
+
+  /** Deliver everything buffered as one micro-batch (bursts never split). */
+  def flush(): Unit = synchronized {
+    if (pending.nonEmpty) {
+      mem.addData(pending.sortBy(e => (e.ts, e.seq)).toSeq)
+      pending.clear()
+    }
+  }
+
+  /** The stream end — wire into [[RunMode.streaming]]. */
+  def toDS: Dataset[Ev] = mem.toDS()
+}

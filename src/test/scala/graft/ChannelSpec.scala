@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{WPoint, WeightedMomentsAgg}
+import graft.ops.ScanOps
+import graft.streaming.{Channel, Ev, RunMode, StateProcs}
+import org.apache.spark.sql.functions._
+
+/** Channel ingress replay determinism (channel.rs:15-22) + the typed
+  * Aggregator custom-op surface (§2.13). */
+class ChannelSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("channel-fed streaming run equals the batch replay of the same sends") {
+    val ch = new Channel(spark)
+    val q = RunMode.streaming(ch.toDS, StateProcs.ewma(ScanOps.PerTick(0.5)))
+      .writeStream.format("memory").queryName("chan_ewma").outputMode("append").start()
+    // producer thread sends across two flushes; a same-instant burst stays whole
+    ch.sendAt("a", 10L, 1.0); ch.sendAt("a", 20L, 3.0); ch.sendAt("b", 10L, 10.0)
+    ch.flush(); q.processAllAvailable()
+    ch.sendAt("a", 30L, 5.0); ch.sendAt("b", 30L, 20.0)
+    ch.flush(); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chan_ewma").as[graft.streaming.Out]
+      .collect().map(o => (o.key, o.ts, o.v1)).toSeq.sorted
+
+    val replayed = RunMode.batch(spark.createDataset(Seq(
+      Ev("a", 10L, 1L, 0, 1.0), Ev("a", 20L, 2L, 0, 3.0), Ev("b", 10L, 3L, 0, 10.0),
+      Ev("a", 30L, 4L, 0, 5.0), Ev("b", 30L, 5L, 0, 20.0))),
+      StateProcs.ewma(ScanOps.PerTick(0.5)))
+      .collect().map(o => (o.key, o.ts, o.v1)).toSeq.sorted
+
+    assert(streamed == replayed, "timestamped sends replay deterministically")
+    assert(streamed == Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.5),
+      ("b", 10L, 10.0), ("b", 30L, 15.0)))
+  }
+
+  test("WeightedMomentsAgg: typed agg + SQL registration (§2.13 udaf surface)") {
+    val agg = udaf(new WeightedMomentsAgg)
+    // weighted mean of (1 w2, 4 w1): (2+4)/3 = 2; popvar: (2*(1-2)^2 + (4-2)^2)/3 = 2
+    val r = Seq((1.0, 2.0), (4.0, 1.0)).toDF("x", "w")
+      .agg(agg(col("x"), col("w")).as("m")).head.getSeq[Double](0)
+    assert(math.abs(r(0) - 2.0) < 1e-12 && math.abs(r(1) - 2.0) < 1e-12)
+
+    spark.udf.register("w_moments", agg)
+    Seq((1.0, 2.0), (4.0, 1.0)).toDF("x", "w").createOrReplaceTempView("wpts")
+    val viaSql = spark.sql("SELECT w_moments(x, w) FROM wpts").head.getSeq[Double](0)
+    assert(viaSql == r, "registered UDAF matches the typed path")
+
+    // merge associativity: many partitions agree with one partition
+    val big = (1 to 1000).map(i => (i.toDouble, (i % 7 + 1).toDouble))
+    val one = big.toDF("x", "w").coalesce(1).agg(agg(col("x"), col("w"))).head.getSeq[Double](0)
+    val many = big.toDF("x", "w").repartition(13).agg(agg(col("x"), col("w"))).head.getSeq[Double](0)
+    assert(math.abs(one(0) - many(0)) < 1e-9 && math.abs(one(1) - many(1)) < 1e-6,
+      "parallel-variance merge is order-insensitive")
+  }
+}
