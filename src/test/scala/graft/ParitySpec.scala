@@ -139,6 +139,47 @@ class ParitySpec extends SparkSuite {
     assert(agreed == tlOut(tl(dual, 0).merge(tl(dual, 1)).df, "value"))
   }
 
+  test("tumbling window: streaming (watermark 0) == batch == Timeline.tumbling (ops.rs:583)") {
+    import graft.streaming.StreamWindows
+    // 1-second windows (Spark watermarks are millisecond-precision: windows
+    // finer than 1 ms never finalize); events across 3 windows per key
+    val S = 1000000000L
+    val evs = Seq(
+      Ev("a", S / 10, 1L, 0, 1.0), Ev("a", 9 * S / 10, 2L, 0, 2.0), // window (0,1s]
+      Ev("a", 11 * S / 10, 3L, 0, 3.0),                             // window (1s,2s]
+      Ev("b", S / 2, 4L, 0, 10.0), Ev("b", 5 * S / 2, 5L, 0, 20.0))
+
+
+    // batch path: same code runs on a static frame
+    val batch = StreamWindows.tumblingCountSum(spark.createDataset(evs).toDF(), S)
+      .as[(String, Long, Long, Double)].collect().toSeq.sorted
+
+    // Timeline.tumbling agrees on window identity (ts = exclusive end)
+    val tl = Timeline(spark.createDataset(evs).toDF().drop("src"), Seq("key"))
+    val viaTimeline = tl.tumbling(S, Seq(count(lit(1)).as("n"), sum(col("value")).as("sum_v")))
+      .select(col("key"), col("ts"), col("n"), col("sum_v"))
+      .as[(String, Long, Long, Double)].collect().toSeq.sorted
+    assert(batch == viaTimeline)
+
+    // streaming path: windows emit when the watermark passes their end;
+    // a final empty-advance batch flushes the trailing windows
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamWindows.tumblingCountSum(mem.toDS().toDF(), S)
+      .writeStream.format("memory").queryName("win_par").outputMode("append").start()
+    mem.addData(evs.filter(_.ts <= S)); q.processAllAvailable()
+    mem.addData(evs.filter(_.ts > S)); q.processAllAvailable()
+    // advance the watermark past the last window end (the "last cycle"),
+    // then one more batch so the now-final windows evict (watermark used in
+    // batch N is the one computed at the end of batch N-1)
+    mem.addData(Seq(Ev("z", 10 * S, 99L, 0, 0.0))); q.processAllAvailable()
+    mem.addData(Seq(Ev("z", 20 * S, 100L, 0, 0.0))); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("win_par").as[(String, Long, Long, Double)].collect().toSeq
+      .filterNot(_._1 == "z").sorted
+    assert(stream == batch, "exact window rows incl. per-key boundaries")
+  }
+
   test("feedback: previous cycle's output feeds the next cycle (fluent.rs:363, §7.4 subset)") {
     import graft.streaming.Feedback
     // EMA of own output: out = fed*0.5 + input*0.5; first cycle passes input
