@@ -208,6 +208,13 @@ object Queries {
              |    (PARTITION BY user_id ORDER BY ts, seq) AS diff FROM ($E))
              |WHERE diff IS NOT NULL ORDER BY 1,2""".stripMargin)),
 
+    "evt_mapfilter" -> Q(
+      (s, d) => ev(s, d).mapFilter(_ * 2, _ > 100).df
+        .select(col("user_id"), col("ts"), r4(col("value")).as("value"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts, round(1e-9 + value * 2,4) AS value FROM ($E)
+             |WHERE value > 100 ORDER BY 1,2""".stripMargin)),
+
     "evt_distinct_consec" -> Q(
       (s, d) => ev(s, d).copy(valueCol = "event_type").distinctConsecutive().df
         .select("user_id", "ts", "event_type").orderBy("user_id", "ts"),

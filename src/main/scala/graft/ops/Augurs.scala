@@ -34,7 +34,7 @@ object Augurs {
     * normal data). Appends `med`, `mad`, `score` (=|x-med|). */
   def outlierMad(t: Timeline, n: Int): Timeline = {
     val frame = t.wRows(-(n - 1).toLong, 0)
-    val d = t.df
+    val d = t.ticks
       .withColumn("__arr", sort_array(collect_list(col(t.valueCol)).over(frame)))
       .withColumn("med", sortedMedian(col("__arr")))
       .withColumn("__devs", sort_array(transform(col("__arr"), x => abs(x - col("med")))))
@@ -53,7 +53,7 @@ object Augurs {
     val pre = t.wRows(-(2 * w - 1).toLong, -w.toLong)
     val post = t.wRows(-(w - 1).toLong, 0)
     val v = col(t.valueCol)
-    val d = t.df
+    val d = t.ticks
       .withColumn("__npre", count(v).over(pre))
       .withColumn("__mp", avg(v).over(pre))
       .withColumn("__mq", avg(v).over(post))
@@ -73,7 +73,7 @@ object Augurs {
     * last-season value + drift·j, with bounds ±1.96·σ of the one-season
     * naive residuals. One row per (key, step). */
   def forecastSeasonalNaive(t: Timeline, window: Int, season: Int, horizon: Int): DataFrame = {
-    val g = t.df.groupBy(t.keys.map(col): _*)
+    val g = t.ticks.groupBy(t.keys.map(col): _*)
       .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
         .as("full"))
       .where(size(col("full")) >= season + 1)
@@ -126,7 +126,7 @@ object Augurs {
     * matrix is indexed by series id, as in the reference). */
   private def seriesOf(t: Timeline, window: Int): DataFrame = {
     require(t.keys.size == 1, "dtwMatrix/clusterDtw need exactly one key column (the series id)")
-    t.df.groupBy(col(t.keys.head))
+    t.ticks.groupBy(col(t.keys.head))
       .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
         .as("full"))
       .select(col(t.keys.head).cast("string").as("sid"),
@@ -190,7 +190,7 @@ object Augurs {
     * both oracle engines rank identically). Requires ≥ minPairs pairs. */
   def seasonsAutocorr(t: Timeline, maxLag: Int, minPairs: Int = 10): DataFrame = {
     val spark = t.df.sparkSession
-    val e = t.df
+    val e = t.ticks
       .withColumn("rn", row_number().over(t.w))
       .select((t.keys.map(col) :+ col("rn") :+ col(t.valueCol).as("v")): _*)
     val lags = broadcast(spark.range(2, maxLag + 1).select(col("id").cast("int").as("lag")))

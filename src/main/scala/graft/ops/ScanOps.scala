@@ -28,7 +28,7 @@ object ScanOps {
     * (explicit initialised flag — a legit 0.0 must not re-seed), then
     * `e += alpha * (sample - e)`. */
   def ewma(t: Timeline, decay: EwmaDecay, out: String = "ewma"): Timeline = {
-    val d = KeyedScan.scanDouble(t.df, t.keys, t.valueCol, Seq(out)) { () =>
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Seq(out)) { () =>
       var value = Double.NaN
       var init = false
       var lastTime = 0L
@@ -54,7 +54,7 @@ object ScanOps {
     * change vs the last EMITTED value exceeds `minDelta` (first tick always
     * emits). Running-threshold semantics — drift still ticks eventually. */
   def dropSmallChange(t: Timeline, minDelta: Double): Timeline = {
-    val d = KeyedScan.scanDouble(t.df, t.keys, t.valueCol, Nil) { () =>
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Nil) { () =>
       var lastEmitted = Double.NaN
       var init = false
       (_: Long, sample: Double) => {
@@ -70,7 +70,7 @@ object ScanOps {
     * `intervalNs` of engine time, measured from the last EMITTED tick (a
     * running gate, not a bucket). */
   def throttleExact(t: Timeline, intervalNs: Long): Timeline = {
-    val d = KeyedScan.scanDouble(t.df, t.keys, t.valueCol, Nil) { () =>
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Nil) { () =>
       var lastEmit = Long.MinValue
       (ts: Long, _: Double) => {
         if (lastEmit == Long.MinValue || ts - lastEmit >= intervalNs) {
@@ -113,7 +113,7 @@ object ScanOps {
   /** cumulative_{mean,var,std}_time_weighted (reference `ops.rs:2115-2221`). */
   def cumulativeTimeWeighted(t: Timeline, meanOut: String = "tw_mean",
       varOut: String = "tw_var", stdOut: String = "tw_std"): Timeline = {
-    val d = KeyedScan.scanDouble(t.df, t.keys, t.valueCol, Seq(meanOut, varOut, stdOut)) { () =>
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Seq(meanOut, varOut, stdOut)) { () =>
       val m = new WeightedMoments
       var lastTime = -1L
       var prevValue = 0.0
@@ -133,7 +133,7 @@ object ScanOps {
   def rollingTimeWeighted(t: Timeline, window: Int, meanOut: String = "tw_mean",
       varOut: String = "tw_var", stdOut: String = "tw_std"): Timeline = {
     require(window >= 1)
-    val d = KeyedScan.scanDouble(t.df, t.keys, t.valueCol, Seq(meanOut, varOut, stdOut)) { () =>
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Seq(meanOut, varOut, stdOut)) { () =>
       val m = new WeightedMoments
       val buf = mutable.ArrayDeque.empty[(Double, Long)] // (value, arrival ts)
       (ts: Long, sample: Double) => {
@@ -158,7 +158,7 @@ object ScanOps {
     * is retained (stats.rs:87-89). */
   def timeWindowedTimeWeighted(t: Timeline, windowNs: Long, meanOut: String = "tw_mean",
       varOut: String = "tw_var", stdOut: String = "tw_std"): Timeline = {
-    val d = KeyedScan.scanDouble(t.df, t.keys, t.valueCol, Seq(meanOut, varOut, stdOut)) { () =>
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Seq(meanOut, varOut, stdOut)) { () =>
       val m = new WeightedMoments
       val buf = mutable.ArrayDeque.empty[(Double, Long)]
       (ts: Long, sample: Double) => {
@@ -214,7 +214,7 @@ object ScanOps {
     * windowKind: "cumulative" | "rolling" | "time". */
   def medianTimeWeighted(t: Timeline, windowKind: String, windowCount: Int = 0,
       windowNs: Long = 0L, out: String = "tw_median"): Timeline = {
-    val d = KeyedScan.scanDouble(t.df, t.keys, t.valueCol, Seq(out)) { () =>
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Seq(out)) { () =>
       val buf = mutable.ArrayDeque.empty[(Double, Long)]
       (ts: Long, sample: Double) => {
         buf.append((sample, ts))
@@ -244,7 +244,7 @@ object ScanOps {
     * round-1 crossJoin is gone). */
   def delayWithReset(t: Timeline, delayNs: Long, resets: Timeline): Timeline = {
     import org.apache.spark.sql.functions._
-    val vdf = t.df
+    val vdf = t.ticks
       .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col(t.valueCol).as("value")): _*)
       .withColumn("__vb", expr(s"ts DIV ${delayNs}L"))
     // a reset at rts kills values with ts in [rts-delay, rts]: exactly the
