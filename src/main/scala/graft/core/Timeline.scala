@@ -457,6 +457,15 @@ final case class Timeline(
   def mapN(n: Int)(f: (Timeline, Int) => Timeline): Timeline =
     (0 until n).foldLeft(this)((t, i) => f(t, i))
 
+  /** `spawn_map` (reference `fluent.rs:1107-1138`): run a sub-graph over
+    * this stream "on its own worker". In the reference that moves work to a
+    * producer thread with timestamped forwarding; Spark is already
+    * distributed — a worker sub-graph IS a sub-plan, so this is plan
+    * composition with the same determinism contract (the forwarded rows
+    * keep their (ts, seq)). Kept as an explicit op so wiring that uses the
+    * reference's topology reads 1:1. */
+  def spawnMap(build: Timeline => Timeline): Timeline = build(this)
+
   /** `demux` (reference `interp.rs:4064`): route each row to one of n
     * branches by `route(value)` ∈ [0, n); out-of-range or null routes land
     * on the overflow branch (the reference's overflow child). n+1 filtered
@@ -511,5 +520,19 @@ object Timeline {
   def never(spark: org.apache.spark.sql.SparkSession): Timeline = {
     import spark.implicits._
     Timeline(Seq.empty[(Long, Long, Double)].toDF("ts", "seq", "value"))
+  }
+
+  /** `poll` (reference `ops.rs:2899`, realtime busy-spin): evaluated once
+    * per engine cycle, ticking on Some. Historical/batch form: the poll
+    * function replayed over the ticker's cycles (cycle index → Option) —
+    * deterministic, like every replayed source. The realtime form is a
+    * rate/continuous source in deployment (SURVEY §2.1 mapping). */
+  def poll(spark: org.apache.spark.sql.SparkSession, periodNs: Long, cycles: Long)(
+      f: Long => Option[Double]): Timeline = {
+    val fu = udf((i: Long) => f(i))
+    val df = spark.range(0, cycles)
+      .select((col("id") * periodNs).as("ts"), lit(0L).as("seq"), fu(col("id")).as("value"))
+      .where(col("value").isNotNull)
+    Timeline(df)
   }
 }

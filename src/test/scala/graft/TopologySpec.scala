@@ -81,6 +81,21 @@ class TopologySpec extends SparkSuite {
     assert(got == 16.0)
   }
 
+  test("poll: evaluated per cycle, ticks on Some; deterministic replay (ops.rs:2899)") {
+    val got = Timeline.poll(spark, periodNs = 10L, cycles = 6) { i =>
+      if (i % 2 == 0) Some(i * 1.0) else None
+    }.df.select("ts", "value").as[(Long, Double)].collect().toSeq.sorted
+    assert(got == Seq((0L, 0.0), (20L, 2.0), (40L, 4.0)))
+  }
+
+  test("spawnMap: worker sub-graph is sub-plan composition (fluent.rs:1107)") {
+    val t = Timeline.fromRows(spark, Seq(10L -> 1.0, 20L -> 2.0))
+    val got = t.spawnMap(_.mapValue(_ * 10).runningAgg("c" -> (sum(_))))
+      .df.select("ts", "c").as[(Long, Double)].collect().toSeq.sorted
+    assert(got == Seq((10L, 10.0), (20L, 30.0)),
+      "rows keep (ts, seq) through the spawned sub-graph")
+  }
+
   test("Signal facade: ticker().count().run() + peekValue (signal.rs:14-27)") {
     val ticks = Signal.ticker(spark, periodNs = 10L, n = 5).count()
     assert(ticks.peekValue().contains(5L))
