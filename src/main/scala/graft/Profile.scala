@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query timing harness (noop-sink, bench-identical execution):
+  * `runMain graft.Profile <sfDir> <query...>` — the local feedback loop for
+  * plan iteration between full Bench runs. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else Queries.registry.map(_._1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reg = Queries.registry.toMap
+    names.foreach { q =>
+      val t0 = System.nanoTime()
+      reg(q).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"$q%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    spark.stop()
+  }
+}

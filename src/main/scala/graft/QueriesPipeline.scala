@@ -24,11 +24,6 @@ object QueriesPipeline {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
-  /** Bigram shingle sets per doc (Spark side of SH2). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
-      array_distinct(TF.ngrams(TF.tokens(col("text")), 2)).as("sh"))
-
   // ── MinHash via a universal affine hash family ──────────────────────────
   //
   // Scale + speed shape (chosen by measurement, not the obvious rewrite):
@@ -48,12 +43,34 @@ object QueriesPipeline {
     267413183L  -> 201672531L, 173927101L -> 150550587L,
     133902991L  -> 119177419L, 113109407L -> 101090251L)
 
-  /** Exploded (doc, shingle-hash) rows: one md5 per shingle. Extra group
-    * columns ride along. */
-  private def hashedShingleRows(g: DataFrame, extra: Seq[String]): DataFrame =
-    g.select((Seq(col("doc_id")) ++ extra.map(col) :+ explode(col("sh")).as("tok")): _*)
-      .withColumn("h", TF.hash60(col("tok")))
+  /** (doc, n-gram-shingle-hash) rows: one md5 per shingle instance. Extra
+    * group columns ride along.
+    *
+    * Shape (chosen by measurement): posexplode the token array, form
+    * n-grams with `lead` over (doc_id, pos), concat + md5 — every stage
+    * whole-stage-codegen'd. The direct `explode(ngrams(tokens(text)))`
+    * projection looks cheaper (no window) but Spark's higher-order-function
+    * lambdas are interpreted, and under a Generate node the nested
+    * transform/slice tree measured 6-9s vs 1.2s for this path at sf0.1.
+    * The window's doc_id exchange is reused by the downstream signature
+    * groupBy (ClusteredDistribution subset rule) — ONE shuffle total, and
+    * it carries tokens, never full texts. Duplicate shingles are kept:
+    * min() signatures and collect_set() are duplicate-invariant, so results
+    * match the reference's set semantics (and the oracle's list_distinct)
+    * exactly. */
+  private def hashedShingleRows(g: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val tok = g.select((Seq(col("doc_id")) ++ extra.map(col) :+
+        posexplode(TF.tokens(col("text")))): _*)
+      .toDF((Seq("doc_id") ++ extra ++ Seq("pos", "tok")): _*)
+    val withLeads = (1 until n).foldLeft(tok)((d, i) =>
+      d.withColumn(s"t$i", lead(col("tok"), i).over(w)))
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    val full = if (n > 1) withLeads.where(col(s"t${n - 1}").isNotNull) else withLeads
+    full.withColumn("h", TF.hash60(concat_ws(" ", parts: _*)))
       .withColumn("h30", col("h") % M30)
+      .select((Seq(col("doc_id")) ++ extra.map(col) :+ col("h") :+ col("h30")): _*)
+  }
 
   /** MinHash signature (+ optionally the hashed shingle set `shh`, for
     * exact Jaccard verification over 8-byte elements instead of strings) in
@@ -171,7 +188,7 @@ object QueriesPipeline {
 
     "doc_minhash" -> Q(
       (s, d) => {
-        val sig = minhashAgg(hashedShingleRows(shingles(s, d), Nil), Nil, withSet = false)
+        val sig = minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = false)
         val stackArgs = (0 until 8).map(i => s"CAST($i AS BIGINT), mh$i").mkString(", ")
         sig.selectExpr("doc_id", s"stack(8, $stackArgs) AS (i, minhash)")
           .orderBy("doc_id", "i")
@@ -194,7 +211,7 @@ object QueriesPipeline {
         // persisted frame is #docs × (8 longs + hashed set) — tiny next to
         // the text it derives from; at scale this is the materialized
         // signature table every LSH pipeline keeps.
-        val base = minhashAgg(hashedShingleRows(shingles(s, d), Nil), Nil, withSet = true)
+        val base = minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true)
           .persist()
         val bands = bandRows(base, Nil)
         val cand = bands.as("x").join(bands.as("y"),
@@ -229,9 +246,8 @@ object QueriesPipeline {
     // one banded shuffle, verification proportional to candidates.
     "doc_ngram_jaccard" -> Q(
       (s, d) => {
-        val g = docs(s, d).select(col("doc_id"), col("source"),
-          array_distinct(TF.ngrams(TF.tokens(col("text")), 3)).as("sh"))
-        val base = minhashAgg(hashedShingleRows(g, Seq("source")), Seq("source"), withSet = true)
+        val base = minhashAgg(hashedShingleRows(docs(s, d), 3, Seq("source")),
+          Seq("source"), withSet = true)
           .persist() // same four-branch reuse as doc_dedup_minhash
         val bands = bandRows(base, Seq("source"))
         val cand = bands.as("x").join(bands.as("y"),

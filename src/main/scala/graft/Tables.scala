@@ -41,6 +41,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Small-file parallelism correction: a table landing in fewer scan
+    * partitions than the session's parallelism serializes every downstream
+    * projection onto that many tasks — fatal for the doc/emb pipelines whose
+    * text/vector expressions (interpreted HOF lambdas, md5) dominate. A
+    * row-group can't be split, so `maxPartitionBytes` can't help; spread by
+    * key instead (one tiny shuffle of the raw rows). At scale the file count
+    * provides the parallelism and this branch never triggers. The key-hash
+    * partitioning is reused by downstream per-key groupBy/window stages. */
+  private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame =
+    if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      df.repartition(col(key))
+    else df
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"), "vec_id")
 }

@@ -35,7 +35,9 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Jaccard similarity of two string arrays (as sets). */
+  /** Jaccard similarity of two arrays (as sets). The repeated intersect is
+    * eliminated by whole-stage-codegen subexpression elimination
+    * (ArrayIntersect is codegen'd — never lands in the interpreted path). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a); val db = array_distinct(b)
     val inter = size(array_intersect(da, db)).cast("double")
