@@ -21,9 +21,12 @@ final case class Signal(t: Timeline) {
   def delay(ns: Long): Signal = Signal(t.delay(ns))
   def merge(other: Signal): Signal = Signal(t.merge(other.t))
 
-  /** Historical run: collect the full (ts, value) tick sequence. */
+  /** Historical run: collect the full (ts, value) tick sequence. Reads the
+    * emission view (`ticks`, never `df`) — delay's `__silent` slot-seed row
+    * must not surface as a tick (the Tick::Silent contract; `seq` resolves
+    * for the orderBy via missing-reference resolution). */
   def run(): Seq[(Long, Any)] =
-    t.df.select(org.apache.spark.sql.functions.col("ts"),
+    t.ticks.select(org.apache.spark.sql.functions.col("ts"),
         org.apache.spark.sql.functions.col(t.valueCol))
       .orderBy("ts", "seq").collect()
       .map(r => (r.getLong(0), r.get(1))).toSeq

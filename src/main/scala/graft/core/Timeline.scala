@@ -99,9 +99,18 @@ final case class Timeline(
     withDf(tdf.where(keep(v)).withColumn(valueCol, f(v)))
 
   /** `collapse_accumulate` (reference `fluent.rs:1378`): flatten array
-    * values (bursts) into the running list of all elements so far. */
-  def collapseAccumulate(out: String = "acc"): Timeline =
-    withDf(tdf.withColumn(valueCol, explode(v))).accumulate(out)
+    * values (bursts) into the running list of all elements so far.
+    * posexplode folds the element position into `seq` (same 1e6 scheme as
+    * [[merge]]) so exploded rows have a TOTAL (ts, seq) order — plain
+    * explode leaves ties, and a tied window sort is nondeterministic across
+    * partitions, scrambling burst element order. Array order is preserved
+    * exactly as the reference's flatten. */
+  def collapseAccumulate(out: String = "acc"): Timeline = {
+    val ex = tdf.select(col("*"), posexplode(v)).drop(valueCol)
+      .withColumnRenamed("col", valueCol)
+      .withColumn("seq", col("seq") * 1000000L + col("pos")).drop("pos")
+    withDf(ex).accumulate(out)
+  }
 
   // ───────────────────────── rate control / filters (§2.3) ────────────────
 

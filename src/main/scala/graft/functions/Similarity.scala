@@ -77,13 +77,27 @@ object Similarity {
     * L·|C|/2^nPlanes candidates, never |C|; recall 1-(1-p)^L vs p for one
     * table. Gated by the recall@k spec against [[bruteTopK]]. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int,
-      nTables: Int = 8): DataFrame = {
-    val dim = candidates.select(size(col("embedding"))).head.getInt(0)
-    val q = queries.select(col("vec_id").as("qid"), toDouble(col("embedding")).as("qv"))
+      nTables: Int = 8, dimHint: Int = -1): DataFrame = {
+    // dim from the caller when known; otherwise inferred from the first
+    // candidate (empty input → empty result, not NoSuchElementException)
+    val dim = if (dimHint > 0) dimHint
+      else candidates.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0)
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("sim"), lit(0L).as("rank"))
+        .where(lit(false))
+    // mixed-dimension input would silently hash against a wrong-length
+    // plane — fail loudly instead
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"annTopK: expected dim $dim, got "),
+          size(vec).cast("string"))))
+    val q = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
       .select(col("qid"), col("qv"),
         explode(tableBuckets(col("qv"), nPlanes, nTables, dim)).as("tb"))
       .select(col("qid"), col("qv"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val c = candidates.select(col("vec_id").as("nid"), toDouble(col("embedding")).as("nv"))
+    val c = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
       .select(col("nid"), col("nv"),
         explode(tableBuckets(col("nv"), nPlanes, nTables, dim)).as("tb"))
       .select(col("nid"), col("nv"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))

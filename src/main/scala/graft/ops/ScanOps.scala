@@ -244,12 +244,15 @@ object ScanOps {
     * round-1 crossJoin is gone). */
   def delayWithReset(t: Timeline, delayNs: Long, resets: Timeline): Timeline = {
     import org.apache.spark.sql.functions._
+    require(delayNs > 0, s"delayWithReset: delayNs must be > 0 (got $delayNs); " +
+      "zero delay emits inline and needs no reset machinery")
     val vdf = t.ticks
       .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col(t.valueCol).as("value")): _*)
       .withColumn("__vb", expr(s"ts DIV ${delayNs}L"))
     // a reset at rts kills values with ts in [rts-delay, rts]: exactly the
-    // value buckets {rts DIV delay - 1, rts DIV delay}
-    val rdf = resets.df
+    // value buckets {rts DIV delay - 1, rts DIV delay}. Emission view: a
+    // __silent slot-seed riding the resets stream is not a reset trigger.
+    val rdf = resets.ticks
       .select((resets.keys.map(col) :+ col("ts").as("rts")): _*)
       .withColumn("__vb", explode(array(
         expr(s"rts DIV ${delayNs}L - 1"), expr(s"rts DIV ${delayNs}L"))))
@@ -262,7 +265,7 @@ object ScanOps {
       .select((t.keys.map(col) :+ (col("ts") + delayNs).as("ts") :+ col("seq") :+ col("value")): _*)
     // reset emissions: sample the value stream at each reset tick
     val sampled = t.sample(Timeline(
-      resets.df.select((resets.keys.map(col) :+ col("ts") :+ col("seq")): _*)
+      resets.ticks.select((resets.keys.map(col) :+ col("ts") :+ col("seq")): _*)
         .withColumn(t.valueCol, lit(null).cast("double")),
       resets.keys, t.valueCol))
       .df.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col(t.valueCol).as("value")): _*)

@@ -95,4 +95,14 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.55, f"recall@3 $recall%.3f fell below the frozen 0.55 gate " +
       "(8 tables x 4 planes on 500 vectors; measured 0.727 when frozen)")
   }
+
+  test("annTopK: empty candidates -> empty result; dimHint skips inference (ADVICE r2)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val empty = e.where(col("vec_id") < 0)
+    assert(Similarity.annTopK(empty, empty, 3, 4).count() == 0,
+      "no NoSuchElementException at plan construction")
+    val hinted = Similarity.annTopK(e.where(col("vec_id") < 5), e, 3, 4, dimHint = 64)
+    assert(hinted.count() > 0)
+  }
 }

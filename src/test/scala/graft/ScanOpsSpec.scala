@@ -77,6 +77,18 @@ class ScanOpsSpec extends SparkSuite {
     assert(got == Seq((25L, 2.0), (45L, 3.0), (100L, 3.0)))
   }
 
+  test("delayWithReset: silent slot-seeds on the reset stream never trigger (ADVICE r2)") {
+    val src = Timeline.fromRows(spark, Seq(10L -> 1.0, 20L -> 2.0, 30L -> 3.0))
+    // resets arrive through delay: its __silent seed row (ts=25, pre-delay)
+    // must not act as a reset; only the real landing at 125 does
+    val resets = Timeline.fromRows(spark, Seq(25L -> 0.0)).delay(100L)
+    val got = ScanOps.delayWithReset(src, 15, resets).df
+      .select("ts", "value").orderBy("ts").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((25L, 1.0), (35L, 2.0), (45L, 3.0), (125L, 3.0)),
+      "all three values deliver (nothing killed at 25); one sampled emission at the real reset")
+    intercept[IllegalArgumentException](ScanOps.delayWithReset(src, 0L, resets))
+  }
+
   test("composite keys that concatenate identically stay distinct (encodeKey)") {
     import org.apache.spark.sql.functions._
     // ("a b", "c") vs ("a", "b c"): a naive join-with-separator collides

@@ -97,6 +97,19 @@ class SinksSpec extends SparkSuite {
     assert(got == Seq(Seq(1.0), Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))
   }
 
+  test("collapseAccumulate: element order is total across partitions (ADVICE r2)") {
+    // one 64-element burst spread over many shuffle partitions: plain
+    // explode leaves tied (ts, seq) and the running-prefix order becomes
+    // partition-dependent; posexplode's folded seq keeps array order exact
+    val burst = (1 to 64).map(_.toDouble)
+    val df = Seq((10L, 0L, burst), (20L, 1L, Seq(99.0))).toDF("ts", "seq", "value")
+      .repartition(8)
+    val got = Timeline(df).collapseAccumulate("acc").df
+      .orderBy("ts", "seq").select("acc").as[Seq[Double]].collect().toSeq
+    assert(got.last == burst :+ 99.0)
+    assert(got.init == (1 to 64).map(i => burst.take(i)))
+  }
+
   test("latency stamps ride the value; report aggregates stage deltas (latency.rs)") {
     val stamped = Latency.stamp(Latency.stamp(tl.df, "in"), "out")
     val rep = Latency.report(stamped, "in", "out").collect()(0)

@@ -105,4 +105,11 @@ class TopologySpec extends SparkSuite {
       .filterValue(_ % 2 === 0).map(_ * 10).run()
     assert(evens == Seq((20L, 20.0), (40L, 40.0)))
   }
+
+  test("Signal.run reads the emission view: delay's silent seed is not a tick (ADVICE r2)") {
+    val got = Signal.fromRows(spark, Seq(10L -> 1.0, 20L -> 2.0)).delay(5L).run()
+    assert(got == Seq((15L, 1.0), (25L, 2.0)),
+      "no duplicate first value at its pre-delay ts")
+    assert(Signal.fromRows(spark, Seq(10L -> 1.0)).delay(5L).peekValue().contains(1.0))
+  }
 }
