@@ -476,6 +476,140 @@ object Queries {
              |        (PARTITION BY user_id ORDER BY ts, seq) AS rn FROM ($E))
              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // §2.14 build_dataframe: outer-join streams on engine time — a row per
+    // instant where either stream ticked, nulls where a stream was quiet.
+    "evt_dataframe" -> Q(
+      (s, d) => Timeline.dataframe(Seq(
+        "pv" -> Tables.eventsOf(s, d, "purchase"),
+        "cv" -> Tables.eventsOf(s, d, "click")))
+        .orderBy("user_id", "ts"),
+      Some("""SELECT user_id, epoch_ns(ts) AS ts,
+             |  arg_max(value, event_id) FILTER (WHERE event_type='purchase') AS pv,
+             |  arg_max(value, event_id) FILTER (WHERE event_type='click') AS cv
+             |FROM events WHERE event_type IN ('purchase','click')
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // combine (ops.rs:3333): all same-instant ticks of n streams as one
+    // burst, ordered (source priority, seq). Projected to scalars (n,
+    // first, last) so the cross-engine compare avoids nested-list hashing.
+    "evt_combine" -> Q(
+      (s, d) => Tables.eventsOf(s, d, "purchase")
+        .combine(Tables.eventsOf(s, d, "error"))
+        .select(col("user_id"), col("ts"),
+          size(col("burst")).cast("long").as("n"),
+          element_at(col("burst"), 1).getField("value").as("v_first"),
+          element_at(col("burst"), -1).getField("value").as("v_last"))
+        .orderBy("user_id", "ts"),
+      Some("""WITH u AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, value,
+             |    CASE event_type WHEN 'purchase' THEN 0 ELSE 1 END AS pri
+             |  FROM events WHERE event_type IN ('purchase','error'))
+             |SELECT user_id, ts, count(*) AS n,
+             |  arg_min(value, pri*1000000000000 + seq) AS v_first,
+             |  arg_max(value, pri*1000000000000 + seq) AS v_last
+             |FROM u GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // collapse_accumulate (fluent.rs:1378): each tick's value becomes a
+    // 2-element burst [v, -v] (integerized), flattened into the running
+    // list; seq carries the folded element position (total order gate).
+    "evt_collapse_acc" -> Q(
+      (s, d) => ev(s, d)
+        .mapValue(v => array(round(v * 100).cast("long"), -round(v * 100).cast("long")))
+        .collapseAccumulate("acc").df
+        .select(col("user_id"), col("ts"), col("seq"),
+          array_join(col("acc").cast("array<string>"), ",").as("acc"))
+        .orderBy("user_id", "ts", "seq"),
+      Some(s"""WITH b AS (SELECT user_id, ts, seq,
+             |    CAST(round(value*100) AS BIGINT) AS e0,
+             |    -CAST(round(value*100) AS BIGINT) AS e1 FROM ($E)),
+             |x AS (SELECT user_id, ts, seq*1000000 AS s2, e0 AS e FROM b
+             |  UNION ALL SELECT user_id, ts, seq*1000000+1, e1 FROM b)
+             |SELECT user_id, ts, s2 AS seq, string_agg(CAST(e AS VARCHAR), ',') OVER
+             |  (PARTITION BY user_id ORDER BY ts, s2
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+             |FROM x ORDER BY 1,2,3""".stripMargin)),
+
+    // delay_with_reset (ops.rs:3486): purchases re-emit 1h later unless an
+    // error tick lands in the closed interval [ts, ts+1h]; each error also
+    // emits the purchase stream's held value at the reset instant.
+    "evt_delay_reset" -> Q(
+      (s, d) => ScanOps.delayWithReset(
+        Tables.eventsOf(s, d, "purchase"), HOUR, Tables.eventsOf(s, d, "error")).df
+        .select(col("user_id"), col("ts"), col("value"))
+        .orderBy("user_id", "ts", "value"),
+      Some(s"""WITH p AS (SELECT user_id, epoch_ns(ts) AS ts, value
+             |    FROM events WHERE event_type='purchase'),
+             |r AS (SELECT user_id, epoch_ns(ts) AS ts
+             |    FROM events WHERE event_type='error'),
+             |kept AS (SELECT p.user_id, p.ts + ${HOUR} AS ts, p.value FROM p
+             |  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = p.user_id
+             |    AND r.ts >= p.ts AND r.ts <= p.ts + ${HOUR})),
+             |samp AS (SELECT r.user_id, r.ts, p.value
+             |  FROM (SELECT user_id, ts FROM r) r
+             |  ASOF JOIN p ON r.user_id = p.user_id AND r.ts >= p.ts)
+             |SELECT user_id, ts, value FROM kept
+             |UNION ALL SELECT user_id, ts, value FROM samp
+             |ORDER BY 1,2,3""".stripMargin)),
+
+    // rolling time-weighted moments over the last 5 SAMPLES (ops.rs:2223):
+    // sample i contributes weight Δt_i = ts_{i+1} - ts_i once its successor
+    // arrives; the newest sample is weightless — so the state at row k is
+    // exactly rows [k-4, k-1] weighted by their committed Δt.
+    "evt_tw_rolling" -> Q(
+      (s, d) => ScanOps.rollingTimeWeighted(ev(s, d), 5).df
+        .select(col("user_id"), col("ts"), r4(col("tw_mean")).as("tw_mean"),
+          r4(col("tw_var")).as("tw_var"), r4(col("tw_std")).as("tw_std"))
+        .orderBy("user_id", "ts"),
+      Some(s"""WITH x AS (SELECT user_id, ts, seq, value,
+             |    CAST(lead(ts) OVER w - ts AS DOUBLE) AS dt
+             |  FROM ($E) WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+             |y AS (SELECT user_id, ts, value,
+             |    sum(value*dt) OVER w2 AS wv,
+             |    sum(value*value*dt) OVER w2 AS wv2,
+             |    sum(dt) OVER w2 AS w
+             |  FROM x WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, seq
+             |    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, ts,
+             |  round(1e-9 + CASE WHEN coalesce(w,0) > 0 THEN wv/w ELSE value END,4) AS tw_mean,
+             |  round(1e-9 + CASE WHEN coalesce(w,0) > 0
+             |    THEN greatest(wv2/w - (wv/w)*(wv/w), 0) ELSE 0 END,4) AS tw_var,
+             |  round(1e-9 + CASE WHEN coalesce(w,0) > 0
+             |    THEN sqrt(greatest(wv2/w - (wv/w)*(wv/w), 0)) ELSE 0 END,4) AS tw_std
+             |FROM y ORDER BY 1,2""".stripMargin)),
+
+    // time-windowed time-weighted moments over the last 1h (ops.rs:2382):
+    // same committed-Δt weighting, retention ts_i >= ts_k - 1h (an entry
+    // exactly window old is retained, stats.rs:87-89). Oracle folds the
+    // running prefix into a list and filters it per row (DuckDB lambdas).
+    "evt_tw_timewin" -> Q(
+      (s, d) => ScanOps.timeWindowedTimeWeighted(ev(s, d), HOUR).df
+        .select(col("user_id"), col("ts"), r4(col("tw_mean")).as("tw_mean"),
+          r4(col("tw_var")).as("tw_var"), r4(col("tw_std")).as("tw_std"))
+        .orderBy("user_id", "ts"),
+      Some(s"""WITH x AS (SELECT user_id, ts, seq, value,
+             |    CAST(lead(ts) OVER w - ts AS DOUBLE) AS dt
+             |  FROM ($E) WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+             |y AS (SELECT user_id, ts, value,
+             |    list(struct_pack(t := ts, vdt := value*dt,
+             |      v2dt := value*value*dt, dt := dt)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, seq
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS items
+             |  FROM x),
+             |z AS (SELECT user_id, ts, value,
+             |    list_sum(list_transform(list_filter(coalesce(items, []),
+             |      s -> s.t >= ts - ${HOUR}), s -> s.vdt)) AS wv,
+             |    list_sum(list_transform(list_filter(coalesce(items, []),
+             |      s -> s.t >= ts - ${HOUR}), s -> s.v2dt)) AS wv2,
+             |    list_sum(list_transform(list_filter(coalesce(items, []),
+             |      s -> s.t >= ts - ${HOUR}), s -> s.dt)) AS w
+             |  FROM y)
+             |SELECT user_id, ts,
+             |  round(1e-9 + CASE WHEN coalesce(w,0) > 0 THEN wv/w ELSE value END,4) AS tw_mean,
+             |  round(1e-9 + CASE WHEN coalesce(w,0) > 0
+             |    THEN greatest(wv2/w - (wv/w)*(wv/w), 0) ELSE 0 END,4) AS tw_var,
+             |  round(1e-9 + CASE WHEN coalesce(w,0) > 0
+             |    THEN sqrt(greatest(wv2/w - (wv/w)*(wv/w), 0)) ELSE 0 END,4) AS tw_std
+             |FROM z ORDER BY 1,2""".stripMargin)),
+
     "evt_tw_cumulative" -> Q(
       (s, d) => ScanOps.cumulativeTimeWeighted(ev(s, d)).df
         .select(col("user_id"), col("ts"), r4(col("tw_mean")).as("tw_mean"),

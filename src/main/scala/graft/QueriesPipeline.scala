@@ -108,6 +108,32 @@ object QueriesPipeline {
        |  FROM m GROUP BY 1,2)""".stripMargin
   }
 
+  // ── ANN oracle: the 32 hyperplanes (8 tables × 4 planes) as SQL literals ──
+  private val AnnDim = 64
+  private val annOracle: String = {
+    val planeRows = (0 until 32).map { p =>
+      val w = Similarity.planeVec(p, AnnDim).map(_.toLong).mkString("[", ",", "]")
+      s"($p, $w::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pl AS (SELECT * FROM (VALUES
+       |    $planeRows) AS p(i, w)),
+       |sg AS (SELECT vec_id, i,
+       |    CASE WHEN list_dot_product(v, w) >= 0 THEN '1' ELSE '0' END AS s
+       |  FROM e, pl),
+       |bk AS (SELECT vec_id, i // 4 AS tbl, string_agg(s, '' ORDER BY i) AS bucket
+       |  FROM sg GROUP BY 1,2),
+       |cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id AS nid
+       |  FROM bk bq JOIN bk bc ON bq.tbl = bc.tbl AND bq.bucket = bc.bucket
+       |  WHERE bq.vec_id < 10 AND bq.vec_id <> bc.vec_id),
+       |s AS (SELECT qid, nid, list_cosine_similarity(eq.v, ec.v) AS sim
+       |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e ec ON ec.vec_id = nid),
+       |r AS (SELECT qid, nid, round(1e-9 + sim,4) AS sim,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY round(1e-9 + sim,4) DESC, nid) AS BIGINT) AS rank FROM s)
+       |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   val entries: Seq[(String, Q)] = Seq(
 
     "doc_token_stats" -> Q(
@@ -325,11 +351,16 @@ object QueriesPipeline {
 
     // LSH-bucketed ANN (the scale path; deterministic md5-derived planes).
     // Same output shape as emb_cosine_topk restricted to in-bucket pairs.
+    // The planes are PLAN-TIME literals (Similarity.planeVec), so the
+    // oracle replicates them as literal DOUBLE[] values — the full
+    // bucket->candidate->cosine->topk pipeline is SQL-checked, closing the
+    // round-1/2 no_oracle gap. dimHint pins both engines to the same plane
+    // length (a testdata dim change fails loudly on the Spark side).
     "emb_ann_lsh" -> Q(
       (s, d) => Similarity.annTopK(
-        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3, 4)
+        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3, 4, dimHint = AnnDim)
         .orderBy("qid", "rank"),
-      None), // hyperplane fold not practical in SQL — rows-only + ScalaTest
+      Some(annOracle)),
 
     // cosine of each vector to its label centroid (cluster cohesion).
     "emb_centroid_cos" -> Q(

@@ -499,6 +499,32 @@ final case class Timeline(
 }
 
 object Timeline {
+
+  /** §2.14 `build_dataframe` (reference
+    * `wingfoil-python/examples/dataframe.py:1-58`): outer-join n streams on
+    * engine time into ONE wide frame — a row per (keys, ts) instant where
+    * ANY stream ticked; each named column carries that stream's value at
+    * that instant (the last of its burst, the node's end-of-cycle slot),
+    * null where it didn't tick. Spark is the native home of this feature:
+    * one union + one hash aggregate, no carry-forward window needed. All
+    * streams must share the same key columns. */
+  def dataframe(streams: Seq[(String, Timeline)]): DataFrame = {
+    require(streams.nonEmpty)
+    val ks = streams.head._2.keys
+    require(streams.forall(_._2.keys == ks), "streams must share key columns")
+    val tagged = streams.zipWithIndex.map { case ((_, t), i) =>
+      t.ticks.select((ks.map(col) :+ col("ts") :+ col("seq") :+
+        lit(i).as("__src") :+ col(t.valueCol).cast("double").as("__v")): _*)
+    }
+    val u = tagged.reduce(_ unionByName _)
+    val aggs = streams.zipWithIndex.map { case ((name, _), i) =>
+      // max_by ignores rows whose ordering key is null (other sources)
+      max_by(when(col("__src") === i, col("__v")), when(col("__src") === i, col("seq")))
+        .as(name)
+    }
+    u.groupBy((ks.map(col) :+ col("ts")): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** `replay_results` (reference `fluent.rs:252`): literal timestamped rows —
     * the test workhorse. seq = supply order within equal ts. */
   def fromRows(spark: org.apache.spark.sql.SparkSession, rows: Seq[(Long, Double)], keys: Seq[(String, String)] = Nil): Timeline = {
