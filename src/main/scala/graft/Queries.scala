@@ -271,9 +271,11 @@ object Queries {
              |ORDER BY 1,2""".stripMargin)),
 
     "evt_cumulative_stats" -> Q(
-      (s, d) => ev(s, d)
-        .cumulative("sum" -> "c_sum", "mean" -> "c_mean", "min" -> "c_min",
-          "max" -> "c_max", "var" -> "c_var", "std" -> "c_std", "median" -> "c_median").df
+      // median rides the two-heap scan (O(log n)/tick), NOT the expanding
+      // window frame (O(n²) per key — fatal on an unbounded prefix at scale)
+      (s, d) => ScanOps.cumulativeMedian(
+        ev(s, d).cumulative("sum" -> "c_sum", "mean" -> "c_mean", "min" -> "c_min",
+          "max" -> "c_max", "var" -> "c_var", "std" -> "c_std"), "c_median").df
         .select(col("user_id"), col("ts"), r4(col("c_sum")).as("c_sum"),
           r4(col("c_mean")).as("c_mean"), r4(col("c_min")).as("c_min"),
           r4(col("c_max")).as("c_max"), r4(col("c_var")).as("c_var"),

@@ -557,6 +557,17 @@ object Timeline {
     Timeline(Seq.empty[(Long, Long, Double)].toDF("ts", "seq", "value"))
   }
 
+  /** `source_at_start` (reference `fluent.rs:349-361`, `interp.rs:1017`):
+    * the deferred-connection primitive — wiring stays pure, I/O is
+    * established at run start. Spark's data source API already opens
+    * connections at query start, so the genuine content here is deferring
+    * the BUILD (schema inference, connection config) out of wiring time:
+    * `open` runs `setup` on first access, exactly once. */
+  final class DeferredSource(setup: () => Timeline) {
+    lazy val open: Timeline = setup()
+  }
+  def sourceAtStart(setup: () => Timeline): DeferredSource = new DeferredSource(setup)
+
   /** `poll` (reference `ops.rs:2899`, realtime busy-spin): evaluated once
     * per engine cycle, ticking on Some. Historical/batch form: the poll
     * function replayed over the ticker's cycles (cycle index → Option) —

@@ -177,6 +177,27 @@ object ScanOps {
     t.copy(df = d)
   }
 
+  /** `cumulative_median` (reference `ops.rs:1440-1470`) as a two-heap
+    * running median: O(log n) per tick, O(n) state per key — the scale-safe
+    * form of the expanding-frame median. The window-function form
+    * ([[Timeline.cumulative]] "median") re-sorts the whole expanding prefix
+    * per row (O(n²) memory bandwidth per key — the reference shares that
+    * bound, `stats.rs:82-85`, but an unbounded prefix at 100× data does
+    * not). Even count averages the two middle values (stats.rs:53-55). */
+  def cumulativeMedian(t: Timeline, out: String = "c_median"): Timeline = {
+    val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Seq(out)) { () =>
+      val lo = mutable.PriorityQueue.empty[Double] // max-heap: lower half
+      val hi = mutable.PriorityQueue.empty[Double](Ordering[Double].reverse) // min-heap
+      (_: Long, sample: Double) => {
+        if (lo.isEmpty || sample <= lo.head) lo.enqueue(sample) else hi.enqueue(sample)
+        if (lo.size > hi.size + 1) hi.enqueue(lo.dequeue())
+        else if (hi.size > lo.size) lo.enqueue(hi.dequeue())
+        Some(Seq(if (lo.size == hi.size) (lo.head + hi.head) / 2.0 else lo.head))
+      }
+    }
+    t.copy(df = d)
+  }
+
   // ── time-weighted medians (reference `ops.rs:2502-2668`, stats.rs:164-172) ──
 
   /** Weighted median of (value, arrivalTs) samples at engine time `now`:

@@ -48,3 +48,33 @@ final class Channel(spark: SparkSession) {
   /** The stream end — wire into [[RunMode.streaming]]. */
   def toDS: Dataset[Ev] = mem.toDS()
 }
+
+object Channel {
+
+  /** `external` (reference `fluent.rs:291`, `interp.rs:430,614`): the
+    * thread-fed wake-the-kernel source. Same transport as `channel` minus
+    * the timestamped-replay envelope — the sender stamps event time at
+    * send. Realtime-only in the reference; here the historical leg is the
+    * recorded rows re-read as a batch frame (RunMode duality). */
+  def external(spark: SparkSession): Channel = new Channel(spark)
+
+  /** `produce_async` (reference `async_source.rs:1-70`): an async producer
+    * of timestamped values with BOUNDED look-ahead — the producer may run
+    * at most `buffer` rows ahead of delivery (`async_source.rs:23-45`).
+    * Here the producer iterator is pulled `buffer` rows at a time and each
+    * chunk delivered as one micro-batch: the pull is the backpressure (an
+    * iterator cannot run ahead of its consumer), and the timestamped rows
+    * replay deterministically whatever the producer's own timing was.
+    * Returns the number of rows delivered. */
+  def produceAsync(ch: Channel, rows: Iterator[(String, Long, Double)],
+      buffer: Int = 1024): Long = {
+    require(buffer >= 1)
+    var n = 0L
+    rows.grouped(buffer).foreach { chunk =>
+      chunk.foreach { case (k, ts, v) => ch.sendAt(k, ts, v) }
+      ch.flush()
+      n += chunk.length
+    }
+    n
+  }
+}

@@ -34,6 +34,35 @@ class ChannelSpec extends SparkSuite {
       ("b", 10L, 10.0), ("b", 30L, 15.0)))
   }
 
+  test("produceAsync: bounded look-ahead chunks replay deterministically (async_source.rs)") {
+    val ch = Channel.external(spark) // external ≡ thread-fed channel ingress
+    val q = RunMode.streaming(ch.toDS, StateProcs.ewma(ScanOps.PerTick(0.5)))
+      .writeStream.format("memory").queryName("pa_ewma").outputMode("append").start()
+    // producer iterator that counts how far it has been pulled: the chunked
+    // pull IS the backpressure — it can never run a full buffer ahead
+    var produced = 0
+    val rows = Iterator.tabulate(10) { i =>
+      produced += 1; ("a", (i + 1) * 10L, (i + 1).toDouble)
+    }
+    val n = Channel.produceAsync(ch, rows.map { r => q.processAllAvailable(); r }, buffer = 3)
+    q.processAllAvailable(); q.stop()
+    assert(n == 10L && produced == 10)
+    val streamed = spark.table("pa_ewma").count()
+    assert(streamed == 10L, "every produced row delivered exactly once")
+  }
+
+  test("sourceAtStart: setup runs at open, once, not at wiring (fluent.rs:349)") {
+    var opened = 0
+    val src = graft.core.Timeline.sourceAtStart { () =>
+      opened += 1
+      graft.core.Timeline.fromRows(spark, Seq(10L -> 1.0, 20L -> 2.0))
+    }
+    assert(opened == 0, "wiring stays pure — no I/O before run start")
+    assert(src.open.df.count() == 2 && opened == 1)
+    src.open.df.count()
+    assert(opened == 1, "connection established exactly once")
+  }
+
   test("WeightedMomentsAgg: typed agg + SQL registration (§2.13 udaf surface)") {
     val agg = udaf(new WeightedMomentsAgg)
     // weighted mean of (1 w2, 4 w1): (2+4)/3 = 2; popvar: (2*(1-2)^2 + (4-2)^2)/3 = 2

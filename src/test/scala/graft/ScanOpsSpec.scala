@@ -77,6 +77,18 @@ class ScanOpsSpec extends SparkSuite {
     assert(got == Seq((25L, 2.0), (45L, 3.0), (100L, 3.0)))
   }
 
+  test("cumulativeMedian two-heap scan == expanding-window median (stats.rs:53-55)") {
+    val rows = Seq(5.0, 1.0, 3.0, 3.0, 9.0, 2.0, 7.0, 4.0).zipWithIndex
+      .map { case (v, i) => ((i + 1) * 10L, v) }
+    val t = Timeline.fromRows(spark, rows)
+    val scan = ScanOps.cumulativeMedian(t, "m").df
+      .select("ts", "m").orderBy("ts").as[(Long, Double)].collect().toSeq
+    val win = t.cumulative("median" -> "m").df
+      .select("ts", "m").orderBy("ts").as[(Long, Double)].collect().toSeq
+    assert(scan == win, "O(log n) heap scan matches the window-frame median exactly")
+    assert(scan.map(_._2) == Seq(5.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.5))
+  }
+
   test("delayWithReset: silent slot-seeds on the reset stream never trigger (ADVICE r2)") {
     val src = Timeline.fromRows(spark, Seq(10L -> 1.0, 20L -> 2.0, 30L -> 3.0))
     // resets arrive through delay: its __silent seed row (ts=25, pre-delay)
