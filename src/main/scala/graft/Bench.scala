@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: first job pays JIT + codegen-compiler + Hadoop-path
+    // init (~6s) regardless of which query runs first; absorb it here so
+    // per-query numbers reflect steady state
+    spark.range(0, 1000000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
     // noop-format write: executes the FULL plan (projections, sorts) —
     // .count() would let Catalyst prune projections and eliminate sorts.
     val results = SparkEntry.queries.map { case (name, fn) =>
