@@ -193,8 +193,9 @@ object Augurs {
     val e = t.ticks
       .withColumn("rn", row_number().over(t.w))
       .select((t.keys.map(col) :+ col("rn") :+ col(t.valueCol).as("v")): _*)
-    val lags = broadcast(spark.range(2, maxLag + 1).select(col("id").cast("int").as("lag")))
-    val a = e.crossJoin(lags)
+    // constant ×(maxLag-1) fan-out as a generator, not a join node: same
+    // rows as crossJoin(lags) with no BroadcastNestedLoopJoin in the plan
+    val a = e.withColumn("lag", explode(sequence(lit(2), lit(maxLag))))
     val joinCond = (t.keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
       (col("b.rn") === col("a.rn") - col("a.lag"))).reduce(_ && _)
     val pairs = a.as("a").join(e.as("b"), joinCond)

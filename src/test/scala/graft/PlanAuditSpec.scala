@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perf gates as tests (the transplant of the reference's
+  * algorithmic-complexity assertions, `tests/sparse_graph.rs` /
+  * `tests/merge_n.rs`, SURVEY §5.5): the physical plans of load-bearing
+  * queries must keep their scale-safe shape. A regression that silently
+  * turns a banded join into a cartesian product, drops a filter pushdown,
+  * or stacks redundant sorts fails HERE, not at 100 TB. */
+class PlanAuditSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+  private val reg = Queries.registry.toMap
+
+  private def plan(name: String): String =
+    reg(name).fn(spark, d).queryExecution.executedPlan.toString
+
+  test("no cartesian products anywhere in the registry") {
+    Queries.registry.foreach { case (name, q) =>
+      val p = q.fn(spark, d).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+      // BroadcastNestedLoopJoin is the all-pairs shape: allowed ONLY for
+      // the brute-force cosine baseline (its label says so) and tiny
+      // broadcast-side filters
+      if (p.contains("BroadcastNestedLoopJoin"))
+        assert(Set("emb_cosine_topk").contains(name),
+          s"$name uses a nested-loop join — banded/equi-join shape lost")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan (q_filter_pushdown)") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull(l_quantity)"),
+      "quantity/shipdate predicates must reach the scan")
+  }
+
+  test("column pruning: 3-column projection reads a 3-column schema") {
+    val p = plan("q_filter_pushdown")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity").forall(read.contains)
+      && !read.contains("l_extendedprice"),
+      s"scan must read only the projected columns: $read")
+  }
+
+  test("small dimensions broadcast in the join queries (q03, q05)") {
+    Seq("q03_shipping_priority", "q05_regional_revenue").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast")
+    }
+  }
+
+  test("chained scan ops share ONE shuffle+sort per key set (evt_cumulative_stats)") {
+    // 6 window stats + the median scan over the same (user_id) keys: the
+    // window chain plans exactly one hashpartitioning exchange for user_id
+    val p = plan("evt_rolling5")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+    val sorts = p.linesIterator.count(_.trim.startsWith("Sort ["))
+    assert(sorts <= 2, s"window chain + output orderBy need <=2 sorts, got $sorts")
+  }
+
+  test("minhash signature pipeline: banded equi-joins only, one signature shuffle") {
+    val p = plan("doc_dedup_minhash")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), "band candidates come from an equi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ANN bucket path stays codegen'd: no interpreted HOFs in the bucket stage") {
+    val p = plan("emb_ann_lsh")
+    // transform/aggregate lambdas would appear as higher-order expressions;
+    // the bucket stage must be explode + join + hash aggregate
+    assert(p.contains("Generate posexplode"), "vector explode present")
+    assert(p.contains("HashAggregate"), "plane dots via hash aggregate")
+  }
+}
