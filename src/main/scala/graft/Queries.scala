@@ -612,6 +612,42 @@ object Queries {
              |    THEN sqrt(greatest(wv2/w - (wv/w)*(wv/w), 0)) ELSE 0 END,4) AS tw_std
              |FROM z ORDER BY 1,2""".stripMargin)),
 
+    // rolling(5) time-weighted median (ops.rs:2502, stats.rs:164-172): the
+    // last-5-samples buffer weighted by committed Δt; median = value where
+    // cumulative weight (ordered by value) crosses half, exact-half
+    // averaging the two straddling values; no positive weights → current
+    // sample. Oracle unnests the per-row item window and replays the
+    // crossing with window sums.
+    "evt_tw_median" -> Q(
+      (s, d) => ScanOps.medianTimeWeighted(ev(s, d), "rolling", windowCount = 5).df
+        .select(col("user_id"), col("ts"), r4(col("tw_median")).as("tw_median"))
+        .orderBy("user_id", "ts"),
+      Some(s"""WITH x AS (SELECT user_id, ts, seq, value,
+             |    CAST(lead(ts) OVER w - ts AS DOUBLE) AS dt
+             |  FROM ($E) WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+             |y AS (SELECT user_id, ts, seq, value,
+             |    list(struct_pack(v := value, w := dt)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, seq
+             |       ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS items
+             |  FROM x),
+             |f AS (SELECT user_id, ts, seq, it.v AS v, it.w AS w
+             |  FROM (SELECT user_id, ts, seq, unnest(coalesce(items, [])) AS it FROM y)
+             |  WHERE it.w > 0),
+             |c AS (SELECT user_id, ts, seq, v, w,
+             |    sum(w) OVER (PARTITION BY user_id, ts, seq ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY user_id, ts, seq) AS tot,
+             |    lead(v) OVER (PARTITION BY user_id, ts, seq ORDER BY v) AS nxt
+             |  FROM f),
+             |m AS (SELECT user_id, ts, seq,
+             |    min(CASE WHEN cum > tot/2 THEN v END) AS over_v,
+             |    min(CASE WHEN cum = tot/2 THEN (v + nxt)/2 END) AS eq_v
+             |  FROM c GROUP BY 1,2,3)
+             |SELECT y.user_id, y.ts,
+             |  round(1e-9 + coalesce(m.eq_v, m.over_v, y.value),4) AS tw_median
+             |FROM y LEFT JOIN m ON y.user_id = m.user_id AND y.ts = m.ts AND y.seq = m.seq
+             |ORDER BY 1,2""".stripMargin)),
+
     "evt_tw_cumulative" -> Q(
       (s, d) => ScanOps.cumulativeTimeWeighted(ev(s, d)).df
         .select(col("user_id"), col("ts"), r4(col("tw_mean")).as("tw_mean"),
