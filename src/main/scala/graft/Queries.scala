@@ -2,6 +2,7 @@ package graft
 
 import graft.core.Timeline
 import graft.ops.ScanOps
+import graft.streaming.{DynamicGroup, RunMode}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -477,6 +478,55 @@ object Queries {
              |FROM (SELECT user_id, ts, value, row_number() OVER
              |        (PARTITION BY user_id ORDER BY ts, seq) AS rn FROM ($E))
              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // dynamic_group (interp.rs:3901, §2.11): keyed sub-computation
+    // lifecycle on the shared stream — click = Add (create, idempotent),
+    // purchase = Data (fold running sum, emit), error = Del (emit final
+    // sum flagged closed=1, drop state; Data/Del without a live group is
+    // ignored). Runs through the BurstProc machinery (both RunModes).
+    "dyn_group" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val evds = Tables.events(s, d).df
+          .where(col("event_type").isin("click", "purchase", "error"))
+          .select(col("user_id").as("key"), col("ts"), col("seq"),
+            when(col("event_type") === "click", lit(DynamicGroup.Add))
+              .when(col("event_type") === "error", lit(DynamicGroup.Del))
+              .otherwise(lit(DynamicGroup.Data)).as("src"),
+            col("value")).as[graft.streaming.Ev]
+        RunMode.batch(evds, DynamicGroup.proc[Double](
+          () => 0.0, (sum, v) => (sum + v, sum + v), sum => Some(sum)))
+          // Ev.key is String (the BurstProc transport type); restore the
+          // source's long user_id for the cross-engine schema match
+          .select(col("key").cast("long").as("user_id"), col("ts"),
+            r4(col("v1")).as("v"), col("v2").cast("long").as("closed"))
+          .orderBy("user_id", "ts", "v")
+      },
+      Some("""WITH b AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq,
+             |    event_type, value
+             |  FROM events WHERE event_type IN ('click','purchase','error')),
+             |e AS (SELECT *, row_number() OVER
+             |      (PARTITION BY user_id ORDER BY ts, seq) AS rn,
+             |    coalesce(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) OVER
+             |      (PARTITION BY user_id ORDER BY ts, seq
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+             |  FROM b),
+             |o AS (SELECT *, min(CASE WHEN event_type='click' THEN rn END) OVER
+             |      (PARTITION BY user_id, seg ORDER BY rn
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fc
+             |  FROM e),
+             |c AS (SELECT *, sum(CASE WHEN event_type='purchase' AND fc IS NOT NULL
+             |      THEN value END) OVER
+             |      (PARTITION BY user_id, seg ORDER BY rn
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM o)
+             |SELECT user_id, ts, round(1e-9 + cum,4) AS v, CAST(0 AS BIGINT) AS closed
+             |  FROM c WHERE event_type='purchase' AND fc IS NOT NULL
+             |UNION ALL
+             |SELECT user_id, ts, round(1e-9 + coalesce(cum, 0),4) AS v,
+             |    CAST(1 AS BIGINT) AS closed
+             |  FROM c WHERE event_type='error' AND fc IS NOT NULL
+             |ORDER BY 1,2,3""".stripMargin)),
 
     // §2.14 build_dataframe: outer-join streams on engine time — a row per
     // instant where either stream ticked, nulls where a stream was quiet.

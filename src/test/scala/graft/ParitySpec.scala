@@ -180,6 +180,47 @@ class ParitySpec extends SparkSuite {
     assert(stream == batch, "exact window rows incl. per-key boundaries")
   }
 
+  test("timer delay: transformWithState event-time timers == batch ts shift (ops.rs:3090)") {
+    import graft.streaming.TimerDelay
+    val M = 1000000L // ms-aligned ns clock (Spark timers are ms-precision)
+    val evs = Seq(
+      Ev("a", 100 * M, 1L, 0, 1.0), Ev("a", 250 * M, 2L, 0, 2.0),
+      Ev("a", 250 * M, 3L, 0, 3.0), // same-instant burst delays as a unit
+      Ev("b", 120 * M, 4L, 0, 10.0))
+    val delayNs = 50 * M
+
+    // streaming leg: RocksDB provider (transformWithState requirement),
+    // watermark advanced past every landing by sentinel rows
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      val q = TimerDelay.delayed(mem.toDS(), delayNs)
+        .writeStream.format("memory").queryName("tws_delay").outputMode("append").start()
+      mem.addData(evs.filter(_.ts <= 150 * M)); q.processAllAvailable()
+      mem.addData(evs.filter(_.ts > 150 * M)); q.processAllAvailable()
+      mem.addData(Seq(Ev("z", 1000 * M, 98L, 0, 0.0))); q.processAllAvailable()
+      mem.addData(Seq(Ev("z", 2000 * M, 99L, 0, 0.0))); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_delay").as[Out].collect()
+        .filterNot(_.key == "z").map(o => (o.key, o.ts, o.v1)).toSeq.sorted
+
+      val batch = tl(evs).delay(delayNs).ticks
+        .select(col("key"), col("ts"), col("value"))
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      assert(streamed == batch,
+        "event-time timers deliver exactly the batch ts-shift rows")
+      assert(streamed.map(_._2).toSet == Set(150 * M, 300 * M, 170 * M))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("feedback: previous cycle's output feeds the next cycle (fluent.rs:363, §7.4 subset)") {
     import graft.streaming.Feedback
     // EMA of own output: out = fed*0.5 + input*0.5; first cycle passes input
