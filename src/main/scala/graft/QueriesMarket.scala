@@ -1,7 +1,7 @@
 package graft
 
 import graft.Queries.Q
-import graft.market.{BookUpdateIn, OrderBookOp}
+import graft.market.{BookUpdateIn, MarketEventRow, MarketEvents, OrderBookOp}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,7 +42,42 @@ object QueriesMarket {
       }
   }
 
+  /** Deterministic mixed MarketEvent stream from events: purchases are
+    * trade prints (price/qty on the book_top grids, aggressor side from
+    * id parity), everything else a book delta — the demux input shape. */
+  def marketEventsFromEvents(s: SparkSession, d: String): Dataset[MarketEventRow] = {
+    import s.implicits._
+    Tables.events(s, d).df
+      .select(col("user_id"), col("ts"), col("seq"), col("value"), col("event_type"))
+      .as[(Long, Long, Long, Double, String)]
+      .map { case (uid, ts, seq, value, et) =>
+        if (et == "purchase")
+          MarketEventRow(ts, seq, uid.toString, "trade", Some(ts - 1000L),
+            Some(if (seq % 2 == 0) "buy" else "sell"),
+            Some(BigDecimal(math.floor(value).toLong % 20)),
+            Some(BigDecimal(math.floor(value * 10).toLong % 7 + 1)),
+            Some(s"t$seq"), Nil, Nil, Nil, None, None)
+        else
+          MarketEventRow(ts, seq, uid.toString, "delta", None, None, None, None,
+            None, Nil, Nil, Seq(("bid", BigDecimal(1), BigDecimal(1))), None, None)
+      }
+  }
+
   val entries: Seq[(String, Q)] = Seq(
+
+    // trades() demux (market.rs:1262-1351): the typed trade stream out of
+    // the mixed variant stream — pure filter+projection, no shuffle.
+    "mkt_trades" -> Q(
+      (s, d) => MarketEvents.trades(marketEventsFromEvents(s, d)).toDF()
+        .select(col("instrument").cast("long").as("user_id"), col("ts"), col("seq"),
+          col("side"), col("price").cast("double").as("price"),
+          col("qty").cast("double").as("qty"))
+        .orderBy("user_id", "seq"),
+      Some("""SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq,
+             |  CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+             |  CAST(CAST(floor(value) AS BIGINT) % 20 AS DOUBLE) AS price,
+             |  CAST(CAST(floor(value*10) AS BIGINT) % 7 + 1 AS DOUBLE) AS qty
+             |FROM events WHERE event_type='purchase' ORDER BY 1,3""".stripMargin)),
 
     "book_top" -> Q(
       (s, d) => OrderBookOp.batch(updatesFromEvents(s, d)).toDF()
