@@ -136,6 +136,25 @@ object StateProcs {
     }
   }
 
+  final case class GateS(hasV: Boolean, v: Double, hasC: Boolean, c: Boolean)
+
+  /** `filter` on a condition stream (reference `ops.rs:2671`): a latch —
+    * src 0 = value, src 1 = condition (pred applied to its value). One
+    * emission per cycle when the held condition is true and a value has
+    * ticked; condition ticks resample the held source (after its first
+    * tick) — the [[graft.core.Timeline.filterGate]] semantics. */
+  def filterGate(pred: Double => Boolean): BurstProc[GateS] = new BurstProc[GateS] {
+    def init(): GateS = GateS(hasV = false, 0.0, hasC = false, c = false)
+    def onBurst(s: GateS, key: String, ts: Long, evs: Seq[Ev]): (GateS, Seq[Out]) = {
+      var st = s
+      evs.foreach { ev =>
+        if (ev.src == 0) st = st.copy(hasV = true, v = ev.value)
+        else st = st.copy(hasC = true, c = pred(ev.value))
+      }
+      (st, if (st.hasV && st.hasC && st.c) Seq(Out(key, ts, st.v, 0.0)) else Nil)
+    }
+  }
+
   /** `merge` (reference `ops.rs:3156`): same-cycle tie → lowest src wins,
     * the winner's whole burst survives, other sources' rows drop. */
   def merge: BurstProc[NoS] = new BurstProc[NoS] {

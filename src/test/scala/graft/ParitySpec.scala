@@ -134,6 +134,12 @@ class ParitySpec extends SparkSuite {
     assert(agreed == t)
   }
 
+  test("filter gate latch: batch == streaming == Timeline as-of union") {
+    val agreed = parity("gate", dual, P.filterGate(_ >= 65.0))
+    val t = tl(dual, 0).filterGate(tl(dual, 1).mapValue(_ >= 65.0))
+    assert(agreed == tlOut(t.df, "value"))
+  }
+
   test("merge tie-break: batch == streaming == Timeline merge") {
     val agreed = parity("merge", dual, P.merge)
     assert(agreed == tlOut(tl(dual, 0).merge(tl(dual, 1)).df, "value"))
