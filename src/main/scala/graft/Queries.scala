@@ -328,6 +328,24 @@ object Queries {
              |    (acc, x) -> acc + 0.2*(x - acc)),4) AS ewma
              |FROM ($E) ORDER BY 1,2""".stripMargin)),
 
+    // EWMA with half-life decay (ops.rs:875-889): alpha depends on the gap
+    // to the previous tick — alpha = 1 - 2^(-Δt/halfLife). Oracle replays
+    // the recursion with a struct-accumulator list_reduce over the running
+    // (ts, value) prefix. Half-life = 1h of the ns clock.
+    "evt_ewma_hl" -> Q(
+      (s, d) => ScanOps.ewma(ev(s, d), ScanOps.HalfLife(HOUR.toDouble), "ewma").df
+        .select(col("user_id"), col("ts"), r4(col("ewma")).as("ewma"))
+        .orderBy("user_id", "ts"),
+      Some(s"""SELECT user_id, ts,
+             |  round(1e-9 + list_reduce(
+             |    list(struct_pack(t := ts, v := value)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, seq
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    (acc, x) -> struct_pack(t := x.t,
+             |      v := acc.v + (1 - exp(-((x.t - acc.t) / ${HOUR}.0) * ln(2)))
+             |             * (x.v - acc.v))).v,4) AS ewma
+             |FROM ($E) ORDER BY 1,2""".stripMargin)),
+
     "evt_sample_asof" -> Q(
       (s, d) => Tables.eventsOf(s, d, "purchase")
         .sample(Tables.eventsOf(s, d, "click")).df

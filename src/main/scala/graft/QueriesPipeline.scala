@@ -108,6 +108,32 @@ object QueriesPipeline {
        |  FROM m GROUP BY 1,2)""".stripMargin
   }
 
+  /** 60-bit SimHash signatures (doc_id, simhash) — see doc_simhash. */
+  private def simhashSig(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
+      .withColumn("h", TF.hash60(col("tok")))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    val recombine = (0 until 60)
+      .map(b => s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
+      .mkString(" + ")
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .selectExpr("doc_id", s"$recombine AS simhash")
+  }
+
+  /** Oracle CTEs computing `sim` (doc_id, simhash) — mirrors [[simhashSig]]. */
+  private val oracleSimhash: String =
+    s"""t AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${H60.format("tok")} AS h FROM t),
+       |bits AS (SELECT unnest(range(60)) AS b),
+       |sg AS (SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+       |  FROM h, bits GROUP BY 1,2),
+       |sim AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM sg GROUP BY 1)""".stripMargin
+
   // ── ANN oracle: the 32 hyperplanes (8 tables × 4 planes) as SQL literals ──
   private val AnnDim = 64
   private val annOracle: String = {
@@ -313,27 +339,40 @@ object QueriesPipeline {
     // Replaces both the round-1 60× bit crossJoin (2 shuffles of 60× rows)
     // and the interpreted per-doc HOF fold (no codegen, measured 7× slower).
     "doc_simhash" -> Q(
+      (s, d) => simhashSig(s, d).orderBy("doc_id"),
+      Some(s"""WITH $oracleSimhash
+              |SELECT doc_id, simhash FROM sim ORDER BY 1""".stripMargin)),
+
+    // SimHash near-dup pairs at hamming distance <= 3, banded: 60 bits cut
+    // into 4 bands of 15 — by pigeonhole a pair within distance 3 has at
+    // least one INTACT band, so the band-bucket equi-join finds EVERY such
+    // pair (no recall loss), and verification is bit_count(xor) on the
+    // candidates only. The oracle brute-forces all pairs — an
+    // algorithm-independent completeness check of the banding.
+    "doc_dedup_simhash" -> Q(
       (s, d) => {
-        val toks = docs(s, d)
-          .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
-          .withColumn("h", TF.hash60(col("tok")))
-        val bitSums = (0 until 60).map(b =>
-          sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
-        val recombine = (0 until 60)
-          .map(b => s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
-          .mkString(" + ")
-        toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .selectExpr("doc_id", s"$recombine AS simhash")
-          .orderBy("doc_id")
+        val sig = simhashSig(s, d)
+        val bands = sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            expr(s"(simhash >> ${15 * b}) & 32767").as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+        val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("x.simhash").as("sa"),
+            col("y.doc_id").as("b"), col("y.simhash").as("sb"))
+          .distinct()
+        cand.withColumn("dist", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+          .where(col("dist") <= 3)
+          .select(col("a"), col("b"), col("dist"))
+          .orderBy("a", "b")
       },
-      Some(s"""WITH t AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
-              |h AS (SELECT doc_id, ${H60.format("tok")} AS h FROM t),
-              |bits AS (SELECT unnest(range(60)) AS b),
-              |sg AS (SELECT doc_id, b,
-              |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-              |  FROM h, bits GROUP BY 1,2)
-              |SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-              |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(s"""WITH $oracleSimhash
+              |SELECT x.doc_id AS a, y.doc_id AS b,
+              |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+              |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+              |ORDER BY 1,2""".stripMargin)),
 
     // brute-force cosine top-3 for the first 10 query vectors — the
     // correctness baseline for ANN.
