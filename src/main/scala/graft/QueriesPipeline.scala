@@ -351,7 +351,9 @@ object QueriesPipeline {
     // algorithm-independent completeness check of the banding.
     "doc_dedup_simhash" -> Q(
       (s, d) => {
-        val sig = simhashSig(s, d)
+        // persist: the signature frame feeds both sides of the band
+        // self-join — without it the explode+md5+60-agg pipeline runs twice
+        val sig = simhashSig(s, d).persist()
         val bands = sig.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
             expr(s"(simhash >> ${15 * b}) & 32767").as("key"))): _*)).as("bk"))
