@@ -20,6 +20,10 @@ object Bench {
     // noop-format write: executes the FULL plan (projections, sorts) —
     // .count() would let Catalyst prune projections and eliminate sorts.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // per-query isolation: a persisted frame from one query must not
+      // serve an identical subplan in another (Spark's cache matches on
+      // canonicalized plans), or the second query's number is fiction
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
