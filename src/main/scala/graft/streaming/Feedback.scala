@@ -29,4 +29,25 @@ object Feedback {
       (FbS(has = true, out), Seq(Out(key, ts, out, 0.0)))
     }
   }
+
+  /** WHOLE-GRAPH feedback, bounded-epoch batch form: the reference's
+    * `run_for(cycles)` with a feedback edge re-runs the graph with last
+    * cycle's output as next cycle's feedback input — in Spark that is an
+    * iterative batch loop, one epoch per cycle. `localCheckpoint` after
+    * each epoch truncates the lineage (n epochs would otherwise build an
+    * n-deep plan and overwhelm the optimizer) and materializes the epoch
+    * exactly once. Cross-key/global aggregation inside `step` is allowed —
+    * this is the part per-key state ([[proc]]) cannot express. */
+  def iterateEpochs(start: org.apache.spark.sql.DataFrame, epochs: Int)(
+      step: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    require(epochs >= 0)
+    var cur = start
+    var i = 0
+    while (i < epochs) {
+      cur = step(cur).localCheckpoint(true)
+      i += 1
+    }
+    cur
+  }
 }

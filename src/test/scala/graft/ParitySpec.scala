@@ -227,6 +227,21 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("feedback whole-graph: bounded-epoch iteration with global aggregation (§7.4)") {
+    import graft.streaming.Feedback
+    import spark.implicits._
+    // global-mean smoothing: v' = (v + mean(all v)) / 2 — converges toward
+    // the mean; needs CROSS-KEY aggregation, outside the per-key subset
+    val start = Seq(("a", 0.0), ("b", 8.0)).toDF("k", "v")
+    val out = Feedback.iterateEpochs(start, 3) { df =>
+      val m = df.agg(avg("v")).head.getDouble(0)
+      df.withColumn("v", (col("v") + lit(m)) / 2)
+    }
+    val got = out.orderBy("k").as[(String, Double)].collect().toSeq
+    // mean stays 4: a: 0→2→3→3.5, b: 8→6→5→4.5
+    assert(got == Seq(("a", 3.5), ("b", 4.5)))
+  }
+
   test("feedback: previous cycle's output feeds the next cycle (fluent.rs:363, §7.4 subset)") {
     import graft.streaming.Feedback
     // EMA of own output: out = fed*0.5 + input*0.5; first cycle passes input

@@ -96,6 +96,22 @@ class PipelineSpec extends SparkSuite {
       "(8 tables x 4 planes on 500 vectors; measured 0.727 when frozen)")
   }
 
+  test("HLL sketch: approx_count_distinct within 5% of exact per source (M6 sketches)") {
+    // sketches can't hash-match a cross-engine oracle (implementation-
+    // specific registers) — the gate is relative error vs the exact count
+    val d = "/root/testdata/sf0.01"
+    val toks = Tables.documents(spark, d)
+      .select(col("source"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val got = toks.groupBy("source")
+      .agg(countDistinct("t").as("exact"), approx_count_distinct("t", 0.02).as("approx"))
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, exact, approx) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.05, f"$src: approx=$approx exact=$exact err=$err%.3f")
+    }
+  }
+
   test("annTopK: empty candidates -> empty result; dimHint skips inference (ADVICE r2)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
