@@ -497,6 +497,25 @@ object Queries {
              |        (PARTITION BY user_id ORDER BY ts, seq) AS rn FROM ($E))
              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // Whole-graph feedback (fluent.rs:363, §7.4): 3 epochs of global-mean
+    // smoothing v' = (v + mean(all v))/2 via Feedback.iterateEpochs. The
+    // oracle verifies with the CLOSED FORM (mean is invariant, deviations
+    // halve per epoch: v3 = m + (v-m)/8) — an algorithm-independent check
+    // of the iterative plan.
+    "evt_feedback_epochs" -> Q(
+      (s, d) => {
+        val start = ev(s, d).ticks.select(col("user_id"), col("ts"), col("value"))
+        graft.streaming.Feedback.iterateEpochs(start, 3) { df =>
+          val m = df.agg(avg("value")).head.getDouble(0)
+          df.withColumn("value", (col("value") + lit(m)) / 2)
+        }.select(col("user_id"), col("ts"), r4(col("value")).as("value"))
+          .orderBy("user_id", "ts")
+      },
+      Some(s"""WITH m AS (SELECT avg(value) AS m FROM events)
+             |SELECT user_id, epoch_ns(ts) AS ts,
+             |  round(1e-9 + m + (value - m)/8,4) AS value
+             |FROM events, m ORDER BY 1,2""".stripMargin)),
+
     // dynamic_group (interp.rs:3901, §2.11): keyed sub-computation
     // lifecycle on the shared stream — click = Add (create, idempotent),
     // purchase = Data (fold running sum, emit), error = Del (emit final
