@@ -108,17 +108,29 @@ object QueriesPipeline {
        |  FROM m GROUP BY 1,2)""".stripMargin
   }
 
-  /** 60-bit SimHash signatures (doc_id, simhash) — see doc_simhash. */
+  /** 60-bit SimHash signatures (doc_id, simhash) — see doc_simhash.
+    *
+    * Lane packing: 60 per-bit ±1 counters would need 60 aggregate columns
+    * (one huge codegen'd update method, ~2-3s one-time compile + 60-slot
+    * agg buffers); instead each agg packs FOUR one-bit counts into 16-bit
+    * lanes of one long — 15 packed sums + a row count. A lane holds ≤ n ≤
+    * 65535 (distinct tokens per doc), so lanes never carry into each
+    * other; the ±1 sign recovers as 2·ones − n. Identical simhash, ~4×
+    * less codegen and agg state. */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d)
       .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
       .withColumn("h", TF.hash60(col("tok")))
-    val bitSums = (0 until 60).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
-    val recombine = (0 until 60)
-      .map(b => s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))")
-      .mkString(" + ")
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 15).map { k =>
+      val lanes = (0 until 4)
+        .map(j => s"(((h >> ${k * 4 + j}) & 1) << ${16 * j})").mkString(" + ")
+      sum(expr(s"CAST($lanes AS BIGINT)")).as(s"p$k")
+    }
+    val recombine = (0 until 60).map { b =>
+      val k = b / 4; val j = b % 4
+      s"IF(2 * ((p$k >> ${16 * j}) & 65535) > n, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
+    }.mkString(" + ")
+    toks.groupBy("doc_id").agg(packed.head, (packed.tail :+ count(lit(1)).as("n")): _*)
       .selectExpr("doc_id", s"$recombine AS simhash")
   }
 
