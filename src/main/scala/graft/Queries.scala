@@ -114,6 +114,20 @@ object Queries {
              |  AND o_orderdate < TIMESTAMP '1995-01-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q6 shape: tight range+quantity predicates all pushed to the
+    // scan, single global aggregate — the pushdown-dominated profile.
+    "q06_forecast_revenue" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1994-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue")),
+      Some("""SELECT round(1e-9 + sum(l_extendedprice * l_discount),4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+             |  AND l_shipdate < TIMESTAMP '1995-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
     "q_top3_parts_per_brand" -> Q(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window

@@ -388,6 +388,49 @@ object QueriesPipeline {
               |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
               |ORDER BY 1,2""".stripMargin)),
 
+    // End-to-end corpus cleaning — the composition a training-data pipeline
+    // actually runs: quality gate, then language gate, then exact dedup
+    // among the SURVIVORS (keep = lowest doc_id per canonical fingerprint).
+    // Pure projections + one groupBy — at corpus scale this is a single
+    // scan-side filter chain and one shuffle on the fingerprint.
+    "doc_corpus_clean" -> Q(
+      (s, d) => {
+        val f = docs(s, d).select(col("doc_id"),
+          TF.fingerprint(col("text")).as("fp"),
+          r4(TF.qualityScore(col("text"))).as("q"),
+          TF.langGuess(col("text")).as("lg"))
+          .where(col("q") >= 0.5 && col("lg") === "en")
+        val keep = f.groupBy("fp").agg(min("doc_id").as("keep"))
+        f.join(keep, "fp").where(col("doc_id") === col("keep"))
+          .select(col("doc_id"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+              |  round(1e-9 + greatest(least(
+              |    least(length(text)::DOUBLE / 500.0, 1.0)*0.4
+              |    + least(CASE WHEN len(toks) > 0 THEN
+              |        len(list_filter(toks, x -> x IN ('the','and','of','to','in','a','is','it','on','for')))::DOUBLE / len(toks)
+              |        ELSE 0 END * 5.0, 1.0)*0.3
+              |    + (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |        / greatest(length(text), 1))*0.2
+              |    + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              |        / greatest(length(text), 1))*0.1, 1.0), 0.0),4) AS q,
+              |  CASE WHEN len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','it','that'))) > 0
+              |       AND len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','it','that'))) >=
+              |    greatest(
+              |      len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','un'))),
+              |      len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein','nicht','mit'))),
+              |      len(list_filter(toks, x -> x IN ('le','la','les','et','des','un','une','est'))),
+              |      len(list_filter(toks, x -> x IN ('de','shi','le','zai','you','wo','ta','men'))))
+              |    THEN 'en' ELSE 'other' END AS lg
+              |  FROM t),
+              |f AS (SELECT * FROM m WHERE q >= 0.5 AND lg = 'en'),
+              |k AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1)
+              |SELECT doc_id, q FROM f JOIN k USING (fp)
+              |WHERE doc_id = keep ORDER BY 1""".stripMargin)),
+
     // brute-force cosine top-3 for the first 10 query vectors — the
     // correctness baseline for ANN.
     "emb_cosine_topk" -> Q(
