@@ -395,11 +395,14 @@ object QueriesPipeline {
     // scan-side filter chain and one shuffle on the fingerprint.
     "doc_corpus_clean" -> Q(
       (s, d) => {
+        // persist: the survivor frame feeds BOTH the keep-groupBy and the
+        // join probe — without it the tokenize+md5 scoring runs twice
         val f = docs(s, d).select(col("doc_id"),
           TF.fingerprint(col("text")).as("fp"),
           r4(TF.qualityScore(col("text"))).as("q"),
           TF.langGuess(col("text")).as("lg"))
           .where(col("q") >= 0.5 && col("lg") === "en")
+          .persist()
         val keep = f.groupBy("fp").agg(min("doc_id").as("keep"))
         f.join(keep, "fp").where(col("doc_id") === col("keep"))
           .select(col("doc_id"), col("q"))
