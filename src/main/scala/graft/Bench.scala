@@ -1,6 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** One timed pass over `queries` (noop-sink, cache-isolated). Returns the
+    * single JSON result line and the per-query error map — a query that
+    * throws is RECORDED (err entry + its wall time), never silently timed
+    * as ~0 s: a regression must fail the bench loudly, not masquerade as a
+    * speedup. Factored out of main so a spec can drive it with a
+    * deliberately-broken query. */
+  def run(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame]): (String, Map[String, String]) = {
+    var errors = Map.empty[String, String]
+    val results = queries.map { case (name, fn) =>
+      // per-query isolation: a persisted frame from one query must not
+      // serve an identical subplan in another (Spark's cache matches on
+      // canonicalized plans), or the second query's number is fiction
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}"
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""",
+      errors)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,6 +40,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // hot LSH band buckets (template-heavy corpora) split at runtime:
+      // skew-join even where the split costs an extra shuffle
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: first job pays JIT + codegen-compiler + Hadoop-path
@@ -19,20 +55,10 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // noop-format write: executes the FULL plan (projections, sorts) —
     // .count() would let Catalyst prune projections and eliminate sorts.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // per-query isolation: a persisted frame from one query must not
-      // serve an identical subplan in another (Spark's cache matches on
-      // canonicalized plans), or the second query's number is fiction
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (line, errors) = run(spark, sfDir, SparkEntry.queries)
+    println(line)
+    errors.foreach { case (q, e) => System.err.println(s"[bench] FAILED $q: $e") }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -13,10 +13,15 @@ object Profile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val reg = Queries.registry.toMap
     names.foreach { q =>
+      // same per-query cache isolation as Bench: a persisted frame from a
+      // previous query must not serve an identical subplan here
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       reg(q).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"$q%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")

@@ -43,6 +43,30 @@ object QueriesAugurs {
              |  score > mad * (3.0 * 1.4826) AS is_outlier
              |FROM r ORDER BY 1,2""".stripMargin)),
 
+    // DBSCAN flavor of augurs_outlier (augurs.rs:636): the Spark side finds
+    // eps-neighbors through the value-bucketed equi-join; the oracle
+    // brute-forces |Δv| <= eps over all same-key pairs — an
+    // algorithm-independent completeness check of the bucketing (same gate
+    // pattern as doc_dedup_simhash). eps/minPts chosen so the testdata
+    // splits three ways (core / border / noise).
+    "aug_outlier_dbscan" -> Q(
+      (s, d) => Augurs.outlierDbscan(Tables.events(s, d), eps = 5.0, minPts = 5)
+        .orderBy("user_id", "ts", "seq"),
+      Some(s"""WITH e AS ($E),
+             |p AS (SELECT a.user_id, a.ts, a.seq, count(*) AS n_nbrs
+             |  FROM e a JOIN e b ON b.user_id = a.user_id
+             |    AND abs(b.value - a.value) <= 5.0
+             |  GROUP BY 1,2,3),
+             |c AS (SELECT user_id, ts, seq, n_nbrs, n_nbrs >= 5 AS is_core FROM p),
+             |nc AS (SELECT a.user_id, a.ts, a.seq,
+             |    max(CASE WHEN cb.is_core THEN 1 ELSE 0 END) AS near
+             |  FROM e a JOIN e b ON b.user_id = a.user_id
+             |    AND abs(b.value - a.value) <= 5.0
+             |  JOIN c cb ON cb.user_id = b.user_id AND cb.ts = b.ts AND cb.seq = b.seq
+             |  GROUP BY 1,2,3)
+             |SELECT user_id, ts, seq, n_nbrs, is_core, near = 0 AS is_outlier
+             |FROM c JOIN nc USING (user_id, ts, seq) ORDER BY 1,2,3""".stripMargin)),
+
     "aug_changepoint" -> Q(
       (s, d) => {
         val c = Augurs.changepointMeanShift(Tables.events(s, d), 10)

@@ -112,26 +112,55 @@ object QueriesPipeline {
     *
     * Lane packing: 60 per-bit ±1 counters would need 60 aggregate columns
     * (one huge codegen'd update method, ~2-3s one-time compile + 60-slot
-    * agg buffers); instead each agg packs FOUR one-bit counts into 16-bit
-    * lanes of one long — 15 packed sums + a row count. A lane holds ≤ n ≤
-    * 65535 (distinct tokens per doc), so lanes never carry into each
-    * other; the ±1 sign recovers as 2·ones − n. Identical simhash, ~4×
-    * less codegen and agg state. */
+    * agg buffers); instead each agg packs FOUR one-bit counts into 15-bit
+    * lanes of one long — 15 packed sums + a row count. Lanes never carry
+    * into each other while n ≤ 32767 (distinct tokens per doc): the top
+    * lane peaks at n·2^45 < 2^60, so the signed-BIGINT overflow point is
+    * unreachable; the guard below makes a larger doc fail loudly instead
+    * of corrupting lanes. The ±1 sign recovers as 2·ones − n. Identical
+    * simhash, ~4× less codegen and agg state. */
+  private val LaneCap = 32767
+  private def laneGuard(what: String, recombined: String): String =
+    s"IF(n > $LaneCap, CAST(raise_error('$what: doc exceeds $LaneCap distinct " +
+      s"tokens (15-bit lane bound)') AS BIGINT), $recombined)"
+
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d)
       .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
       .withColumn("h", TF.hash60(col("tok")))
     val packed = (0 until 15).map { k =>
       val lanes = (0 until 4)
-        .map(j => s"(((h >> ${k * 4 + j}) & 1) << ${16 * j})").mkString(" + ")
+        .map(j => s"(((h >> ${k * 4 + j}) & 1) << ${15 * j})").mkString(" + ")
       sum(expr(s"CAST($lanes AS BIGINT)")).as(s"p$k")
     }
     val recombine = (0 until 60).map { b =>
       val k = b / 4; val j = b % 4
-      s"IF(2 * ((p$k >> ${16 * j}) & 65535) > n, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
+      s"IF(2 * ((p$k >> ${15 * j}) & $LaneCap) > n, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
     }.mkString(" + ")
     toks.groupBy("doc_id").agg(packed.head, (packed.tail :+ count(lit(1)).as("n")): _*)
-      .selectExpr("doc_id", s"$recombine AS simhash")
+      .selectExpr("doc_id", laneGuard("simhash", recombine) + " AS simhash")
+  }
+
+  /** 128-bit SimHash as four 32-bit words (doc_id, w0..w3) — the dedup
+    * fingerprint. Word w hashes from md5 hex chars [8w+1, 8w+8] of each
+    * distinct token, so the full md5 width is used; 32-bit words keep
+    * every value < 2^32 (no signed-BIGINT edge in either engine). The
+    * per-doc majority vote runs in [[graft.functions.Simhash128Agg]] — a
+    * typed Aggregator with map-side combine (see its scaladoc for why the
+    * lane-packed Column formulation lost: ~7 s of one-time Catalyst
+    * analysis + codegen per query for a ~1 s runtime). */
+  private def simhashSig128(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val withWords = (0 until 4).foldLeft(toks)((df, w) =>
+      df.withColumn(s"h$w", conv(substring(col("hx"), 8 * w + 1, 8), 16, 10).cast("long")))
+    val sim = udaf(new graft.functions.Simhash128Agg(),
+      org.apache.spark.sql.Encoders.product[graft.functions.Sig128])
+    withWords.groupBy("doc_id")
+      .agg(sim(col("h0"), col("h1"), col("h2"), col("h3")).as("sig"))
+      .select(col("doc_id"), col("sig.w0").as("w0"), col("sig.w1").as("w1"),
+        col("sig.w2").as("w2"), col("sig.w3").as("w3"))
   }
 
   /** Oracle CTEs computing `sim` (doc_id, simhash) — mirrors [[simhashSig]]. */
@@ -355,37 +384,92 @@ object QueriesPipeline {
       Some(s"""WITH $oracleSimhash
               |SELECT doc_id, simhash FROM sim ORDER BY 1""".stripMargin)),
 
-    // SimHash near-dup pairs at hamming distance <= 3, banded: 60 bits cut
-    // into 4 bands of 15 — by pigeonhole a pair within distance 3 has at
-    // least one INTACT band, so the band-bucket equi-join finds EVERY such
-    // pair (no recall loss), and verification is bit_count(xor) on the
-    // candidates only. The oracle brute-forces all pairs — an
-    // algorithm-independent completeness check of the banding.
+    // SimHash near-dup pairs at hamming distance <= 7 over the 128-bit
+    // signature, banded: 128 bits cut into 8 bands of 16 — by pigeonhole a
+    // pair within distance 7 has at least one INTACT band, so the
+    // band-bucket equi-join finds EVERY such pair (no recall loss). The
+    // oracle brute-forces all pairs — an algorithm-independent
+    // completeness check. Scale shape (the round-3 plan's fix, in order
+    // of leverage):
+    //  1. EXACT-SIGNATURE COLLAPSE before banding: template corpora carry
+    //     huge exact-dup cliques (sf0.1: 5,000 docs -> 3,930 distinct
+    //     signatures, one 248-doc clique); every LSH stage runs per
+    //     DISTINCT signature, and doc pairs come back at the end by join
+    //     fan-out (intra-clique pairs at dist 0, cross-group pairs at the
+    //     group dist) — output size is paid exactly once, in the final
+    //     expansion join, not in the band join.
+    //  2. VERIFY BEFORE DEDUP: hamming is 4 codegen'd xor+bit_counts —
+    //     far cheaper than a shuffle — so candidates that fail dist <= 7
+    //     die map-side inside the join stage (sf0.1: 1.5M generated ->
+    //     8,458 survivors) and only survivors reach the dedup exchange,
+    //     which runs on bare (ga, gb) ids.
+    //  3. 16-bit keys: 65,536 buckets per band over a 128-bit fingerprint
+    //     (vs the old 32,768 over 60 bits); hot buckets split under AQE
+    //     skew-join (forceOptimizeSkewedJoin in the session builders).
     "doc_dedup_simhash" -> Q(
       (s, d) => {
-        // persist: the signature frame feeds both sides of the band
-        // self-join — without it the explode+md5+60-agg pipeline runs twice
-        val sig = simhashSig(s, d).persist()
-        val bands = sig.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-            expr(s"(simhash >> ${15 * b}) & 32767").as("key"))): _*)).as("bk"))
-          .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-        val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("x.simhash").as("sa"),
-            col("y.doc_id").as("b"), col("y.simhash").as("sb"))
-          .distinct()
-        cand.withColumn("dist", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-          .where(col("dist") <= 3)
-          .select(col("a"), col("b"), col("dist"))
-          .orderBy("a", "b")
+        // one window pass tags every doc with its signature-group id (the
+        // group's lowest doc_id); reps = the gid rows themselves. persist:
+        // the frame feeds both band-join sides and all four expansion
+        // probes — without it the tokenize+md5+aggregate pipeline reruns
+        // per branch
+        val wSig = org.apache.spark.sql.expressions.Window
+          .partitionBy("w0", "w1", "w2", "w3")
+        val members = simhashSig128(s, d)
+          .withColumn("gid", min("doc_id").over(wSig))
+          .persist()
+        val reps = members.where(col("doc_id") === col("gid"))
+        val bands = reps.select(col("gid") +: (0 until 4).map(w => col(s"w$w")) :+
+          explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+            expr(s"(w${i / 2} >> ${16 * (i % 2)}) & 65535").as("key"))): _*)).as("bk"): _*)
+        val x = bands.select(col("bk.band").as("band"), col("bk.key").as("key"),
+          col("gid").as("ga"), col("w0").as("a0"), col("w1").as("a1"),
+          col("w2").as("a2"), col("w3").as("a3"))
+        val y = bands.select(col("bk.band").as("band"), col("bk.key").as("key"),
+          col("gid").as("gb"), col("w0").as("b0"), col("w1").as("b1"),
+          col("w2").as("b2"), col("w3").as("b3"))
+        val sigPairs = x.join(y, Seq("band", "key")).where(col("ga") < col("gb"))
+          .withColumn("dist", expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) " +
+            "+ bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"))
+          .where(col("dist") <= 7)
+          .select("ga", "gb", "dist")
+          .dropDuplicates("ga", "gb")
+        val cross = sigPairs
+          .join(members.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+          .join(members.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+          .select(least(col("da"), col("db")).as("a"),
+            greatest(col("da"), col("db")).as("b"), col("dist"))
+        val intra = members.select(col("gid"), col("doc_id")).join(
+            members.select(col("gid"), col("doc_id").as("doc2")), "gid")
+          .where(col("doc_id") < col("doc2"))
+          .select(col("doc_id").as("a"), col("doc2").as("b"), lit(0L).as("dist"))
+        cross.unionByName(intra).orderBy("a", "b")
       },
-      Some(s"""WITH $oracleSimhash
+      Some(s"""WITH t AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
+              |hw AS (SELECT doc_id, md5(tok) AS hx FROM t),
+              |h AS (SELECT doc_id,
+              |    ('0x' || substr(hx,1,8))::BIGINT AS h0, ('0x' || substr(hx,9,8))::BIGINT AS h1,
+              |    ('0x' || substr(hx,17,8))::BIGINT AS h2, ('0x' || substr(hx,25,8))::BIGINT AS h3
+              |  FROM hw),
+              |bits AS (SELECT unnest(range(32)) AS b),
+              |sg AS (SELECT doc_id, b,
+              |    sum(CASE WHEN (h0 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+              |    sum(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+              |    sum(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+              |    sum(CASE WHEN (h3 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s3
+              |  FROM h, bits GROUP BY 1,2),
+              |sim AS (SELECT doc_id,
+              |    CAST(sum(CASE WHEN s0 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS w0,
+              |    CAST(sum(CASE WHEN s1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS w1,
+              |    CAST(sum(CASE WHEN s2 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS w2,
+              |    CAST(sum(CASE WHEN s3 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS w3
+              |  FROM sg GROUP BY 1)
               |SELECT x.doc_id AS a, y.doc_id AS b,
-              |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+              |  CAST(bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1))
+              |     + bit_count(xor(x.w2, y.w2)) + bit_count(xor(x.w3, y.w3)) AS BIGINT) AS dist
               |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
-              |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+              |WHERE bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1))
+              |    + bit_count(xor(x.w2, y.w2)) + bit_count(xor(x.w3, y.w3)) <= 7
               |ORDER BY 1,2""".stripMargin)),
 
     // End-to-end corpus cleaning — the composition a training-data pipeline

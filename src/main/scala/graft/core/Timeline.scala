@@ -104,11 +104,21 @@ final case class Timeline(
     * [[merge]]) so exploded rows have a TOTAL (ts, seq) order — plain
     * explode leaves ties, and a tied window sort is nondeterministic across
     * partitions, scrambling burst element order. Array order is preserved
-    * exactly as the reference's flatten. */
+    * exactly as the reference's flatten.
+    *
+    * Folding bound, enforced loudly: a burst of ≥ 1e6 elements would
+    * collide with the next seq slot, and a composed op that already
+    * applied the 1e6 scaling (e.g. [[merge]] then this) could overflow
+    * Long — both scramble order silently, so both raise instead. */
   def collapseAccumulate(out: String = "acc"): Timeline = {
+    val guarded = when(col("pos") >= 1000000L || abs(col("seq")) > 9000000000000L,
+        raise_error(concat(lit("collapseAccumulate: seq*1e6+pos folding out of range "),
+          lit("(burst >= 1e6 elements, or seq already 1e6-scaled twice): seq="),
+          col("seq").cast("string"), lit(" pos="), col("pos").cast("string"))))
+      .otherwise(col("seq") * 1000000L + col("pos"))
     val ex = tdf.select(col("*"), posexplode(v)).drop(valueCol)
       .withColumnRenamed("col", valueCol)
-      .withColumn("seq", col("seq") * 1000000L + col("pos")).drop("pos")
+      .withColumn("seq", guarded).drop("pos")
     withDf(ex).accumulate(out)
   }
 

@@ -130,12 +130,16 @@ object Similarity {
           size(vec).cast("string"))))
     val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
     val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
+    // candidate generation runs on BARE ids: the (table, bucket) equi-join
+    // and the dedup shuffle carry two longs per pair, never the vectors;
+    // vectors re-attach only to the post-dedup survivors (at 100 TB the
+    // in-bucket pair volume is the dominant shuffle — keeping it id-width
+    // cuts it by ~dim× vs joining vectors first)
     val q = tableBucketRows(qv, "qid", "qv", nPlanes, nTables, dim)
-      .join(qv, "qid")
     val c = tableBucketRows(cv, "nid", "nv", nPlanes, nTables, dim)
-      .join(cv, "nid")
     val cand = q.join(c, Seq("table", "bucket")).where(col("qid") =!= col("nid"))
-      .select("qid", "qv", "nid", "nv").dropDuplicates("qid", "nid")
+      .select("qid", "nid").dropDuplicates("qid", "nid")
+      .join(qv, "qid").join(cv, "nid")
     val sims = cand.withColumn("sim", cosLoop(col("qv"), col("nv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(round(col("sim") + lit(1e-9), 4).desc, col("nid"))

@@ -44,6 +44,48 @@ object Augurs {
     t.copy(df = d)
   }
 
+  /** DBSCAN outlier detector (reference `augurs_outlier`, `augurs.rs:636`,
+    * DBSCAN flavor — the cluster-based alternative to [[outlierMad]]; a
+    * multi-modal series has in-distribution points MAD would flag): 1-D
+    * DBSCAN over each key's value distribution. A point is CORE when it
+    * has ≥ minPts neighbors within eps (self included); a point is an
+    * OUTLIER (noise) when no point of its eps-neighborhood — itself
+    * included — is core.
+    *
+    * Scale shape: neighbor pairs come from a value-bucketed equi-join
+    * (bucket = floor(v/eps); |v2−v1| ≤ eps confines the neighbor to the
+    * three adjacent buckets), never an all-pairs join — per point the join
+    * fan-in is O(points in 3 eps-buckets). Two aggregates (neighbor count,
+    * near-core flag) over the one persisted pair frame. */
+  def outlierDbscan(t: Timeline, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1, s"outlierDbscan: eps > 0, minPts >= 1 (got $eps, $minPts)")
+    val pts = t.ticks
+      .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col(t.valueCol).as("__v")): _*)
+      .withColumn("__b", floor(col("__v") / eps).cast("long"))
+    val probes = pts
+      .withColumn("__pb", explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))
+      .drop("__b")
+    val nbr = pts.select((t.keys.map(col) :+ col("ts").as("__nts") :+
+      col("seq").as("__nseq") :+ col("__v").as("__nv") :+ col("__b").as("__pb")): _*)
+    // each neighbor holds ONE bucket and the three probe buckets are
+    // distinct, so a qualifying pair matches exactly once
+    val pairs = probes.join(nbr, t.keys :+ "__pb")
+      .where(abs(col("__nv") - col("__v")) <= eps)
+      .persist()
+    val counts = pairs
+      .groupBy((t.keys.map(col) :+ col("ts") :+ col("seq")): _*)
+      .agg(count(lit(1)).as("n_nbrs"))
+      .withColumn("is_core", col("n_nbrs") >= minPts)
+    val nbrCore = counts.select((t.keys.map(col) :+ col("ts").as("__nts") :+
+      col("seq").as("__nseq") :+ col("is_core").as("__ncore")): _*)
+    val near = pairs.join(nbrCore, t.keys :+ "__nts" :+ "__nseq")
+      .groupBy((t.keys.map(col) :+ col("ts") :+ col("seq")): _*)
+      .agg(max(col("__ncore")).as("__near_core"))
+    counts.join(near, t.keys :+ "ts" :+ "seq")
+      .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col("n_nbrs") :+
+        col("is_core") :+ (!col("__near_core")).as("is_outlier")): _*)
+  }
+
   /** Mean-shift changepoint score (reference `augurs_changepoint`,
     * `augurs.rs:768`; the deterministic two-window test replacing BOCPD):
     * z = |mean(post) - mean(pre)| / sqrt(var(pre)/w + var(post)/w + eps)
@@ -73,11 +115,21 @@ object Augurs {
     * last-season value + drift·j, with bounds ±1.96·σ of the one-season
     * naive residuals. One row per (key, step). */
   def forecastSeasonalNaive(t: Timeline, window: Int, season: Int, horizon: Int): DataFrame = {
-    val g = t.ticks.groupBy(t.keys.map(col): _*)
+    // the model refits on the trailing `window` samples only (reference's
+    // sliding re-fit, augurs.rs:441), so trim to those rows BEFORE the
+    // collect: the aggregate then holds O(window) per key, never the full
+    // history (unbounded keys at 100 TB). With window >= season+1 the trim
+    // is lossless: arr = last min(n, window) rows either way, and the
+    // >= season+1 emission condition is identical on the trimmed size.
+    require(window >= season + 1,
+      s"forecastSeasonalNaive: window ($window) must cover season+1 (${season + 1})")
+    val g = t.ticks
+      .withColumn("__rn", row_number().over(trimW(t)))
+      .where(col("__rn") <= window)
+      .groupBy(t.keys.map(col): _*)
       .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
-        .as("full"))
-      .where(size(col("full")) >= season + 1)
-      .withColumn("arr", expr(s"slice(full, greatest(size(full) - ${window - 1}, 1), $window)"))
+        .as("arr"))
+      .where(size(col("arr")) >= season + 1)
       .withColumn("n", size(col("arr")))
       .withColumn("drift",
         expr("(element_at(arr, n) - element_at(arr, 1)) / greatest(n - 1, 1)"))
@@ -122,15 +174,24 @@ object Augurs {
     prev(m)
   }
 
+  /** Newest-first row_number window: `row_number <= window` keeps exactly
+    * the trailing `window` rows per key (same (ts, seq) total order the
+    * downstream array_sort re-establishes ascending). */
+  private def trimW(t: Timeline) = org.apache.spark.sql.expressions.Window
+    .partitionBy(t.keys.map(col): _*).orderBy(col("ts").desc, col("seq").desc)
+
   /** Per-key trailing-window series (single-key Timelines — a distance
-    * matrix is indexed by series id, as in the reference). */
+    * matrix is indexed by series id, as in the reference). Trimmed to the
+    * last `window` rows BEFORE the collect — bounded aggregate state. */
   private def seriesOf(t: Timeline, window: Int): DataFrame = {
     require(t.keys.size == 1, "dtwMatrix/clusterDtw need exactly one key column (the series id)")
-    t.ticks.groupBy(col(t.keys.head))
+    t.ticks
+      .withColumn("__rn", row_number().over(trimW(t)))
+      .where(col("__rn") <= window)
+      .groupBy(col(t.keys.head))
       .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
-        .as("full"))
-      .select(col(t.keys.head).cast("string").as("sid"),
-        expr(s"slice(full, greatest(size(full) - ${window - 1}, 1), $window)").as("series"))
+        .as("series"))
+      .select(col(t.keys.head).cast("string").as("sid"), col("series"))
   }
 
   /** Pairwise DTW distance matrix (upper triangle, sid_a < sid_b). The

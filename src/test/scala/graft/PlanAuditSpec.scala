@@ -51,9 +51,9 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("chained scan ops share ONE shuffle+sort per key set (evt_cumulative_stats)") {
-    // 6 window stats + the median scan over the same (user_id) keys: the
-    // window chain plans exactly one hashpartitioning exchange for user_id
+  test("chained scan ops share ONE shuffle+sort per key set (evt_rolling5)") {
+    // 7 rolling window stats over the same (user_id) keys: the window
+    // chain plans exactly one hashpartitioning exchange for user_id
     val p = plan("evt_rolling5")
     val exchanges = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && l.contains("user_id"))
@@ -62,11 +62,38 @@ class PlanAuditSpec extends SparkSuite {
     assert(sorts <= 2, s"window chain + output orderBy need <=2 sorts, got $sorts")
   }
 
+  test("cumulative stats: window chain + KeyedScan median plan exactly 2 hash exchanges") {
+    // 6 window stats share ONE user_id exchange; the mapGroups median scan
+    // adds ONE regroup exchange on its serialized key; output orderBy is
+    // the only range exchange. A third hash exchange = a window lost its
+    // shared partitioning.
+    val p = plan("evt_cumulative_stats")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 2, s"expected 2 hash exchanges (window chain + scan regroup), got $hash")
+    val range = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(range == 1, s"expected 1 range exchange (output orderBy), got $range")
+  }
+
   test("minhash signature pipeline: banded equi-joins only, one signature shuffle") {
     val p = plan("doc_dedup_minhash")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
       p.contains("ShuffledHashJoin"), "band candidates come from an equi-join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("simhash dedup: band equi-join, verify fused into the join, dedup on bare ids") {
+    val p = plan("doc_dedup_simhash")
+    // the hamming check rides the band equi-join condition — candidates
+    // failing dist <= 7 die inside the join stage, before any exchange
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("bit_count")),
+      "hamming verify must be fused into the band join")
+    // the dedup aggregate runs on bare (ga, gb) ids — a signature column
+    // in its keys would mean the wide rows travel through the exchange
+    val dedup = p.linesIterator.find(_.contains("HashAggregate(keys=[ga#"))
+    assert(dedup.isDefined, "id-only dedup aggregate (keys=[ga, gb]) present")
+    assert(!dedup.get.contains("w0#") && !dedup.get.contains("a0#"),
+      s"dedup keys must not carry signature words: ${dedup.get.trim.take(120)}")
   }
 
   test("ANN bucket path stays codegen'd: no interpreted HOFs in the bucket stage") {
