@@ -111,6 +111,54 @@ object QueriesMarket {
              |  GROUP BY 1,2,3)
              |SELECT user_id, ts, seq, best_bid, best_bid_qty, best_ask, best_ask_qty,
              |  bid_depth, ask_depth
-             |FROM top ORDER BY 1,3""".stripMargin))
+             |FROM top ORDER BY 1,3""".stripMargin)),
+
+    // order_book(depth): the top-3 level image per side, flattened to
+    // (px, qty) column pairs so the DuckDB compare is exact. The oracle
+    // ranks the relational level image per observation row (bids by price
+    // desc, asks asc) and pivots ranks 1..3; rows with fewer levels carry
+    // NULLs, matching the machine's shorter-than-K arrays.
+    "book_depth3" -> Q(
+      (s, d) => {
+        val levelCols = (1 to 3).flatMap { i =>
+          Seq(("bid_levels", s"bid_px_$i", "_1"), ("bid_levels", s"bid_qty_$i", "_2"),
+            ("ask_levels", s"ask_px_$i", "_1"), ("ask_levels", s"ask_qty_$i", "_2"))
+            .map { case (src, out, f) =>
+              get(col(src), lit(i - 1)).getField(f).cast("double").as(out) }
+        }
+        OrderBookOp.batch(updatesFromEvents(s, d), depth = 3).toDF()
+          .select(Seq(col("instrument").cast("long").as("user_id"), col("ts"),
+            col("seq")) ++ levelCols: _*)
+          .orderBy("user_id", "seq")
+      },
+      Some {
+        val pivots = (1 to 3).flatMap { i =>
+          Seq(
+            s"CAST(max(CASE WHEN k.side='bid' AND k.k=$i THEN k.price END) AS DOUBLE) AS bid_px_$i",
+            s"CAST(max(CASE WHEN k.side='bid' AND k.k=$i THEN k.qty END) AS DOUBLE) AS bid_qty_$i",
+            s"CAST(max(CASE WHEN k.side='ask' AND k.k=$i THEN k.price END) AS DOUBLE) AS ask_px_$i",
+            s"CAST(max(CASE WHEN k.side='ask' AND k.k=$i THEN k.qty END) AS DOUBLE) AS ask_qty_$i")
+        }.mkString(",\n    ")
+        s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, value,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |d AS (SELECT user_id, rn,
+           |    CASE WHEN seq % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+           |    CAST(floor(value) AS BIGINT) % 20 AS price,
+           |    CAST(floor(value * 10) AS BIGINT) % 7 AS qty
+           |  FROM e WHERE rn > 1),
+           |lv AS (SELECT r.user_id, r.rn, q.side, q.price, arg_max(q.qty, q.rn) AS qty
+           |  FROM e r JOIN d q ON q.user_id = r.user_id AND q.rn <= r.rn
+           |  GROUP BY 1,2,3,4),
+           |rk AS (SELECT user_id, rn, side, price, qty,
+           |    row_number() OVER (PARTITION BY user_id, rn, side
+           |      ORDER BY CASE WHEN side='bid' THEN -price ELSE price END) AS k
+           |  FROM lv WHERE qty <> 0),
+           |top AS (SELECT r.user_id, r.ts, r.seq,
+           |    $pivots
+           |  FROM e r LEFT JOIN rk k ON k.user_id = r.user_id AND k.rn = r.rn
+           |  GROUP BY 1,2,3)
+           |SELECT * FROM top ORDER BY user_id, seq""".stripMargin
+      })
   )
 }

@@ -18,12 +18,17 @@ case class BookUpdateIn(
     seq_first: Option[Long], seq_last: Option[Long])
 
 /** Top-of-book emission, one per applied update. `best_*` are None while
-  * not Live (reference `market.rs:50-62`). */
+  * not Live (reference `market.rs:50-62`). With `order_book(depth)`
+  * (reference `market.rs:1227`, ops `market.rs:1123,1162`) `bid_levels`/
+  * `ask_levels` carry the top-K (price, qty) image per side, best first —
+  * shorter than K when the book is; empty while not Live or at depth 0. */
 case class BookTop(
     ts: Long, seq: Long, instrument: String, status: String, applied: String,
     best_bid: Option[BigDecimal], best_bid_qty: Option[BigDecimal],
     best_ask: Option[BigDecimal], best_ask_qty: Option[BigDecimal],
-    bid_depth: Int, ask_depth: Int, last_seq: Option[Long], gap_cause: Option[String])
+    bid_depth: Int, ask_depth: Int, last_seq: Option[Long], gap_cause: Option[String],
+    bid_levels: Seq[(BigDecimal, BigDecimal)] = Nil,
+    ask_levels: Seq[(BigDecimal, BigDecimal)] = Nil)
 
 /** Serializable book image for streaming GroupState. */
 case class BookStateSnap(
@@ -117,14 +122,18 @@ final class OrderBookMachine {
     if (u.kind == "snapshot") applySnapshot(u)
     else applyDelta(u.changes, u.seq_first, u.seq_last)
 
-  def top(u: BookUpdateIn, result: String): BookTop = {
+  def top(u: BookUpdateIn, result: String, depth: Int = 0): BookTop = {
     val live = status == Live
     BookTop(u.ts, u.seq, u.instrument, status, result,
       if (live) bids.headOption.map(_._1) else None,
       if (live) bids.headOption.map(_._2) else None,
       if (live) asks.headOption.map(_._1) else None,
       if (live) asks.headOption.map(_._2) else None,
-      bids.size, asks.size, lastSeq, gapCause)
+      bids.size, asks.size, lastSeq, gapCause,
+      // TreeMap iteration order IS the side's priority order (bids keyed
+      // descending, asks ascending), so take(depth) is the top-K image
+      if (live && depth > 0) bids.take(depth).toSeq else Nil,
+      if (live && depth > 0) asks.take(depth).toSeq else Nil)
   }
 
   def snapshotState: BookStateSnap =
@@ -153,13 +162,15 @@ object OrderBookMachine {
   * streaming = live path with state persisted across micro-batches. */
 object OrderBookOp {
 
-  /** Batch: shuffle once on instrument, fold each key in (ts, seq) order. */
-  def batch(updates: Dataset[BookUpdateIn]): Dataset[BookTop] = {
+  /** Batch: shuffle once on instrument, fold each key in (ts, seq) order.
+    * `depth` > 0 emits the top-K level image per side (`order_book(depth)`,
+    * reference `market.rs:1227`). */
+  def batch(updates: Dataset[BookUpdateIn], depth: Int = 0): Dataset[BookTop] = {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.instrument)
       .flatMapSortedGroups(col("ts"), col("seq")) { (_, rows) =>
         val m = new OrderBookMachine
-        rows.map(u => m.top(u, m.apply(u)))
+        rows.map(u => m.top(u, m.apply(u), depth))
       }
   }
 
@@ -168,14 +179,14 @@ object OrderBookOp {
     * within each batch; cross-batch order is the source's append order —
     * with `Trigger.AvailableNow` over recorded history this reproduces the
     * batch result exactly (SURVEY §5 parity contract). */
-  def streaming(updates: Dataset[BookUpdateIn]): Dataset[BookTop] = {
+  def streaming(updates: Dataset[BookUpdateIn], depth: Int = 0): Dataset[BookTop] = {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.instrument)
       .flatMapGroupsWithState[BookStateSnap, BookTop](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[BookUpdateIn], state: GroupState[BookStateSnap]) =>
           val m = if (state.exists) OrderBookMachine.restore(state.get) else new OrderBookMachine
-          val out = rows.toSeq.sortBy(u => (u.ts, u.seq)).map(u => m.top(u, m.apply(u)))
+          val out = rows.toSeq.sortBy(u => (u.ts, u.seq)).map(u => m.top(u, m.apply(u), depth))
           state.update(m.snapshotState)
           out.iterator
       }

@@ -73,6 +73,46 @@ object Adapters {
     def sink(t: Timeline, path: String): Unit =
       t.df.select(col(t.valueCol).cast("string").as("value"))
         .write.mode("overwrite").text(path)
+
+    /** `tail_lines` (reference `lines.rs:196`): LIVE tail of a line
+      * stream — the realtime half of the lines adapter (replay/
+      * replayScheduled are the historical half). Transport: Spark's file
+      * stream source over a DIRECTORY — each file that appears is one
+      * chunk of appended lines (the reference tails one growing file; a
+      * directory of arriving chunk files is the same contract on a
+      * transport Spark can actually watch — the file source never
+      * re-reads a mutated file). Emits (value, ts, seq): ts via `getTime`
+      * from the line, seq the arrival order.
+      *
+      * Ordered-ts contract, enforced LIVE exactly like the reference's
+      * replay abort: a single-key stateful guard keeps the running max ts
+      * across micro-batches and throws on a regression. The single key
+      * serializes the stream through one task — inherent to the op, not a
+      * compromise: the reference's tail is a single-threaded reader, and
+      * a total arrival order is the thing the contract is ABOUT. Within a
+      * chunk, lines are ordered by their own ts (file-split order is not
+      * total across partitions). */
+    def tail(spark: SparkSession, dir: String, getTime: Column => Column): DataFrame = {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      spark.readStream.text(dir)
+        .withColumn("ts", getTime(col("value")).cast("long"))
+        .select(col("value").cast("string"), col("ts")).as[(String, Long)]
+        .groupByKey(_ => 0)
+        .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+          var (maxTs, seq) = if (state.exists) state.get else (Long.MinValue, 0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (v, ts) =>
+            if (ts < maxTs) throw new IllegalStateException(
+              s"tail_lines: out-of-order ts $ts after $maxTs — the ordered-ts " +
+                "replay contract aborts (reference lines.rs live tail)")
+            maxTs = ts; seq += 1
+            (v, ts, seq - 1)
+          }
+          state.update((maxTs, seq))
+          out.iterator
+        }.toDF("value", "ts", "seq")
+    }
   }
 
   /** kafka adapter (reference `adapters/kafka.rs:233,412`): configuration

@@ -63,6 +63,37 @@ class ChannelSpec extends SparkSuite {
     assert(opened == 1, "connection established exactly once")
   }
 
+  test("tail_lines: files appearing mid-query arrive live, ordered-ts enforced (lines.rs:196)") {
+    import graft.sources.Adapters
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("tail_lines").toString
+    def writeChunk(name: String, lines: Seq[String]): Unit = {
+      val tmp = Paths.get(dir, s".$name.tmp") // write-then-rename: files appear atomically
+      Files.writeString(tmp, lines.mkString("\n"))
+      Files.move(tmp, Paths.get(dir, name))
+    }
+    writeChunk("c0.txt", Seq("100 a", "200 b"))
+    val q = Adapters.Lines.tail(spark, dir, v => split(v, " ").getItem(0))
+      .writeStream.format("memory").queryName("tail_mem").outputMode("append").start()
+    q.processAllAvailable()
+    // rows appended (a new chunk file) MID-QUERY arrive on the next batch
+    writeChunk("c1.txt", Seq("300 c", "350 d"))
+    q.processAllAvailable()
+    val got = spark.table("tail_mem").as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(got == Seq(("100 a", 100L, 0L), ("200 b", 200L, 1L),
+      ("300 c", 300L, 2L), ("350 d", 350L, 3L)),
+      "live-tailed lines carry ts from the line and arrival-order seq")
+
+    // ordered-ts contract: a chunk whose ts regresses aborts the query
+    writeChunk("c2.txt", Seq("250 e"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("out-of-order ts") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out-of-order ts")))
+    q.stop()
+  }
+
   test("WeightedMomentsAgg: typed agg + SQL registration (§2.13 udaf surface)") {
     val agg = udaf(new WeightedMomentsAgg)
     // weighted mean of (1 w2, 4 w1): (2+4)/3 = 2; popvar: (2*(1-2)^2 + (4-2)^2)/3 = 2

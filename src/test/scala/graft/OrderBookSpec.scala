@@ -118,6 +118,28 @@ class OrderBookSpec extends SparkSuite {
     assert(m.bids.isEmpty, "gap mid-replay clears; nothing stale for the next snapshot")
   }
 
+  test("order_book(depth): top-K level image per side, shorter when the book is (market.rs:1227)") {
+    val m = new OrderBookMachine
+    val u1 = snap(10, 1, Seq((99, 2), (100, 5)), Seq((101, 1)), seqLast = Some(10))
+    val t1 = m.top(u1, m.apply(u1), depth = 3)
+    assert(t1.bid_levels == Seq((bd(100), bd(5)), (bd(99), bd(2))),
+      "partial book: 2 of 3 bid levels, best first")
+    assert(t1.ask_levels == Seq((bd(101), bd(1))), "1 of 3 ask levels")
+    val u2 = delta(20, 2, Seq(("bid", 98, 7), ("bid", 97, 1)), Some(11), Some(11))
+    val t2 = m.top(u2, m.apply(u2), depth = 3)
+    assert(t2.bid_levels == Seq((bd(100), bd(5)), (bd(99), bd(2)), (bd(98), bd(7))),
+      "image capped at K even with 4 levels in the book")
+    assert(t2.bid_depth == 4, "depth counts the whole book, not the K-image")
+    // not live (awaiting snapshot) -> empty level image, like best_*
+    val g = new OrderBookMachine
+    val u3 = delta(5, 1, Seq(("bid", 1, 1)))
+    val t3 = g.top(u3, g.apply(u3), depth = 3)
+    assert(t3.bid_levels.isEmpty && t3.ask_levels.isEmpty)
+    // depth 0 (the default): no image materialized
+    val t4 = m.top(u2, "applied")
+    assert(t4.bid_levels.isEmpty && t4.ask_levels.isEmpty)
+  }
+
   test("MarketEvent demux: trades() and book_updates() split a mixed stream (market.rs:1262)") {
     import spark.implicits._
     def trade(ts: Long, seq: Long, px: Int, q: Int): MarketEventRow =

@@ -227,6 +227,58 @@ class ParitySpec extends SparkSuite {
     }
   }
 
+  test("delay_with_reset: transformWithState timers+cancel == batch derivation (ops.rs:3486)") {
+    import graft.streaming.TimerDelay
+    val M = 1000000L // ms-aligned ns clock (Spark timers are ms-precision)
+    val D = 50 * M
+    val evs = Seq(
+      Ev("a", 100 * M, 1L, 0, 1.0), // would land 150 — killed by the reset at 120
+      Ev("a", 120 * M, 2L, 1, 0.0), // reset: emits held 1.0 @120
+      Ev("a", 200 * M, 3L, 0, 2.0), // lands 250 (no reset in [200,250])
+      Ev("a", 300 * M, 4L, 0, 3.0), // would land 350 — reset AT the landing kills it
+      Ev("a", 350 * M, 5L, 1, 0.0), // closed-interval boundary: kill + emit 3.0 @350
+      Ev("a", 400 * M, 6L, 0, 4.0), // same-instant value+reset: value first (seq),
+      Ev("a", 400 * M, 7L, 1, 0.0), //   killed at birth, reset samples the new value
+      Ev("b", 50 * M, 8L, 1, 0.0),  // reset before any value: quiet
+      Ev("b", 60 * M, 9L, 0, 9.0))  // lands 110
+
+    val batch = ScanOps.delayWithReset(tl(evs, 0), D, tl(evs, 1)).df
+      .select(col("key"), col("ts"), col("value"))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      val q = TimerDelay.delayedWithReset(mem.toDS(), D)
+        .writeStream.format("memory").queryName("tws_delay_reset")
+        .outputMode("append").start()
+      // three micro-batches on instant boundaries; sentinel rows advance
+      // the watermark past every landing
+      mem.addData(evs.filter(_.ts <= 120 * M)); q.processAllAvailable()
+      mem.addData(evs.filter(e => e.ts > 120 * M && e.ts <= 300 * M)); q.processAllAvailable()
+      mem.addData(evs.filter(_.ts > 300 * M)); q.processAllAvailable()
+      mem.addData(Seq(Ev("z", 1000 * M, 98L, 0, 0.0))); q.processAllAvailable()
+      mem.addData(Seq(Ev("z", 2000 * M, 99L, 0, 0.0))); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_delay_reset").as[Out].collect()
+        .filterNot(_.key == "z").map(o => (o.key, o.ts, o.v1)).toSeq.sorted
+      assert(streamed == batch,
+        "reset cancellation + held-value emission must equal the batch derivation")
+      // shape spot-check: a's survivors are the two reset samples + 250
+      // landing + the 400 sample; b gets its 110 landing
+      assert(batch == Seq(("a", 120 * M, 1.0), ("a", 250 * M, 2.0), ("a", 350 * M, 3.0),
+        ("a", 400 * M, 4.0), ("b", 110 * M, 9.0)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("feedback whole-graph: bounded-epoch iteration with global aggregation (§7.4)") {
     import graft.streaming.Feedback
     import spark.implicits._

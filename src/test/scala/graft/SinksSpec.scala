@@ -117,4 +117,14 @@ class SinksSpec extends SparkSuite {
     assert(rep.getAs[Double]("min_ns") >= 0.0, "out stamped after in")
     assert(rep.getAs[Double]("p99_ns") >= rep.getAs[Double]("p50_ns"))
   }
+
+  test("stamp_if: conditional stamps; unstamped rows fall out of the report (latency.rs _if)") {
+    import org.apache.spark.sql.functions.col
+    val stamped = Latency.stampIf(Latency.stamp(tl.df, "in"), "out", col("value") > 1.5)
+    val nulls = stamped.where(col("stamp_out").isNull).count()
+    assert(nulls == 1, "only the value<=1.5 row goes unstamped")
+    val rep = Latency.report(stamped, "in", "out").collect()(0)
+    assert(rep.getAs[Long]("n") == 2L, "report counts measured deltas, not input rows")
+    assert(rep.getAs[Double]("min_ns") >= 0.0)
+  }
 }
