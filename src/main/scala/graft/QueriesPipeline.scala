@@ -110,35 +110,23 @@ object QueriesPipeline {
 
   /** 60-bit SimHash signatures (doc_id, simhash) — see doc_simhash.
     *
-    * Lane packing: 60 per-bit ±1 counters would need 60 aggregate columns
-    * (one huge codegen'd update method, ~2-3s one-time compile + 60-slot
-    * agg buffers); instead each agg packs FOUR one-bit counts into 15-bit
-    * lanes of one long — 15 packed sums + a row count. Lanes never carry
-    * into each other while n ≤ 32767 (distinct tokens per doc): the top
-    * lane peaks at n·2^45 < 2^60, so the signed-BIGINT overflow point is
-    * unreachable; the guard below makes a larger doc fail loudly instead
-    * of corrupting lanes. The ±1 sign recovers as 2·ones − n. Identical
-    * simhash, ~4× less codegen and agg state. */
-  private val LaneCap = 32767
-  private def laneGuard(what: String, recombined: String): String =
-    s"IF(n > $LaneCap, CAST(raise_error('$what: doc exceeds $LaneCap distinct " +
-      s"tokens (15-bit lane bound)') AS BIGINT), $recombined)"
-
+    * The per-doc majority vote rides [[graft.functions.Simhash128Agg]]
+    * with the 60-bit hash split over two input words (bits 0-31 and
+    * 32-59; the upper two words zero — their counters stay 0 and their
+    * bits never set), recombined as `w0 | w1 << 32`. Bit-identical to the
+    * earlier lane-packed Column aggregate with none of its costs: no
+    * ~1,000-node recombine tree (one-time Catalyst + codegen seconds per
+    * query), no 15-bit lane-overflow bound to guard — Int counters are
+    * exact to 2^31 tokens per doc. */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d)
       .select(col("doc_id"), explode(TF.distinctTokens(col("text"))).as("tok"))
       .withColumn("h", TF.hash60(col("tok")))
-    val packed = (0 until 15).map { k =>
-      val lanes = (0 until 4)
-        .map(j => s"(((h >> ${k * 4 + j}) & 1) << ${15 * j})").mkString(" + ")
-      sum(expr(s"CAST($lanes AS BIGINT)")).as(s"p$k")
-    }
-    val recombine = (0 until 60).map { b =>
-      val k = b / 4; val j = b % 4
-      s"IF(2 * ((p$k >> ${15 * j}) & $LaneCap) > n, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
-    }.mkString(" + ")
-    toks.groupBy("doc_id").agg(packed.head, (packed.tail :+ count(lit(1)).as("n")): _*)
-      .selectExpr("doc_id", laneGuard("simhash", recombine) + " AS simhash")
+    val sim = udaf(new graft.functions.Simhash128Agg(),
+      org.apache.spark.sql.Encoders.product[graft.functions.Sig128])
+    toks.groupBy("doc_id")
+      .agg(sim(expr("h & 4294967295"), expr("h >> 32"), lit(0L), lit(0L)).as("sig"))
+      .selectExpr("doc_id", "sig.w0 | shiftleft(sig.w1, 32) AS simhash")
   }
 
   /** 128-bit SimHash as four 32-bit words (doc_id, w0..w3) — the dedup

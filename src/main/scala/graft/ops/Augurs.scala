@@ -68,9 +68,14 @@ object Augurs {
     val nbr = pts.select((t.keys.map(col) :+ col("ts").as("__nts") :+
       col("seq").as("__nseq") :+ col("__v").as("__nv") :+ col("__b").as("__pb")): _*)
     // each neighbor holds ONE bucket and the three probe buckets are
-    // distinct, so a qualifying pair matches exactly once
+    // distinct, so a qualifying pair matches exactly once. Values are
+    // consumed by the eps predicate INSIDE the join stage; the persisted
+    // pair frame carries bare (point id, neighbor id) — at scale the pair
+    // volume dominates, so it shuffles at id width only.
     val pairs = probes.join(nbr, t.keys :+ "__pb")
       .where(abs(col("__nv") - col("__v")) <= eps)
+      .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+        col("__nts") :+ col("__nseq")): _*)
       .persist()
     val counts = pairs
       .groupBy((t.keys.map(col) :+ col("ts") :+ col("seq")): _*)
