@@ -165,11 +165,12 @@ object QueriesPipeline {
 
   // ── ANN oracle: the 32 hyperplanes (8 tables × 4 planes) as SQL literals ──
   private val AnnDim = 64
+  private val planeRowsSql: String = (0 until 32).map { p =>
+    val w = Similarity.planeVec(p, AnnDim).map(_.toLong).mkString("[", ",", "]")
+    s"($p, $w::DOUBLE[])"
+  }.mkString(",\n    ")
   private val annOracle: String = {
-    val planeRows = (0 until 32).map { p =>
-      val w = Similarity.planeVec(p, AnnDim).map(_.toLong).mkString("[", ",", "]")
-      s"($p, $w::DOUBLE[])"
-    }.mkString(",\n    ")
+    val planeRows = planeRowsSql
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |pl AS (SELECT * FROM (VALUES
        |    $planeRows) AS p(i, w)),
@@ -532,6 +533,31 @@ object QueriesPipeline {
         emb(s, d).where(col("vec_id") < 10), emb(s, d), 3, 4, dimHint = AnnDim)
         .orderBy("qid", "rank"),
       Some(annOracle)),
+
+    // embedding-cosine near-dup pairs — the fifth dedup flavor. Candidates
+    // from the multi-table hyperplane LSH (plan-time literal planes, so
+    // the DuckDB oracle replicates candidate generation EXACTLY and the
+    // result is exact-checkable despite LSH being probabilistic); recall
+    // vs brute force is gated separately in PipelineSpec. tau=0.4 suits
+    // the testdata (its max pairwise cosine is ~0.6; real near-dup
+    // corpora run this at 0.95+ unchanged).
+    "emb_dedup_cosine" -> Q(
+      (s, d) => Similarity.cosineDedupLsh(emb(s, d), 0.4, 4, dimHint = AnnDim)
+        .orderBy("a", "b"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |pl AS (SELECT * FROM (VALUES
+              |    $planeRowsSql) AS p(i, w)),
+              |sg AS (SELECT vec_id, i,
+              |    CASE WHEN list_dot_product(v, w) >= 0 THEN '1' ELSE '0' END AS s
+              |  FROM e, pl),
+              |bk AS (SELECT vec_id, i // 4 AS tbl, string_agg(s, '' ORDER BY i) AS bucket
+              |  FROM sg GROUP BY 1,2),
+              |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+              |    AND x.vec_id < y.vec_id),
+              |v AS (SELECT a, b, round(1e-9 + list_cosine_similarity(ea.v, eb.v), 4) AS cos
+              |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
+              |SELECT a, b, cos FROM v WHERE cos >= 0.4 ORDER BY 1,2""".stripMargin)),
 
     // cosine of each vector to its label centroid (cluster cohesion).
     "emb_centroid_cos" -> Q(

@@ -105,6 +105,46 @@ object Similarity {
         s"CAST(p % $nPlanes AS INT))")).as("bucket"))
   }
 
+  /** Embedding-cosine near-dup pairs (the fifth dedup flavor next to
+    * exact / MinHash / SimHash / n-gram Jaccard): all pairs with rounded
+    * cosine ≥ tau among candidates that share an LSH bucket in ANY of the
+    * `nTables` tables. Unlike the SimHash banding there is no pigeonhole
+    * completeness — hyperplane LSH is probabilistic (recall
+    * 1-(1-p^nPlanes)^nTables, gated by the frozen recall spec); the
+    * oracle replicates the plan-time-literal planes, so the reported
+    * pairs are still EXACTLY checkable. Scale shape mirrors
+    * [[annTopK]]: bucket rows and the candidate dedup carry bare ids,
+    * vectors re-attach post-dedup, cosine is the primitive-loop UDF. The
+    * tau cut applies to the 4dp-ROUNDED cosine so both engines agree at
+    * the boundary. */
+  def cosineDedupLsh(vecs: DataFrame, tau: Double, nPlanes: Int,
+      nTables: Int = 8, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+      else vecs.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("cos"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"cosineDedupLsh: expected dim $dim, got "),
+          size(vec).cast("string"))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    val bk = tableBucketRows(cv, "id", "v", nPlanes, nTables, dim)
+    val ba = bk.select(col("table"), col("bucket"), col("id").as("a"))
+    val bb = bk.select(col("table"), col("bucket"), col("id").as("b"))
+    val cand = ba.join(bb, Seq("table", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val r = round(cosLoop(col("va"), col("vb")) + lit(1e-9), 4)
+    cand
+      .join(cv.select(col("id").as("a"), col("v").as("va")), "a")
+      .join(cv.select(col("id").as("b"), col("v").as("vb")), "b")
+      .withColumn("cos", r)
+      .where(col("cos") >= tau)
+      .select("a", "b", "cos")
+  }
+
   /** Multi-table LSH approximate top-k (the classic recall lever: L
     * independent tables, union of in-bucket candidates, exact cosine +
     * top-k on the union). The scale shape: candidate generation is an
