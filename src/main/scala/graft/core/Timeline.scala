@@ -591,4 +591,20 @@ object Timeline {
       .where(col("value").isNotNull)
     Timeline(df)
   }
+
+  /** The REALTIME `poll` leg (reference `ops.rs:2899` busy-spin): the
+    * poll function evaluated once per engine cycle off a live clock —
+    * Spark's rate source drives the cycles (cycle index = the rate
+    * source's monotonic `value`), `f` ticks on Some exactly like the
+    * replay form above. Returns a streaming frame with the Timeline
+    * column contract (ts ns, seq = cycle, value). */
+  def pollRealtime(spark: org.apache.spark.sql.SparkSession, rowsPerSecond: Int)(
+      f: Long => Option[Double]): org.apache.spark.sql.DataFrame = {
+    val fu = udf((i: Long) => f(i))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select((unix_micros(col("timestamp")) * 1000L).as("ts"),
+        col("value").as("seq"), fu(col("value")).as("value"))
+      .where(col("value").isNotNull)
+  }
 }

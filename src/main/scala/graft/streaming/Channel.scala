@@ -58,6 +58,24 @@ object Channel {
     * recorded rows re-read as a batch frame (RunMode duality). */
   def external(spark: SparkSession): Channel = new Channel(spark)
 
+  /** The REALTIME `external` transport: a socket-fed stream — the
+    * wake-the-kernel path where an out-of-process producer pushes rows
+    * and each arrival wakes the engine (reference `interp.rs:430,614`;
+    * Spark's socket source thread is the kernel-waker). Line protocol
+    * `key ts seq value`, one Ev per line; the producer stamps event time,
+    * exactly the external contract. The MemoryStream [[Channel]] remains
+    * the deterministic-replay leg of the same op (RunMode duality). */
+  def externalSocket(spark: SparkSession, host: String, port: Int): Dataset[Ev] = {
+    import spark.implicits._
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .as[String]
+      .map { line =>
+        val p = line.trim.split("\\s+")
+        Ev(p(0), p(1).toLong, p(2).toLong, 0, p(3).toDouble)
+      }
+  }
+
   /** `produce_async` (reference `async_source.rs:1-70`): an async producer
     * of timestamped values with BOUNDED look-ahead — the producer may run
     * at most `buffer` rows ahead of delivery (`async_source.rs:23-45`).

@@ -63,6 +63,48 @@ class ChannelSpec extends SparkSuite {
     assert(opened == 1, "connection established exactly once")
   }
 
+  test("external realtime: a socket-fed producer wakes the engine (interp.rs:430,614)") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val producer = new Thread(() => {
+      try {
+        val s = server.accept()
+        val w = new java.io.PrintWriter(s.getOutputStream, true)
+        Seq("a 10 1 1.5", "a 20 2 2.5", "b 10 3 9.0").foreach(w.println)
+        w.flush()
+        Thread.sleep(60000) // keep the connection open while the test reads
+      } catch { case _: Throwable => () }
+    })
+    producer.setDaemon(true); producer.start()
+    val q = Channel.externalSocket(spark, "localhost", port)
+      .writeStream.format("memory").queryName("ext_sock").outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("ext_sock").count() < 3 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable(); Thread.sleep(100)
+    }
+    q.stop(); server.close()
+    val got = spark.table("ext_sock").as[Ev].collect().sortBy(_.seq).toSeq
+    assert(got == Seq(Ev("a", 10L, 1L, 0, 1.5), Ev("a", 20L, 2L, 0, 2.5),
+      Ev("b", 10L, 3L, 0, 9.0)),
+      "producer-stamped rows arrive through the live socket transport")
+  }
+
+  test("poll realtime: rate-source cycles drive the poll fn live (ops.rs:2899 busy-spin leg)") {
+    val q = graft.core.Timeline.pollRealtime(spark, 100)(
+        i => if (i % 2 == 0) Some(i * 2.0) else None)
+      .writeStream.format("memory").queryName("poll_rt").outputMode("append").start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("poll_rt").count() < 5 && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable(); Thread.sleep(100)
+    }
+    q.stop()
+    val rows = spark.table("poll_rt").as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(rows.length >= 5, s"live cycles produced rows (got ${rows.length})")
+    assert(rows.forall { case (_, seq, v) => seq % 2 == 0 && v == seq * 2.0 },
+      "ticks on Some only; f applied per cycle")
+    assert(rows.map(_._1) == rows.map(_._1).sorted, "live clock monotone over cycles")
+  }
+
   test("tail_lines: files appearing mid-query arrive live, ordered-ts enforced (lines.rs:196)") {
     import graft.sources.Adapters
     import java.nio.file.{Files, Paths}
