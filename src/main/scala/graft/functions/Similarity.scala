@@ -112,11 +112,24 @@ object Similarity {
     * completeness — hyperplane LSH is probabilistic (recall
     * 1-(1-p^nPlanes)^nTables, gated by the frozen recall spec); the
     * oracle replicates the plan-time-literal planes, so the reported
-    * pairs are still EXACTLY checkable. Scale shape mirrors
-    * [[annTopK]]: bucket rows and the candidate dedup carry bare ids,
-    * vectors re-attach post-dedup, cosine is the primitive-loop UDF. The
-    * tau cut applies to the 4dp-ROUNDED cosine so both engines agree at
-    * the boundary. */
+    * pairs are still EXACTLY checkable.
+    *
+    * Scale shape — verify BEFORE dedup (the simhash-dedup lesson): a
+    * near-dup tau deep in the random-cosine tail keeps buckets selective,
+    * but a LOOSE tau (like the testdata's 0.4, ~3σ of random 64-dim
+    * cosines) makes the candidate set DENSE — at sf0.1 the bucket join
+    * emits ~6M pairs for 920 survivors. So the bucket rows carry their
+    * vectors PRE-NORMALIZED AND BYTE-PACKED (#vecs × nTables rows — tiny
+    * next to the pair volume), the cosine cut runs INSIDE the join stage
+    * as a primitive dot loop over two byte arrays, and only survivors
+    * reach the dedup exchange. Candidates that fail tau never shuffle
+    * anywhere. Why byte-packed: a Seq[Double] UDF boxes every element
+    * per candidate (~5 s of the measured 6.6 s at sf0.1) and a dim-term
+    * element_at Column expression lands in the join-condition
+    * interpreter (measured 24 s); BinaryType crosses the UDF boundary as
+    * a raw byte array — the loop reads unboxed doubles straight out of
+    * it (measured ~2 s). The tau cut applies to the 4dp-ROUNDED cosine
+    * so both engines agree at the boundary. */
   def cosineDedupLsh(vecs: DataFrame, tau: Double, nPlanes: Int,
       nTables: Int = 8, dimHint: Int = -1): DataFrame = {
     val dim = if (dimHint > 0) dimHint
@@ -131,18 +144,32 @@ object Similarity {
         .otherwise(raise_error(concat(lit(s"cosineDedupLsh: expected dim $dim, got "),
           size(vec).cast("string"))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
-    val bk = tableBucketRows(cv, "id", "v", nPlanes, nTables, dim)
-    val ba = bk.select(col("table"), col("bucket"), col("id").as("a"))
-    val bb = bk.select(col("table"), col("bucket"), col("id").as("b"))
-    val cand = ba.join(bb, Seq("table", "bucket")).where(col("a") < col("b"))
-      .select("a", "b").dropDuplicates("a", "b")
-    val r = round(cosLoop(col("va"), col("vb")) + lit(1e-9), 4)
-    cand
-      .join(cv.select(col("id").as("a"), col("v").as("va")), "a")
-      .join(cv.select(col("id").as("b"), col("v").as("vb")), "b")
-      .withColumn("cos", r)
+    // unit-normalize + pack once per bucket row: cosine then = plain dot
+    val cvn = cv.withColumn("vp", packUnit(col("v"))).select("id", "vp")
+    val bk = tableBucketRows(cv, "id", "v", nPlanes, nTables, dim).join(cvn, "id")
+    val ba = bk.select(col("table"), col("bucket"), col("id").as("a"), col("vp").as("pa"))
+    val bb = bk.select(col("table"), col("bucket"), col("id").as("b"), col("vp").as("pb"))
+    ba.join(bb, Seq("table", "bucket")).where(col("a") < col("b"))
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("pa"), col("pb")) + lit(1e-9), 4))
       .where(col("cos") >= tau)
       .select("a", "b", "cos")
+      .dropDuplicates("a", "b")
+  }
+
+  /** Unit-normalize a double vector and pack it little-endian into bytes
+    * (zero vector → zero vector, matching [[cosLoop]]'s 0-cosine
+    * convention). Runs once per bucket row — off the hot path; the hot
+    * per-candidate loop is the native [[DotPacked]] expression. */
+  private val packUnit = udf { (v: Seq[Double]) =>
+    var i = 0; var n2 = 0.0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+    val bb = java.nio.ByteBuffer.allocate(v.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    i = 0
+    while (i < v.length) { bb.putDouble(v(i) * inv); i += 1 }
+    bb.array()
   }
 
   /** Multi-table LSH approximate top-k (the classic recall lever: L
