@@ -96,6 +96,30 @@ class PlanAuditSpec extends SparkSuite {
       s"dedup keys must not carry signature words: ${dedup.get.trim.take(120)}")
   }
 
+  test("dbscan outliers: value-bucketed equi-join, pair frame persists at id width") {
+    val p = plan("aug_outlier_dbscan")
+    // the eps check lives in the join stage; the persisted pair frame
+    // must carry bare ids — a value column here means the pair volume
+    // (the dominant term) shuffles wider than needed
+    val imr = p.linesIterator.filter(_.contains("InMemoryRelation ["))
+    assert(imr.nonEmpty, "pair frame persisted")
+    assert(imr.forall(l => !l.contains("__v#") && !l.contains("__nv#")),
+      "persisted pairs carry no value columns")
+  }
+
+  test("cosine dedup: score fused into the bucket join; dedup on survivor ids") {
+    val p = plan("emb_dedup_cosine")
+    // the tau cut rides the join condition (via dot_packed) — candidates
+    // failing it never reach an exchange
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("dot_packed")),
+      "cosine verify must be fused into the bucket join")
+    val dedup = p.linesIterator.find(_.contains("HashAggregate(keys=[a#"))
+    assert(dedup.isDefined, "survivor dedup aggregate (keys=[a, b]) present")
+    assert(!dedup.get.contains("pa#") && !dedup.get.contains("pb#"),
+      s"dedup keys carry no packed vectors: ${dedup.get.trim.take(120)}")
+  }
+
   test("ANN bucket path stays codegen'd: no interpreted HOFs in the bucket stage") {
     val p = plan("emb_ann_lsh")
     // transform/aggregate lambdas would appear as higher-order expressions;
