@@ -179,12 +179,14 @@ class OrderBookSpec extends SparkSuite {
       snap(10, 1, Nil, Nil, instr = "B"),
       delta(20, 2, Seq(("bid", 7, 7)), instr = "B"))
 
-    val batchOut = OrderBookOp.batch(spark.createDataset(updates))
+    // depth = 2: the K-level image rides every emission, so parity also
+    // proves the level arrays survive the GroupState boundary intact
+    val batchOut = OrderBookOp.batch(spark.createDataset(updates), depth = 2)
       .collect().sortBy(t => (t.instrument, t.ts, t.seq)).toSeq
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[BookUpdateIn]
-    val q = OrderBookOp.streaming(mem.toDS())
+    val q = OrderBookOp.streaming(mem.toDS(), depth = 2)
       .writeStream.format("memory").queryName("book_parity")
       .outputMode("append").start()
     // two micro-batches: state must survive the batch boundary
