@@ -108,6 +108,50 @@ object QueriesPipeline {
        |  FROM m GROUP BY 1,2)""".stripMargin
   }
 
+  /** Verified MinHash-LSH near-dup pairs (a, b, j): band-collision
+    * candidates, exact Jaccard ≥ 0.2 over hashed shingle sets. Feeds both
+    * the pair query (doc_dedup_minhash) and the cluster collapse
+    * (doc_dedup_cluster).
+    *
+    * persist: the signature frame feeds FOUR plan branches (band self-
+    * join x2, verify join x2) — without it Spark recomputes the whole
+    * tokenize+md5 pass per branch (no CSE across exchanges). The
+    * persisted frame is #docs × (8 longs + hashed set) — tiny next to
+    * the text it derives from; at scale this is the materialized
+    * signature table every LSH pipeline keeps. */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val base = minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true)
+      .persist()
+    val bands = bandRows(base, Nil)
+    val cand = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cand
+      .join(base.select(col("doc_id").as("a"), col("shh").as("sha")), "a")
+      .join(base.select(col("doc_id").as("b"), col("shh").as("shb")), "b")
+      .withColumn("j", TF.jaccard(col("sha"), col("shb")))
+      .where(col("j") >= 0.2)
+      .select(col("a"), col("b"), col("j"))
+  }
+
+  /** The shared DuckDB CTE chain producing verified minhash pairs `v`
+    * (a, b, j ≥ 0.2) — the oracle-side mirror of [[minhashVerifiedPairs]]. */
+  private def oracleMinhashPairs: String =
+    s"""t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |g2 AS (SELECT doc_id, $SH2 AS sh FROM t),
+       |$oracleMinhash,
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS shh FROM e GROUP BY 1),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |v AS (SELECT a, b,
+       |    len(list_intersect(ga.shh, gb.shh))::DOUBLE /
+       |      (len(ga.shh) + len(gb.shh) - len(list_intersect(ga.shh, gb.shh))) AS j
+       |  FROM cand JOIN sets ga ON ga.doc_id = a JOIN sets gb ON gb.doc_id = b
+       |  WHERE len(list_intersect(ga.shh, gb.shh))::DOUBLE /
+       |      (len(ga.shh) + len(gb.shh) - len(list_intersect(ga.shh, gb.shh))) >= 0.2)""".stripMargin
+
   /** 60-bit SimHash signatures (doc_id, simhash) — see doc_simhash.
     *
     * The per-doc majority vote rides [[graft.functions.Simhash128Agg]]
@@ -286,40 +330,38 @@ object QueriesPipeline {
     // the band self-join is the only shuffle, and the verify join carries
     // 8-byte hashed shingles, never the strings.
     "doc_dedup_minhash" -> Q(
+      (s, d) => minhashVerifiedPairs(s, d)
+        .select(col("a"), col("b"), r4(col("j")).as("j"))
+        .orderBy("a", "b"),
+      Some(s"""WITH $oracleMinhashPairs
+              |SELECT a, b, round(1e-9 + j,4) AS j FROM v ORDER BY 1,2""".stripMargin)),
+
+    // Cluster collapse over the verified near-dup pairs: pairs say a~b and
+    // b~c, a training pipeline must keep ONE of {a,b,c} — connected
+    // components (Graph.connectedComponents, iterative min-label
+    // propagation) assigns every paired doc its component's lowest doc_id
+    // as `cluster` (= the survivor under the family's keep-lowest-id
+    // convention). The oracle computes the same closure with a recursive
+    // CTE — algorithm-independent: label propagation vs transitive closure
+    // must land on identical components.
+    "doc_dedup_cluster" -> Q(
       (s, d) => {
-        // persist: the signature frame feeds FOUR plan branches (band self-
-        // join x2, verify join x2) — without it Spark recomputes the whole
-        // tokenize+md5 pass per branch (no CSE across exchanges). The
-        // persisted frame is #docs × (8 longs + hashed set) — tiny next to
-        // the text it derives from; at scale this is the materialized
-        // signature table every LSH pipeline keeps.
-        val base = minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true)
-          .persist()
-        val bands = bandRows(base, Nil)
-        val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-        cand
-          .join(base.select(col("doc_id").as("a"), col("shh").as("sha")), "a")
-          .join(base.select(col("doc_id").as("b"), col("shh").as("shb")), "b")
-          .withColumn("j", TF.jaccard(col("sha"), col("shb")))
-          .where(col("j") >= 0.2)
-          .select(col("a"), col("b"), r4(col("j")).as("j"))
-          .orderBy("a", "b")
+        val pairs = minhashVerifiedPairs(s, d).select(col("a"), col("b"))
+        val comp = graft.ops.Graph.connectedComponents(pairs)
+        comp.select(col("id").as("doc_id"), col("component").as("cluster"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
+          .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-              |g2 AS (SELECT doc_id, $SH2 AS sh FROM t),
-              |$oracleMinhash,
-              |sets AS (SELECT doc_id, list_distinct(list(h)) AS shh FROM e GROUP BY 1),
-              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |  FROM bands x JOIN bands y
-              |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-              |v AS (SELECT a, b,
-              |    len(list_intersect(ga.shh, gb.shh))::DOUBLE /
-              |      (len(ga.shh) + len(gb.shh) - len(list_intersect(ga.shh, gb.shh))) AS j
-              |  FROM cand JOIN sets ga ON ga.doc_id = a JOIN sets gb ON gb.doc_id = b)
-              |SELECT a, b, round(1e-9 + j,4) AS j FROM v WHERE j >= 0.2 ORDER BY 1,2""".stripMargin)),
+      Some(s"""WITH RECURSIVE $oracleMinhashPairs,
+              |ed AS (SELECT a AS sa, b AS sb FROM v UNION SELECT b, a FROM v),
+              |rc AS (SELECT sa, sb FROM ed
+              |  UNION
+              |  SELECT rc.sa, ed.sb FROM rc JOIN ed ON rc.sb = ed.sa),
+              |comp AS (SELECT sa AS doc_id, least(sa, min(sb)) AS cluster
+              |  FROM rc GROUP BY sa)
+              |SELECT doc_id, cluster, count(*) OVER (PARTITION BY cluster) AS n
+              |FROM comp ORDER BY doc_id""".stripMargin)),
 
     // n-gram (trigram) Jaccard near-dup, LSH-routed: candidates come from
     // trigram-MinHash band collisions WITHIN the same source, then exact
