@@ -549,6 +549,36 @@ object QueriesPipeline {
               |SELECT doc_id, q FROM f JOIN k USING (fp)
               |WHERE doc_id = keep ORDER BY 1""".stripMargin)),
 
+    // Greedy sequence packing — the step after cleaning: assign every doc a
+    // (training-sequence id, token offset) under a 128-token budget, per
+    // source, in doc_id order (Packing.packGreedy: one shuffle on source,
+    // O(1)-state sorted-group fold). The oracle replays the same greedy
+    // recurrence as a recursive CTE — per-source rows chained by
+    // row_number, one recursion level per row.
+    "doc_pack_sequences" -> Q(
+      (s, d) => graft.ops.Packing.packGreedy(
+        docs(s, d).select(col("source"), col("doc_id"),
+          coalesce(size(TF.tokens(col("text"))), lit(0)).cast("long").as("toks")),
+        Seq("source"), "toks", "doc_id", 128L)
+        .select("source", "doc_id", "toks", "seq_id", "off")
+        .orderBy("source", "doc_id"),
+      Some(s"""WITH RECURSIVE t AS (SELECT source, doc_id,
+              |    coalesce(len($TOKS), 0) AS toks,
+              |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              |  FROM documents),
+              |rc AS (
+              |  SELECT source, doc_id, toks, rn,
+              |    0::BIGINT AS seq_id, 0::BIGINT AS off, toks::BIGINT AS acc
+              |  FROM t WHERE rn = 1
+              |  UNION ALL
+              |  SELECT t.source, t.doc_id, t.toks, t.rn,
+              |    CASE WHEN rc.acc + t.toks > 128 THEN rc.seq_id + 1 ELSE rc.seq_id END,
+              |    CASE WHEN rc.acc + t.toks > 128 THEN 0 ELSE rc.acc END,
+              |    CASE WHEN rc.acc + t.toks > 128 THEN t.toks ELSE rc.acc + t.toks END
+              |  FROM rc JOIN t ON t.source = rc.source AND t.rn = rc.rn + 1)
+              |SELECT source, doc_id, toks, seq_id, off
+              |FROM rc ORDER BY 1, 2""".stripMargin)),
+
     // brute-force cosine top-3 for the first 10 query vectors — the
     // correctness baseline for ANN.
     "emb_cosine_topk" -> Q(

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.core.KeyedScan
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for training-data preparation: concatenating documents
+  * into fixed-token-budget training sequences. The packer only ASSIGNS
+  * (sequence id, token offset) — the actual concatenation happens wherever
+  * the tokens live, so the shuffle carries counts, never text. */
+object Packing {
+
+  /** Greedy first-fit-in-order packing: within each key group, walk rows in
+    * `orderCol` order keeping a running token total; when the next row would
+    * push the total past `budget`, close the sequence and start the next.
+    * A row larger than `budget` gets a sequence of its own (no splitting —
+    * the packer never breaks a document across sequences; budget-exceeding
+    * docs are the caller's filter decision). `acc + tk == budget` still
+    * fits: the gate is strictly `> budget`.
+    *
+    * Appends `seq_id` (0-based sequence index within the key group) and
+    * `off` (token offset of this row within its sequence), both LONG.
+    * `tokCol` must be a non-null LONG column.
+    *
+    * Scale shape: one shuffle on the key columns, then a sorted-group fold
+    * with O(1) state per group ([[KeyedScan]] — same contract as the
+    * streaming `transformWithState` path). Greedy-in-order is the packing
+    * discipline large-corpus pipelines actually run: globally-optimal bin
+    * packing needs the whole corpus on one node, while in-order packing
+    * streams per shard and wastes at most one doc's tokens per boundary. */
+  def packGreedy(df: DataFrame, keyCols: Seq[String], tokCol: String,
+      orderCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"packGreedy: budget must be positive, got $budget")
+    // orderCol rides KeyedScan's (ts, seq) sort clock
+    val in = df.withColumn("ts", col(orderCol).cast("long"))
+      .withColumn("seq", lit(0L))
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("seq_id", LongType, nullable = false),
+      StructField("off", LongType, nullable = false)))
+    val tIdx = in.schema.fieldIndex(tokCol)
+    KeyedScan(in, keyCols, outSchema) { (_, rows) =>
+      var bin = 0L; var acc = 0L; var first = true
+      rows.map { r =>
+        val tk = r.getLong(tIdx)
+        if (!first && acc + tk > budget) { bin += 1; acc = 0L }
+        first = false
+        val off = acc
+        acc += tk
+        Row.fromSeq(r.toSeq ++ Seq(bin, off))
+      }
+    }.drop("ts", "seq")
+  }
+}
