@@ -606,6 +606,39 @@ object QueriesPipeline {
         .orderBy("qid", "rank"),
       Some(annOracle)),
 
+    // IVF-Flat ANN (the coarse-quantizer scale path next to the LSH one):
+    // 16 deterministic sample centroids, each candidate in its single
+    // nearest cell, queries probe their 4 nearest cells and rank exactly
+    // within. Every stage is a pure function of the input, so the oracle
+    // replays assignment, probing, and ranking verbatim.
+    "emb_ann_ivf" -> Q(
+      (s, d) => Similarity.ivfTopK(
+        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3,
+        nCent = 16, nProbe = 4, dimHint = AnnDim)
+        .orderBy("qid", "rank"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+             |af AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
+             |cells AS (SELECT id AS nid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM af)
+             |  WHERE rn = 1),
+             |probes AS (SELECT id AS qid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+             |    FROM af WHERE id < 10)
+             |  WHERE rn <= 4),
+             |cand AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
+             |  WHERE qid <> nid),
+             |s AS (SELECT qid, nid,
+             |    round(1e-9 + list_cosine_similarity(eq.v, en.v), 4) AS sim
+             |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid),
+             |r AS (SELECT qid, nid, sim, CAST(row_number() OVER
+             |    (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank FROM s)
+             |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)),
+
     // embedding-cosine near-dup pairs — the fifth dedup flavor. Candidates
     // from the multi-table hyperplane LSH (plan-time literal planes, so
     // the DuckDB oracle replicates candidate generation EXACTLY and the

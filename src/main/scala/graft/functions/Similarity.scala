@@ -172,6 +172,86 @@ object Similarity {
     bb.array()
   }
 
+  /** Cell affinity for the IVF coarse quantizer: cosine of every row in
+    * `df` to every centroid, as (idCol, cid, cs) with cs 4dp-rounded
+    * (both engines rank on the ROUNDED value, ties to the lowest cid).
+    *
+    * Shape: posexplode the vector, broadcast-equi-join the exploded
+    * centroid components on the dimension index, one hash-aggregate per
+    * (row, centroid) — BroadcastHashJoin + codegen'd agg, never a
+    * nested-loop join (the registry-wide cartesian gate stays clean).
+    * Cost O(rows × dim × nCent) — the inherent IVF assignment cost. */
+  private def cellAffinity(df: DataFrame, idCol: String, vecCol: String,
+      centExploded: DataFrame): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol))).toDF(idCol, "i", "x")
+      .join(broadcast(centExploded), "i")
+      .groupBy(col(idCol), col("cid"))
+      .agg(sum(col("x") * col("w")).as("d"),
+        sum(col("x") * col("x")).as("nx"),
+        sum(col("w") * col("w")).as("nc"))
+      .withColumn("cs", round(when(col("nx") === 0.0 || col("nc") === 0.0, 0.0)
+        .otherwise(col("d") / (sqrt(col("nx")) * sqrt(col("nc")))) + lit(1e-9), 4))
+      .select(col(idCol), col("cid"), col("cs"))
+
+  /** IVF-Flat approximate top-k — the coarse-quantizer counterpart to the
+    * hyperplane-LSH [[annTopK]]: `nCent` centroids partition the corpus
+    * into cells (every candidate lives in exactly ONE cell — its nearest
+    * centroid by rounded cosine, ties to the lowest centroid id); a query
+    * probes its `nProbe` nearest cells and ranks exactly within them.
+    *
+    * Centroids are a deterministic data sample (the `nCent` lowest
+    * vec_ids) — a k-means-style trained quantizer would drop in here
+    * unchanged (swap the centroid frame), but the sample keeps the whole
+    * index a pure function of the input, so the DuckDB oracle replays
+    * assignment, probing, and ranking EXACTLY.
+    *
+    * Scale shape: assignment is one broadcast equi-join + aggregate (the
+    * centroid table is the broadcast model, nCent×dim doubles); the
+    * probe→cell join runs on BARE ids co-partitioned by cell — a
+    * candidate pair costs two longs in the shuffle, and because each
+    * candidate has exactly one cell there are no duplicate pairs and no
+    * dedup exchange (vs. the LSH path's nTables-way dedup). Vectors
+    * re-attach to survivors only. Per query the exact work is
+    * ~nProbe/nCent of the corpus — the IVF-Flat contract. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int, nCent: Int,
+      nProbe: Int, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+      else candidates.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0)
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("sim"), lit(0L).as("rank"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"ivfTopK: expected dim $dim, got "),
+          size(vec).cast("string"))))
+    val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
+    val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
+    val centEx = candidates.where(col("vec_id") < nCent)
+      .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
+      .toDF("cid", "i", "w")
+    val wNear = org.apache.spark.sql.expressions.Window
+      .partitionBy("nid").orderBy(col("cs").desc, col("cid"))
+    val cells = cellAffinity(cv, "nid", "nv", centEx)
+      .withColumn("rn", row_number().over(wNear)).where(col("rn") === 1)
+      .select(col("nid"), col("cid").as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cs").desc, col("cid"))
+    val probes = cellAffinity(qv, "qid", "qv", centEx)
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val cand = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .join(qv, "qid").join(cv, "nid")
+    val sims = cand.withColumn("sim", cosLoop(col("qv"), col("nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(round(col("sim") + lit(1e-9), 4).desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim") + lit(1e-9), 4).as("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Multi-table LSH approximate top-k (the classic recall lever: L
     * independent tables, union of in-bucket candidates, exact cosine +
     * top-k on the union). The scale shape: candidate generation is an
