@@ -549,6 +549,33 @@ object QueriesPipeline {
               |SELECT doc_id, q FROM f JOIN k USING (fp)
               |WHERE doc_id = keep ORDER BY 1""".stripMargin)),
 
+    // Deterministic stratified sampling: the 10 docs per source with the
+    // lowest salted-md5 rank — a reproducible per-stratum sample that any
+    // re-run (or any other engine, per the oracle) reproduces bit-for-bit
+    // without storing sampling state. At scale: one shuffle on the
+    // stratum key, rank inside the window — no global sort, no
+    // coordination; exactly how a 100 TB pipeline draws re-runnable eval
+    // splits. The salt decorrelates this sample from any other md5 use
+    // on doc_id.
+    "doc_sample_stratified" -> Q(
+      (s, d) => {
+        val h = TF.hash60(concat(lit("samp:"), col("doc_id").cast("string")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(h, col("doc_id"))
+        docs(s, d).select(col("source"), col("doc_id"), h.as("h"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= 10)
+          .select("source", "doc_id", "rk")
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH h AS (SELECT source, doc_id,
+              |    ${H60.format("'samp:' || doc_id::VARCHAR")} AS h
+              |  FROM documents),
+              |r AS (SELECT source, doc_id, CAST(row_number() OVER
+              |    (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk FROM h)
+              |SELECT source, doc_id, rk FROM r WHERE rk <= 10
+              |ORDER BY source, rk""".stripMargin)),
+
     // Greedy sequence packing — the step after cleaning: assign every doc a
     // (training-sequence id, token offset) under a 128-token budget, per
     // source, in doc_id order (Packing.packGreedy: one shuffle on source,

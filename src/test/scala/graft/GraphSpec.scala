@@ -39,4 +39,28 @@ class GraphSpec extends SparkSuite {
     val c = components((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L))
     assert(c == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("5k-edge pseudo-random graph matches a driver-side union-find") {
+    // deterministic LCG edge stream over 2k vertices: many components of
+    // varied shape (cliques, chains, isolated pairs), not hand-pickable
+    var st = 12345L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; (st >>> 33) % 2000L }
+    val edges = Seq.fill(5000)((nxt(), nxt()))
+    // reference: classic union-find with path compression
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // union-by-min keeps every root at its component's minimum id, so the
+    // find-root IS the canonical min-id label
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    val got = Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
 }
