@@ -127,4 +127,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Generate posexplode"), "vector explode present")
     assert(p.contains("HashAggregate"), "plane dots via hash aggregate")
   }
+
+  test("IVF ANN: equi-join candidates, group-limit pushed into the rank windows") {
+    val p = plan("emb_ann_ivf")
+    // centroid assignment must be the broadcast equi-join + aggregate
+    // shape, never a nested loop (registry-wide gate repeats this), and
+    // the probe->cell candidate join must stay a keyed join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "probe->cell candidate generation lost its equi-join")
+    // rn = 1 / rn <= nProbe / rank <= k must plan as WindowGroupLimit —
+    // per-partition top-k pruning before the full window sort
+    assert(p.contains("WindowGroupLimit"),
+      "rank filters no longer push a group limit into the window")
+  }
 }
