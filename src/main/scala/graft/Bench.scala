@@ -23,13 +23,20 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 2-decimal rounding keeps the WHOLE line under ~1.9k chars at 75+
+    // queries: the driver records only the last 2000 chars of stdout
+    // (minus sbt's ~75-char [success] trailer), and a full-precision line
+    // overflows that window — truncating away the total. 10 ms precision
+    // loses nothing at these magnitudes; the empty errors map is omitted
+    // for the same budget reason.
+    def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val errJson = errors.map { case (k, v) =>
+    val errJson = if (errors.isEmpty) "" else "\"errors\":" + errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""",
+    }.mkString("{", ",", "},")
+    (s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}""",
       errors)
   }
 

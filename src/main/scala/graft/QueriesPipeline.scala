@@ -644,7 +644,7 @@ object QueriesPipeline {
         nCent = 16, nProbe = 4, dimHint = AnnDim)
         .orderBy("qid", "rank"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
              |af AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
              |cells AS (SELECT id AS nid, cid AS cell FROM (

@@ -228,7 +228,10 @@ object Similarity {
           size(vec).cast("string"))))
     val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
     val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
-    val centEx = candidates.where(col("vec_id") < nCent)
+    // the nCent lowest vec_ids, whatever the id space looks like (sparse
+    // or offset ids yield a full quantizer, not a silently-smaller one);
+    // nCent is small, so orderBy+limit is a TakeOrderedAndProject
+    val centEx = candidates.orderBy("vec_id").limit(nCent)
       .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
       .toDF("cid", "i", "w")
     val wNear = org.apache.spark.sql.expressions.Window
@@ -294,4 +297,5 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("sim") + lit(1e-9), 4).as("sim"),
         col("rank").cast("long").as("rank"))
   }
+
 }

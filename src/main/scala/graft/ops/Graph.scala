@@ -45,7 +45,14 @@ object Graph {
     * single-digit and re-running the whole job on executor loss is
     * cheaper than per-round HDFS writes; flip to `checkpoint` on an
     * unreliable cluster. The driver-side loop is inherent to iterative
-    * graph algorithms on Spark (same contract as Feedback.iterateEpochs). */
+    * graph algorithms on Spark (same contract as Feedback.iterateEpochs).
+    *
+    * Storage hygiene: each round's blocks are freed as soon as the next
+    * round materializes (localCheckpoint caches OUTSIDE the CacheManager,
+    * so `clearCache()` never reclaims them — a long-lived session calling
+    * this repeatedly would otherwise accumulate executor storage). Only
+    * the RETURNED label frame stays cached; callers that are done with it
+    * can free it with [[freeCheckpoint]]. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val Seq(srcCol, dstCol) = edges.columns.take(2).toSeq
     val und = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
@@ -67,13 +74,27 @@ object Graph {
       val next = labels.select("id", "component").unionByName(prop)
         .groupBy("id").agg(min("component").as("component")).localCheckpoint()
       val nextSum = labelSum(next)
+      freeCheckpoint(labels) // next is materialized; last round's blocks are dead
       labels = next
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1
     }
+    freeCheckpoint(und)
     require(done || it < maxIter,
       s"connectedComponents: no fixpoint after $maxIter rounds (diameter > $maxIter?)")
     labels
   }
+
+  /** Drop the executor blocks behind a `localCheckpoint`ed frame.
+    * localCheckpoint caches at the RDD layer (NOT the CacheManager), so
+    * neither `df.unpersist()` nor `catalog.clearCache()` reclaims it —
+    * the block handle lives on the LogicalRDD the checkpoint left behind.
+    * No-op on frames that aren't checkpoint leaves. */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

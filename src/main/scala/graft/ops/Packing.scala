@@ -28,18 +28,39 @@ object Packing {
     * streaming `transformWithState` path). Greedy-in-order is the packing
     * discipline large-corpus pipelines actually run: globally-optimal bin
     * packing needs the whole corpus on one node, while in-order packing
-    * streams per shard and wastes at most one doc's tokens per boundary. */
+    * streams per shard and wastes at most one doc's tokens per boundary.
+    *
+    * Determinism contract: a row whose `orderCol` is null or not castable
+    * to long aborts the query (a silent null clock would shuffle (seq_id,
+    * off) assignments run-to-run). Duplicate `orderCol` values within a
+    * key are tie-broken by a 64-bit hash of the whole row, so the packing
+    * is reproducible even on non-unique clocks (two fully-identical rows
+    * are interchangeable either way). Pre-existing `ts`/`seq` columns are
+    * renamed aside for the scan and restored on output — the internal
+    * clock never clobbers caller data. */
   def packGreedy(df: DataFrame, keyCols: Seq[String], tokCol: String,
       orderCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"packGreedy: budget must be positive, got $budget")
-    // orderCol rides KeyedScan's (ts, seq) sort clock
-    val in = df.withColumn("ts", col(orderCol).cast("long"))
-      .withColumn("seq", lit(0L))
+    require(!df.columns.exists(_.startsWith("__pack_")),
+      "packGreedy: input must not contain __pack_-prefixed columns")
+    // orderCol rides KeyedScan's (ts, seq) sort clock; caller ts/seq move
+    // aside so the clock can't clobber them
+    val aside = Seq("ts", "seq").filter(df.columns.contains)
+      .map(c => c -> s"__pack_$c").toMap
+    def mapped(c: String) = aside.getOrElse(c, c)
+    val renamed = aside.foldLeft(df) { case (d, (c, t)) => d.withColumnRenamed(c, t) }
+    val ordTs = col(mapped(orderCol)).cast("long")
+    val in = renamed
+      .withColumn("ts", when(ordTs.isNull,
+          raise_error(concat(lit(s"packGreedy: orderCol '$orderCol' must be non-null and castable to long, got "),
+            coalesce(col(mapped(orderCol)).cast("string"), lit("null")))).cast("long"))
+        .otherwise(ordTs))
+      .withColumn("seq", xxhash64(renamed.columns.map(col).toSeq: _*))
     val outSchema = StructType(in.schema.fields ++ Seq(
       StructField("seq_id", LongType, nullable = false),
       StructField("off", LongType, nullable = false)))
-    val tIdx = in.schema.fieldIndex(tokCol)
-    KeyedScan(in, keyCols, outSchema) { (_, rows) =>
+    val tIdx = in.schema.fieldIndex(mapped(tokCol))
+    val out = KeyedScan(in, keyCols.map(mapped), outSchema) { (_, rows) =>
       var bin = 0L; var acc = 0L; var first = true
       rows.map { r =>
         val tk = r.getLong(tIdx)
@@ -50,5 +71,6 @@ object Packing {
         Row.fromSeq(r.toSeq ++ Seq(bin, off))
       }
     }.drop("ts", "seq")
+    aside.foldLeft(out) { case (d, (c, t)) => d.withColumnRenamed(t, c) }
   }
 }

@@ -70,10 +70,22 @@ object Channel {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
       .as[String]
-      .map { line =>
-        val p = line.trim.split("\\s+")
-        Ev(p(0), p(1).toLong, p(2).toLong, 0, p(3).toDouble)
-      }
+      .map(parseExternalLine _)
+  }
+
+  /** Fail-fast `external` line protocol (`key ts seq value`), tail_lines-
+    * style loud abort: a malformed producer line is a wiring error, not
+    * data to skip silently. */
+  private[graft] def parseExternalLine(line: String): Ev = {
+    val p = line.trim.split("\\s+")
+    if (p.length != 4)
+      throw new IllegalStateException(
+        s"externalSocket: expected 'key ts seq value' (4 fields), got ${p.length} in line: '$line'")
+    try Ev(p(0), p(1).toLong, p(2).toLong, 0, p(3).toDouble)
+    catch { case e: NumberFormatException =>
+      throw new IllegalStateException(
+        s"externalSocket: non-numeric ts/seq/value in line: '$line' (${e.getMessage})")
+    }
   }
 
   /** `produce_async` (reference `async_source.rs:1-70`): an async producer

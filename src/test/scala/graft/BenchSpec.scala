@@ -17,4 +17,24 @@ class BenchSpec extends SparkSuite {
     assert(line.contains("\"errors\":{\"broken\":\""), s"error surfaces in the JSON line: $line")
     assert(line.contains("\"ok\":"), "healthy queries still timed")
   }
+
+  test("the JSON line fits the driver's 2000-char stdout tail") {
+    // the driver records only the last 2000 chars of the run's stdout
+    // (minus sbt's ~75-char [success] trailer): full-precision doubles at
+    // 75+ queries overflow that window and truncate the total away, so
+    // values are 2-decimal and the empty errors map is omitted
+    val (line, errors) = Bench.run(spark, "/root/testdata/sf0.001",
+      Map("t" -> ((s, _) => s.range(3).toDF())))
+    assert(errors.isEmpty)
+    assert(!line.contains("errors"), "empty errors map omitted for budget")
+    assert(line.matches(""".*"t":\d+\.\d\d[,}].*"""), s"2-decimal values: $line")
+    // project the line length for the REAL registry: each entry is
+    // "name":12.34, (allow 3 integer digits) — the sum must leave room
+    // for sbt's [success] trailer inside the 2000-char window
+    val projected = line.length - "\"t\":1.23,".length +
+      SparkEntry.queries.keys.map(n => n.length + 2 + 1 + 6 + 1).sum
+    assert(projected < 1925,
+      s"projected bench line at ${SparkEntry.queries.size} queries = $projected chars; " +
+        "must fit the driver's visible tail — shorten names or precision")
+  }
 }

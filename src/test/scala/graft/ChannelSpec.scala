@@ -136,6 +136,16 @@ class ChannelSpec extends SparkSuite {
     q.stop()
   }
 
+  test("external line protocol: malformed lines abort loudly, not silently") {
+    import graft.streaming.Channel
+    assert(Channel.parseExternalLine("k1 100 0 2.5") ==
+      graft.streaming.Ev("k1", 100L, 0L, 0, 2.5))
+    val short = intercept[IllegalStateException](Channel.parseExternalLine("k1 100 0"))
+    assert(short.getMessage.contains("4 fields"))
+    val bad = intercept[IllegalStateException](Channel.parseExternalLine("k1 ts 0 2.5"))
+    assert(bad.getMessage.contains("non-numeric"))
+  }
+
   test("WeightedMomentsAgg: typed agg + SQL registration (§2.13 udaf surface)") {
     val agg = udaf(new WeightedMomentsAgg)
     // weighted mean of (1 w2, 4 w1): (2+4)/3 = 2; popvar: (2*(1-2)^2 + (4-2)^2)/3 = 2

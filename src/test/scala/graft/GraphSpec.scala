@@ -40,6 +40,23 @@ class GraphSpec extends SparkSuite {
     assert(c == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("round blocks are freed: only the returned frame stays cached") {
+    // localCheckpoint caches outside the CacheManager — without the
+    // per-round unpersist a long-lived session leaks executor storage.
+    // Track by id-set difference: other suites' cached RDDs come and go
+    // underneath us (ContextCleaner unpersists on GC), so absolute counts
+    // are racy — only the ids THIS call creates are ours to assert on.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val out = Graph.connectedComponents(chain.toDF("src", "dst"))
+    assert(out.count() == 9)
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.size == 1,
+      s"expected only the returned label frame cached, got ${mine.size} new RDDs")
+    Graph.freeCheckpoint(out)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("5k-edge pseudo-random graph matches a driver-side union-find") {
     // deterministic LCG edge stream over 2k vertices: many components of
     // varied shape (cliques, chains, isolated pairs), not hand-pickable
