@@ -724,6 +724,64 @@ object QueriesPipeline {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("user_id", "ts"),
       Some("""SELECT user_id, epoch_ns(ts) AS ts, json_extract(props, '$.k')::BIGINT AS k
-             |FROM events ORDER BY 1,2""".stripMargin))
+             |FROM events ORDER BY 1,2""".stripMargin)),
+
+    // Lloyd k-means over the embeddings — the TRAINED coarse quantizer
+    // (ivfTopK's sample-centroid slot upgraded): 2 assignment passes, one
+    // centroid update between them, everything deterministic (init = 8
+    // lowest vec_ids, argmax on 4dp-rounded cosine with lowest-cid ties,
+    // empty cells keep their centroid) so the oracle replays both passes.
+    "emb_kmeans" -> Q(
+      (s, d) => Similarity.kmeansAssign(emb(s, d), nCent = 8, iters = 2,
+        dimHint = AnnDim).orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |aff1 AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+             |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |aff2 AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
+             |asg2 AS (SELECT id, cid AS cell, cs FROM (
+             |    SELECT id, cid, cs, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff2) WHERE rn = 1)
+             |SELECT id AS vec_id, cell, cs AS aff FROM asg2 ORDER BY 1""".stripMargin)),
+
+    // Incremental dedup: an incoming crawl batch (sources src18/src19)
+    // dedupes against the EXISTING corpus (every other source) and within
+    // itself — the steady-state form every production pipeline actually
+    // runs (the full-corpus dedup is the bootstrap; this is the daily
+    // job). Scale shape: the reference side reduces to a distinct
+    // fingerprint set (one groupBy), the batch anti-joins it on the
+    // 8-byte-ish fp key — never text — and the within-batch keep is a
+    // min(doc_id) hash-aggregate with map-side partials. At 100 TB the
+    // reference fp set is a bucketed table the daily job joins against.
+    "doc_dedup_incremental" -> Q(
+      (s, d) => {
+        val fp = docs(s, d).select(col("doc_id"), col("source"),
+          TF.fingerprint(col("text")).as("fp"))
+        val isBatch = col("source").isin("src18", "src19")
+        val ref = fp.where(!isBatch).select("fp").distinct()
+        fp.where(isBatch)
+          .join(ref, Seq("fp"), "left_anti")
+          .groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select("doc_id", "fp").orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source,
+              |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+              |  FROM (SELECT doc_id, source, $TOKS AS toks FROM documents)),
+              |ref AS (SELECT DISTINCT fp FROM f WHERE source NOT IN ('src18','src19')),
+              |b AS (SELECT * FROM f WHERE source IN ('src18','src19'))
+              |SELECT min(doc_id) AS doc_id, fp FROM b
+              |WHERE fp NOT IN (SELECT fp FROM ref)
+              |GROUP BY fp ORDER BY 1""".stripMargin))
   )
 }

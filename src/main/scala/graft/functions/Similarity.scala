@@ -298,4 +298,70 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Lloyd k-means over the embedding column: `iters` assignment passes
+    * with a centroid update between each — the TRAINED coarse quantizer
+    * (vs [[ivfTopK]]'s data-sample one; its scaladoc's "a trained
+    * quantizer would drop in here unchanged" slot is this). Returns the
+    * final assignment (vec_id, cell, aff) with `aff` the 4dp-rounded
+    * cosine to the winning centroid.
+    *
+    * Fully deterministic, so the DuckDB oracle replays every pass
+    * exactly: init = the embeddings of the `nCent` lowest vec_ids;
+    * assignment = argmax of ROUNDED cosine, ties to the lowest centroid
+    * id; update = per-dimension mean over members (cells that lose all
+    * members keep their previous centroid, k never shrinks).
+    *
+    * Scale shape (the MLlib KMeans discipline): the MODEL lives on the
+    * driver — nCent×dim doubles, collected once per pass — and ships
+    * back as a broadcast of exploded (cid, i, w) rows; the DATA never
+    * moves. Assignment is [[cellAffinity]]'s broadcast-join aggregate;
+    * the update's posexplode+avg hash-aggregates with map-side partials,
+    * so its shuffle carries #partitions × nCent × dim partial sums, not
+    * N×dim member rows. Driver loop = `iters` rounds, same bounded-
+    * iteration contract as Graph.connectedComponents. */
+  def kmeansAssign(vecs: DataFrame, nCent: Int, iters: Int,
+      dimHint: Int = -1): DataFrame = {
+    require(nCent > 0 && iters > 0, s"kmeansAssign: nCent=$nCent iters=$iters must be positive")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = if (dimHint > 0) dimHint
+      else vecs.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"), lit(0.0).as("aff"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"kmeansAssign: expected dim $dim, got "),
+          size(vec).cast("string"))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    var model: Seq[(Long, Array[Double])] = cv.orderBy("id").limit(nCent)
+      .as[(Long, Array[Double])].collect().toSeq
+    def centFrame: DataFrame = model
+      .flatMap { case (cid, ws) => ws.iterator.zipWithIndex.map { case (x, i) => (cid, i, x) } }
+      .toDF("cid", "i", "w")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cs").desc, col("cid"))
+    var asg: DataFrame = null
+    for (pass <- 1 to iters) {
+      asg = cellAffinity(cv, "id", "v", centFrame)
+        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+        .select(col("id"), col("cid").as("cell"), col("cs").as("aff"))
+      if (pass < iters) {
+        val means = asg.join(cv, "id")
+          .select(col("cell"), posexplode(col("v")))
+          .groupBy("cell", "pos").agg(avg("col").as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cell, rows) =>
+            val ws = new Array[Double](dim)
+            rows.foreach(r => ws(r.getInt(1)) = r.getDouble(2))
+            cell -> ws
+          }
+        model = model.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+      }
+    }
+    asg.select(col("id").as("vec_id"), col("cell"), col("aff"))
+  }
 }

@@ -143,6 +143,35 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("kmeans: the Lloyd update improves mean affinity over the sample init") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    def meanAff(iters: Int): Double = Similarity
+      .kmeansAssign(e, nCent = 8, iters = iters, dimHint = 64)
+      .agg(avg("aff")).head.getDouble(0)
+    val init = meanAff(1)   // assignment against the raw sample centroids
+    val trained = meanAff(2) // one Lloyd update between the passes
+    info(f"mean affinity: sample init $init%.4f -> trained $trained%.4f")
+    // cosine is scale-invariant in the centroid, so the per-dim mean IS
+    // the spherical-kmeans update and mean affinity is monotone up to
+    // 4dp rounding
+    assert(trained >= init - 1e-4,
+      f"Lloyd update worsened mean affinity: $init%.4f -> $trained%.4f")
+    assert(trained > init + 0.01,
+      f"Lloyd update should measurably beat 8 arbitrary sample centroids, " +
+        f"got $init%.4f -> $trained%.4f")
+  }
+
+  test("kmeans: assignment is deterministic across runs and empty input is empty") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    def run() = Similarity.kmeansAssign(e, 8, 2, dimHint = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val first = run()
+    assert(run() == first, "identical input must give identical assignments")
+    assert(Similarity.kmeansAssign(e.where(col("vec_id") < 0), 8, 2).count() == 0)
+  }
+
   test("annTopK: empty candidates -> empty result; dimHint skips inference (ADVICE r2)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)

@@ -128,6 +128,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), "plane dots via hash aggregate")
   }
 
+  test("kmeans assignment: broadcast model join, group-limit in the argmax window") {
+    val p = plan("emb_kmeans")
+    // the model ships as a broadcast of exploded (cid, i, w) rows — the
+    // assignment must be BroadcastHashJoin + hash aggregate, never a
+    // nested loop over centroids
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid model no longer broadcasts into the assignment join")
+    assert(p.contains("WindowGroupLimit"),
+      "argmax rn = 1 no longer pushes a group limit into the window")
+  }
+
+  test("incremental dedup: anti-join on the fingerprint key, no text in the exchange") {
+    val p = plan("doc_dedup_incremental")
+    assert(p.contains("LeftAnti"),
+      "batch-vs-reference dedup lost its anti-join shape")
+    assert(!p.toLowerCase.contains("cartesian"), "no cartesian product")
+  }
+
   test("IVF ANN: equi-join candidates, group-limit pushed into the rank windows") {
     val p = plan("emb_ann_ivf")
     // centroid assignment must be the broadcast equi-join + aggregate
