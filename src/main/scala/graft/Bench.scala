@@ -47,14 +47,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // hot LSH band buckets (template-heavy corpora) split at runtime:
-      // skew-join even where the split costs an extra shuffle. A/B'd at
-      // sf0.1 (9 join-heavy queries, both orderings): force=on is
-      // cost-free here — apparent 2x swings were first-run JIT warmth,
-      // reproducible in whichever condition ran first — and at corpus
-      // scale the forced split is exactly what hot band keys need.
+      // hot LSH band buckets (template-heavy corpora) split at runtime
+      // under standard AQE skew handling. forceOptimizeSkewedJoin stays
+      // OFF: the round-4 "cost-free" A/B conclusion was falsified by the
+      // driver's own bench — doc_ngram_jaccard went 2.65 s -> 4.41 s on
+      // BYTE-IDENTICAL query code when force=on landed, and interleaved
+      // re-A/B in round 5 reproduced force=off as consistently faster.
+      // Mechanism: forcing inserts extra shuffles to split partitions
+      // even when the plan must then re-exchange, which also defeats
+      // ReusedExchange across the two sides of the banded SELF-joins.
+      // Un-forced AQE still splits skew wherever no extra shuffle is
+      // needed — the case hot band keys actually hit.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: first job pays JIT + codegen-compiler + Hadoop-path

@@ -9,12 +9,15 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else Queries.registry.map(_._1)
+    // SPARK_GRAFT_FORCE_SKEW=true A/Bs the skew-join forcing without a
+    // rebuild (default off, matching Bench — see its builder comment)
+    val forceSkew = sys.env.getOrElse("SPARK_GRAFT_FORCE_SKEW", "false")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", forceSkew)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val reg = Queries.registry.toMap

@@ -435,8 +435,9 @@ object QueriesPipeline {
     //     8,458 survivors) and only survivors reach the dedup exchange,
     //     which runs on bare (ga, gb) ids.
     //  3. 16-bit keys: 65,536 buckets per band over a 128-bit fingerprint
-    //     (vs the old 32,768 over 60 bits); hot buckets split under AQE
-    //     skew-join (forceOptimizeSkewedJoin in the session builders).
+    //     (vs the old 32,768 over 60 bits); hot buckets split under
+    //     standard AQE skew-join (un-forced — see the Bench builder
+    //     comment for why forcing regressed the banded self-joins).
     "doc_dedup_simhash" -> Q(
       (s, d) => {
         // one window pass tags every doc with its signature-group id (the
