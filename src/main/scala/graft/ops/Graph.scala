@@ -20,18 +20,20 @@ object Graph {
     * (isolated vertices are their own trivial component — union them in at
     * the call site if needed).
     *
-    * Scale shape: each round is ONE self-equi-join of the label frame with
-    * the (persisted) undirected edge list plus ONE hash-aggregate — both
-    * shuffle on vertex id, and AQE coalesces/splits as needed. Rounds =
-    * component diameter. Near-dup clusters are band-join cliques stitched
-    * at the fringes — diameter is single-digit in practice, so plain
-    * propagation beats the O(log n)-round alternating large-star/small-star
-    * scheme (Kiveris et al., "Connected Components in MapReduce") that a
-    * web-graph-diameter input would need; swap it in if components with
-    * long chains ever appear. Convergence is detected with one cheap
-    * aggregate per round: labels only ever DECREASE, so an unchanged
-    * label sum (exact DECIMAL(38,0) — no Long overflow at any id range)
-    * means fixpoint.
+    * Scale shape: each round is one equi-join of the label frame with the
+    * (persisted) undirected edge list, one hash-aggregate, and one label-
+    * on-label pointer jump (label(id) := label(label(id))) — all shuffle
+    * on vertex id, and AQE coalesces/splits as needed. The jump halves
+    * remaining chain depth per round, so rounds = O(log diameter) (the
+    * same contraction large-star/small-star gets, Kiveris et al.,
+    * "Connected Components in MapReduce", without the re-rooting
+    * bookkeeping); init is seeded at min(id, neighbors), folding the
+    * first propagation into frame construction. Convergence is detected
+    * with one cheap aggregate per round: labels only ever DECREASE
+    * (propagation and jump both take minima), so an unchanged label sum
+    * (exact DECIMAL(38,0) — no Long overflow at any id range) means the
+    * round function hit its fixpoint, which is a fixpoint of plain
+    * propagation too (the jump never raises a label).
     *
     * Each round's frame is `localCheckpoint`ed, NOT merely persisted:
     * the round recurrence references `labels` twice (join + union), so
@@ -58,8 +60,10 @@ object Graph {
     val und = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
       .distinct().localCheckpoint()
-    var labels = und.select(col("s").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+    // seeded init: label = min(id, neighbors) — the first propagation
+    // round folded into the frame construction (one agg, no join)
+    var labels = und.groupBy(col("s").as("id"))
+      .agg(least(col("id"), min(col("t"))).as("component")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.get(0)
       if (v == null) java.math.BigDecimal.ZERO
@@ -69,7 +73,15 @@ object Graph {
     var it = 0
     var done = false // empty/converged inputs settle in one cheap round
     while (!done && it < maxIter) {
-      val prop = labels.join(und, col("id") === col("s"))
+      // neighbor-min propagation + pointer jump in ONE join: the current
+      // labels ride along as extra directed edges component -> id, so the
+      // same equi-join that floods neighbor minima also delivers
+      // label(label(id)) to id (component values are always vertex ids,
+      // so the lookup always lands). The jump halves remaining chain
+      // depth per round — O(log diameter) rounds — at the cost of one
+      // union with an already-materialized LogicalRDD, not a second join.
+      val labelEdges = labels.select(col("component").as("s"), col("id").as("t"))
+      val prop = labels.join(und.unionByName(labelEdges), col("id") === col("s"))
         .select(col("t").as("id"), col("component"))
       val next = labels.select("id", "component").unionByName(prop)
         .groupBy("id").agg(min("component").as("component")).localCheckpoint()
@@ -81,6 +93,8 @@ object Graph {
       it += 1
     }
     freeCheckpoint(und)
+    if (sys.env.contains("GRAFT_CC_ROUNDS"))
+      System.err.println(s"[cc] converged in $it rounds")
     require(done || it < maxIter,
       s"connectedComponents: no fixpoint after $maxIter rounds (diameter > $maxIter?)")
     labels

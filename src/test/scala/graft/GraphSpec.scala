@@ -40,6 +40,17 @@ class GraphSpec extends SparkSuite {
     assert(c == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("a 100-node chain converges in O(log n) rounds (pointer jump gate)") {
+    // plain propagation needs diameter-many rounds (99 > maxIter=50 and
+    // would abort); the label-edge pointer jump halves chain depth per
+    // round, so this converges well inside the default budget
+    val chain = (1L to 100L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val out = Graph.connectedComponents(chain.toDF("src", "dst"))
+    val c = out.select("component").distinct().as[Long].collect().toSeq
+    assert(c == Seq(1L), s"one component labeled 1, got $c")
+    Graph.freeCheckpoint(out)
+  }
+
   test("round blocks are freed: only the returned frame stays cached") {
     // localCheckpoint caches outside the CacheManager — without the
     // per-round unpersist a long-lived session leaks executor storage.
