@@ -783,6 +783,73 @@ object QueriesPipeline {
               |b AS (SELECT * FROM f WHERE source IN ('src18','src19'))
               |SELECT min(doc_id) AS doc_id, fp FROM b
               |WHERE fp NOT IN (SELECT fp FROM ref)
-              |GROUP BY fp ORDER BY 1""".stripMargin))
+              |GROUP BY fp ORDER BY 1""".stripMargin)),
+
+    // Benchmark decontamination: training docs sharing any 4-gram shingle
+    // with the held-out eval set (source src19 stands in for it) are
+    // flagged with their overlap count — the GPT-3/Dolma n-gram-overlap
+    // discipline (they run 8-13 grams; the synthetic ~50-word vocab here
+    // needs 4 to discriminate — 25 flagged docs, the cross-source
+    // near-dup groups). Scale shape: shingles are md5'd once into 8-byte
+    // keys (the same scan-side pipeline every dedup flavor shares), the
+    // eval set reduces to a distinct hash set — benchmark-suite-sized,
+    // i.e. broadcastable — and the corpus side streams through the hash
+    // equi-join; nothing ever shuffles text.
+    "doc_decontaminate" -> Q(
+      (s, d) => {
+        val sh = hashedShingleRows(docs(s, d), 4, Seq("source"))
+        val ev = sh.where(col("source") === "src19").select("h").distinct()
+        sh.where(col("source") =!= "src19")
+          .join(ev, "h")
+          .groupBy("doc_id", "source")
+          .agg(countDistinct(col("h")).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+              |g AS (SELECT doc_id, source, ${H60.format("sh")} AS h FROM (
+              |  SELECT doc_id, source, unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t)),
+              |ev AS (SELECT DISTINCT h FROM g WHERE source = 'src19')
+              |SELECT doc_id, source, count(DISTINCT g.h)::BIGINT AS n_hits
+              |FROM g JOIN ev USING (h) WHERE g.source <> 'src19'
+              |GROUP BY 1,2 ORDER BY 1""".stripMargin)),
+
+    // PII scrubbing: email/phone redaction with per-doc redaction counts.
+    // The synthetic corpus carries no PII, so the query first plants a
+    // deterministic contact block on every 7th doc (both engines plant
+    // the identical block — the augmentation is part of the query, not
+    // the data), then scrubs and fingerprints the scrubbed text; the
+    // hash-compare proves byte-identical redaction. Patterns stay in the
+    // portable regex subset (character classes + bounded repeats, no
+    // lookaround) so Java regex and DuckDB's RE2 agree. Scale shape:
+    // pure projection — codegen'd, no shuffle, no UDF.
+    "doc_pii_scrub" -> Q(
+      (s, d) => {
+        val email = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val aug = docs(s, d).withColumn("raw",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@mail.example.com or call 415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
+            .otherwise(col("text")))
+        aug.select(col("doc_id"),
+          (size(regexp_extract_all(col("raw"), lit(email), lit(0))) +
+            size(regexp_extract_all(col("raw"), lit(phone), lit(0)))).cast("long").as("n_red"),
+          md5(regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH a AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+              |    THEN text || ' contact user' || doc_id || '@mail.example.com or call 415-555-'
+              |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now'
+              |    ELSE text END AS raw FROM documents)
+              |SELECT doc_id,
+              |  (len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+              |    + len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')))::BIGINT AS n_red,
+              |  md5(regexp_replace(regexp_replace(raw,
+              |    '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+              |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS fp
+              |FROM a ORDER BY 1""".stripMargin))
   )
 }
