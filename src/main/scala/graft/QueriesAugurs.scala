@@ -55,13 +55,13 @@ object QueriesAugurs {
       Some(s"""WITH e AS ($E),
              |p AS (SELECT a.user_id, a.ts, a.seq, count(*) AS n_nbrs
              |  FROM e a JOIN e b ON b.user_id = a.user_id
-             |    AND abs(b.value - a.value) <= 5.0
+             |    AND b.value >= a.value - 5.0 AND b.value <= a.value + 5.0
              |  GROUP BY 1,2,3),
              |c AS (SELECT user_id, ts, seq, n_nbrs, n_nbrs >= 5 AS is_core FROM p),
              |nc AS (SELECT a.user_id, a.ts, a.seq,
              |    max(CASE WHEN cb.is_core THEN 1 ELSE 0 END) AS near
              |  FROM e a JOIN e b ON b.user_id = a.user_id
-             |    AND abs(b.value - a.value) <= 5.0
+             |    AND b.value >= a.value - 5.0 AND b.value <= a.value + 5.0
              |  JOIN c cb ON cb.user_id = b.user_id AND cb.ts = b.ts AND cb.seq = b.seq
              |  GROUP BY 1,2,3)
              |SELECT user_id, ts, seq, n_nbrs, is_core, near = 0 AS is_outlier

@@ -52,41 +52,24 @@ object Augurs {
     * OUTLIER (noise) when no point of its eps-neighborhood — itself
     * included — is core.
     *
-    * Scale shape: neighbor pairs come from a value-bucketed equi-join
-    * (bucket = floor(v/eps); |v2−v1| ≤ eps confines the neighbor to the
-    * three adjacent buckets), never an all-pairs join — per point the join
-    * fan-in is O(points in 3 eps-buckets). Two aggregates (neighbor count,
-    * near-core flag) over the one persisted pair frame. */
+    * Scale shape: the metric is 1-D, so the eps-neighborhood IS a value-
+    * range window — ONE exchange on the key, ONE sort on (key, value),
+    * then `count over RANGE [v-eps, v+eps]` for the core test and
+    * `max(is_core) over` the same frame for the noise test, both window
+    * passes sharing the sort. O(n log n) per key with O(window) state;
+    * the neighbor-PAIR volume (quadratic in dense regions — it was the
+    * whole cost of the earlier bucketed-join formulation) never
+    * materializes anywhere. */
   def outlierDbscan(t: Timeline, eps: Double, minPts: Int): DataFrame = {
     require(eps > 0 && minPts >= 1, s"outlierDbscan: eps > 0, minPts >= 1 (got $eps, $minPts)")
-    val pts = t.ticks
+    val keys = t.keys.mkString(", ")
+    val over = s"OVER (PARTITION BY $keys ORDER BY __v " +
+      s"RANGE BETWEEN $eps PRECEDING AND $eps FOLLOWING)"
+    t.ticks
       .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col(t.valueCol).as("__v")): _*)
-      .withColumn("__b", floor(col("__v") / eps).cast("long"))
-    val probes = pts
-      .withColumn("__pb", explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))
-      .drop("__b")
-    val nbr = pts.select((t.keys.map(col) :+ col("ts").as("__nts") :+
-      col("seq").as("__nseq") :+ col("__v").as("__nv") :+ col("__b").as("__pb")): _*)
-    // each neighbor holds ONE bucket and the three probe buckets are
-    // distinct, so a qualifying pair matches exactly once. Values are
-    // consumed by the eps predicate INSIDE the join stage; the persisted
-    // pair frame carries bare (point id, neighbor id) — at scale the pair
-    // volume dominates, so it shuffles at id width only.
-    val pairs = probes.join(nbr, t.keys :+ "__pb")
-      .where(abs(col("__nv") - col("__v")) <= eps)
-      .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
-        col("__nts") :+ col("__nseq")): _*)
-      .persist()
-    val counts = pairs
-      .groupBy((t.keys.map(col) :+ col("ts") :+ col("seq")): _*)
-      .agg(count(lit(1)).as("n_nbrs"))
+      .withColumn("n_nbrs", expr(s"count(1) $over"))
       .withColumn("is_core", col("n_nbrs") >= minPts)
-    val nbrCore = counts.select((t.keys.map(col) :+ col("ts").as("__nts") :+
-      col("seq").as("__nseq") :+ col("is_core").as("__ncore")): _*)
-    val near = pairs.join(nbrCore, t.keys :+ "__nts" :+ "__nseq")
-      .groupBy((t.keys.map(col) :+ col("ts") :+ col("seq")): _*)
-      .agg(max(col("__ncore")).as("__near_core"))
-    counts.join(near, t.keys :+ "ts" :+ "seq")
+      .withColumn("__near_core", expr(s"max(is_core) $over"))
       .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+ col("n_nbrs") :+
         col("is_core") :+ (!col("__near_core")).as("is_outlier")): _*)
   }

@@ -96,15 +96,18 @@ class PlanAuditSpec extends SparkSuite {
       s"dedup keys must not carry signature words: ${dedup.get.trim.take(120)}")
   }
 
-  test("dbscan outliers: value-bucketed equi-join, pair frame persists at id width") {
+  test("dbscan outliers: range-window formulation — no join, one exchange, one sort") {
     val p = plan("aug_outlier_dbscan")
-    // the eps check lives in the join stage; the persisted pair frame
-    // must carry bare ids — a value column here means the pair volume
-    // (the dominant term) shuffles wider than needed
-    val imr = p.linesIterator.filter(_.contains("InMemoryRelation ["))
-    assert(imr.nonEmpty, "pair frame persisted")
-    assert(imr.forall(l => !l.contains("__v#") && !l.contains("__nv#")),
-      "persisted pairs carry no value columns")
+    // 1-D eps-neighborhoods are value-range window frames: the neighbor
+    // PAIR volume (quadratic in dense regions) must never materialize —
+    // no join of any kind — and both window passes share one exchange +
+    // one sort on (key, value)
+    assert(!p.contains("Join"), "dbscan must not join — eps-neighborhood is a range window")
+    // one hash exchange for the window partitioning (the query's final
+    // orderBy adds a rangepartitioning exchange — not counted here)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected ONE key hash exchange, got $hashEx")
+    assert(p.contains("Window"), "range-window frames plan as Window nodes")
   }
 
   test("cosine dedup: score fused into the bucket join; dedup on survivor ids") {
