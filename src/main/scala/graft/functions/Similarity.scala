@@ -214,7 +214,8 @@ object Similarity {
     * re-attach to survivors only. Per query the exact work is
     * ~nProbe/nCent of the corpus — the IVF-Flat contract. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int, nCent: Int,
-      nProbe: Int, dimHint: Int = -1): DataFrame = {
+      nProbe: Int, dimHint: Int = -1,
+      model: Seq[(Long, Array[Double])] = Nil): DataFrame = {
     val dim = if (dimHint > 0) dimHint
       else candidates.select(size(col("embedding"))).take(1).headOption
         .map(_.getInt(0)).getOrElse(0)
@@ -228,10 +229,18 @@ object Similarity {
           size(vec).cast("string"))))
     val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
     val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
-    // the nCent lowest vec_ids, whatever the id space looks like (sparse
-    // or offset ids yield a full quantizer, not a silently-smaller one);
-    // nCent is small, so orderBy+limit is a TakeOrderedAndProject
-    val centEx = candidates.orderBy("vec_id").limit(nCent)
+    // coarse quantizer: a trained [[kmeansModel]] when provided (nCent is
+    // then the model's size), else the nCent lowest vec_ids — whatever
+    // the id space looks like (sparse or offset ids yield a full
+    // quantizer, not a silently-smaller one); both are small, so the
+    // exploded frame broadcasts
+    val centEx = if (model.nonEmpty) {
+      val spark = candidates.sparkSession
+      import spark.implicits._
+      model.flatMap { case (cid, ws) =>
+        ws.iterator.zipWithIndex.map { case (x, i) => (cid, i, x) } }
+        .toDF("cid", "i", "w")
+    } else candidates.orderBy("vec_id").limit(nCent)
       .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
       .toDF("cid", "i", "w")
     val wNear = org.apache.spark.sql.expressions.Window
@@ -322,8 +331,6 @@ object Similarity {
   def kmeansAssign(vecs: DataFrame, nCent: Int, iters: Int,
       dimHint: Int = -1): DataFrame = {
     require(nCent > 0 && iters > 0, s"kmeansAssign: nCent=$nCent iters=$iters must be positive")
-    val spark = vecs.sparkSession
-    import spark.implicits._
     val dim = if (dimHint > 0) dimHint
       else vecs.select(size(col("embedding"))).take(1).headOption
         .map(_.getInt(0)).getOrElse(0)
@@ -331,9 +338,31 @@ object Similarity {
       return vecs.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0L).as("cell"), lit(0.0).as("aff"))
         .where(lit(false))
+    kmeansLoop(vecs, nCent, iters, dim)._1
+      .select(col("id").as("vec_id"), col("cell"), col("aff"))
+  }
+
+  /** The trained centroid model alone — (cid, weights) on the driver,
+    * ready to drop into [[ivfTopK]]'s `model` slot as the coarse
+    * quantizer. Runs `iters` Lloyd passes like [[kmeansAssign]] (the
+    * final assignment is discarded; only the update after pass
+    * `iters - 1` matters, so training cost is identical). */
+  def kmeansModel(vecs: DataFrame, nCent: Int, iters: Int,
+      dimHint: Int = -1): Seq[(Long, Array[Double])] = {
+    require(nCent > 0 && iters > 0, s"kmeansModel: nCent=$nCent iters=$iters must be positive")
+    val dim = if (dimHint > 0) dimHint
+      else vecs.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) Nil else kmeansLoop(vecs, nCent, iters, dim)._2
+  }
+
+  private def kmeansLoop(vecs: DataFrame, nCent: Int, iters: Int,
+      dim: Int): (DataFrame, Seq[(Long, Array[Double])]) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
-        .otherwise(raise_error(concat(lit(s"kmeansAssign: expected dim $dim, got "),
+        .otherwise(raise_error(concat(lit(s"kmeans: expected dim $dim, got "),
           size(vec).cast("string"))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     var model: Seq[(Long, Array[Double])] = cv.orderBy("id").limit(nCent)
@@ -362,6 +391,6 @@ object Similarity {
         model = model.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
       }
     }
-    asg.select(col("id").as("vec_id"), col("cell"), col("aff"))
+    (asg, model)
   }
 }

@@ -162,6 +162,25 @@ class PipelineSpec extends SparkSuite {
         f"got $init%.4f -> $trained%.4f")
   }
 
+  test("IVF with the kmeans-trained quantizer: recall clears the sample-centroid gate") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val q = e.where(col("vec_id") < 50)
+    val brute = Similarity.bruteTopK(q, e, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recallOf(model: Seq[(Long, Array[Double])]): Double = {
+      val ivf = Similarity.ivfTopK(q, e, 3, nCent = 16, nProbe = 4, model = model)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      (ivf & brute).size.toDouble / brute.size
+    }
+    val trained = recallOf(Similarity.kmeansModel(e, nCent = 16, iters = 3, dimHint = 64))
+    info(f"IVF recall@3 with trained quantizer = $trained%.3f")
+    // the sample-centroid path froze at 0.627 (its own gate is 0.5);
+    // training the quantizer must not fall below that frozen bar
+    assert(trained >= 0.627,
+      f"trained-quantizer recall $trained%.3f fell below the sample-centroid 0.627 bar")
+  }
+
   test("kmeans: assignment is deterministic across runs and empty input is empty") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
