@@ -12,22 +12,32 @@ object Profile {
     // SPARK_GRAFT_FORCE_SKEW=true A/Bs the skew-join forcing without a
     // rebuild (default off, matching Bench — see its builder comment)
     val forceSkew = sys.env.getOrElse("SPARK_GRAFT_FORCE_SKEW", "false")
+    val coalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.forceOptimizeSkewedJoin", forceSkew)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val reg = Queries.registry.toMap
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     names.foreach { q =>
       // same per-query cache isolation as Bench: a persisted frame from a
       // previous query must not serve an identical subplan here
       spark.catalog.clearCache()
+      val g0 = gcMs
       val t0 = System.nanoTime()
-      reg(q).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"$q%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val df = reg(q).fn(spark, sfDir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
+      println(f"$q%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  gc=${gcMs - g0}%5d ms  build=$tBuild%.2f s")
     }
     spark.stop()
   }

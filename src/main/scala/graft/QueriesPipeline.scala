@@ -21,6 +21,15 @@ object QueriesPipeline {
     "list_distinct(list_transform(range(1, greatest(len(toks)-1, 0)+1), i -> toks[i] || ' ' || toks[i+1]))"
   private val H60 = "('0x' || substr(md5(%s),1,15))::BIGINT"
 
+  /** persist + EAGER materialization (one count pass) for frames consumed
+    * by multiple plan branches. Lazy persist lets the first action's
+    * CONCURRENT stages race to compute the same cached partitions —
+    * dueling stages block on each other's in-progress block writes and
+    * runtime goes bimodal (measured 1.5 s vs 8-14 s run-to-run on
+    * doc_dedup_minhash at sf0.1). One eager pass builds the cache cleanly;
+    * every branch then reads hot blocks. clearCache() still reclaims it. */
+  private def cached(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
+
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
 
@@ -120,8 +129,8 @@ object QueriesPipeline {
     * the text it derives from; at scale this is the materialized
     * signature table every LSH pipeline keeps. */
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val base = minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true)
-      .persist()
+    val base = cached(
+      minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true))
     val bands = bandRows(base, Nil)
     val cand = bands.as("x").join(bands.as("y"),
       col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -370,9 +379,8 @@ object QueriesPipeline {
     // one banded shuffle, verification proportional to candidates.
     "doc_ngram_jaccard" -> Q(
       (s, d) => {
-        val base = minhashAgg(hashedShingleRows(docs(s, d), 3, Seq("source")),
-          Seq("source"), withSet = true)
-          .persist() // same four-branch reuse as doc_dedup_minhash
+        val base = cached(minhashAgg(hashedShingleRows(docs(s, d), 3, Seq("source")),
+          Seq("source"), withSet = true)) // same four-branch reuse as doc_dedup_minhash
         val bands = bandRows(base, Seq("source"))
         val cand = bands.as("x").join(bands.as("y"),
           col("x.source") === col("y.source") && col("x.band") === col("y.band") &&
@@ -447,9 +455,8 @@ object QueriesPipeline {
         // per branch
         val wSig = org.apache.spark.sql.expressions.Window
           .partitionBy("w0", "w1", "w2", "w3")
-        val members = simhashSig128(s, d)
-          .withColumn("gid", min("doc_id").over(wSig))
-          .persist()
+        val members = cached(simhashSig128(s, d)
+          .withColumn("gid", min("doc_id").over(wSig)))
         val reps = members.where(col("doc_id") === col("gid"))
         val bands = reps.select(col("gid") +: (0 until 4).map(w => col(s"w$w")) :+
           explode(array((0 until 8).map(i => struct(lit(i).as("band"),
@@ -513,12 +520,11 @@ object QueriesPipeline {
       (s, d) => {
         // persist: the survivor frame feeds BOTH the keep-groupBy and the
         // join probe — without it the tokenize+md5 scoring runs twice
-        val f = docs(s, d).select(col("doc_id"),
+        val f = cached(docs(s, d).select(col("doc_id"),
           TF.fingerprint(col("text")).as("fp"),
           r4(TF.qualityScore(col("text"))).as("q"),
           TF.langGuess(col("text")).as("lg"))
-          .where(col("q") >= 0.5 && col("lg") === "en")
-          .persist()
+          .where(col("q") >= 0.5 && col("lg") === "en"))
         val keep = f.groupBy("fp").agg(min("doc_id").as("keep"))
         f.join(keep, "fp").where(col("doc_id") === col("keep"))
           .select(col("doc_id"), col("q"))

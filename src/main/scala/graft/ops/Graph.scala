@@ -56,14 +56,26 @@ object Graph {
     * the RETURNED label frame stays cached; callers that are done with it
     * can free it with [[freeCheckpoint]]. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_CC_ROUNDS")
+    var t0 = System.nanoTime()
+    def lap(what: String): Unit = if (dbg) {
+      System.err.println(f"[cc] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val Seq(srcCol, dstCol) = edges.columns.take(2).toSeq
+    // the distinct doubles as the partition-balancer: the checkpoint
+    // lands hash-partitioned at spark.sql.shuffle.partitions (A/B'd:
+    // skipping it leaves a 2x-partition union whose per-round task
+    // overhead costs more than the one dedup shuffle saves)
     val und = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
       .distinct().localCheckpoint()
+    lap("und checkpoint")
     // seeded init: label = min(id, neighbors) — the first propagation
     // round folded into the frame construction (one agg, no join)
     var labels = und.groupBy(col("s").as("id"))
       .agg(least(col("id"), min(col("t"))).as("component")).localCheckpoint()
+    lap("labels init")
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.get(0)
       if (v == null) java.math.BigDecimal.ZERO
@@ -91,6 +103,7 @@ object Graph {
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1
+      lap(s"round $it")
     }
     freeCheckpoint(und)
     if (sys.env.contains("GRAFT_CC_ROUNDS"))
