@@ -191,6 +191,35 @@ class PipelineSpec extends SparkSuite {
     assert(Similarity.kmeansAssign(e.where(col("vec_id") < 0), 8, 2).count() == 0)
   }
 
+  test("streaming exact dedup parity: dropDuplicates on the fingerprint == batch keep-lowest") {
+    // the incremental form of doc_dedup_exact: a stream of incoming docs
+    // dedupes on the canonical fingerprint with streaming state — first
+    // occurrence wins, which equals the batch keep-lowest-id convention
+    // when arrival follows id order (the ingest contract)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val batch = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp").as[(Long, String)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .withColumn("fp", TF.fingerprint(col("text"))).drop("text")
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    rows.grouped(math.max(rows.size / 3, 1)).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("dedup_stream").select("doc_id", "fp")
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch,
+      s"streaming dedup drift: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
+
   test("annTopK: empty candidates -> empty result; dimHint skips inference (ADVICE r2)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
