@@ -29,11 +29,13 @@ class BenchSpec extends SparkSuite {
     assert(!line.contains("errors"), "empty errors map omitted for budget")
     assert(line.matches(""".*"t":\d+\.\d\d[,}].*"""), s"2-decimal values: $line")
     // project the line length for the REAL registry: each entry is
-    // "name":12.34, (allow 3 integer digits) — the sum must leave room
-    // for sbt's [success] trailer inside the 2000-char window
+    // "name":12.34, (allow 3 integer digits). build.sbt's
+    // showSuccess := false suppresses sbt's "[success] Total time"
+    // trailer, so the JSON line is the LAST stdout line and owns the
+    // whole 2000-char window (small slack for a stray late log line)
     val projected = line.length - "\"t\":1.23,".length +
       SparkEntry.queries.keys.map(n => n.length + 2 + 1 + 6 + 1).sum
-    assert(projected < 1925,
+    assert(projected < 1985,
       s"projected bench line at ${SparkEntry.queries.size} queries = $projected chars; " +
         "must fit the driver's visible tail — shorten names or precision")
   }
