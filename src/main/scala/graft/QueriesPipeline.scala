@@ -258,6 +258,83 @@ object QueriesPipeline {
               |    ELSE 0 END, 4) AS mean_len
               |FROM (SELECT doc_id, $TOKS AS toks FROM documents) ORDER BY 1""".stripMargin)),
 
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): natural-
+    // language corpora are filtered on within-document repetition before
+    // training. dup_line_frac = fraction of lines that repeat an earlier
+    // line; top2_frac = share of bigram instances claimed by the most
+    // frequent bigram; dup2_frac = fraction of bigram instances that are
+    // repeats. Scale shape: the bigram counts ride hashedShingleRows'
+    // window exchange (hash(doc_id) satisfies the (doc_id, h) clustering
+    // by the subset rule) and the per-doc rollup + join stay on the same
+    // doc_id partitioning — no shuffle is keyed on anything but doc_id.
+    "doc_repetition" -> Q(
+      (s, d) => {
+        val g = docs(s, d)
+        val lineStats = g.select(col("doc_id"), split(col("text"), "\n").as("lines"))
+          .select(col("doc_id"), size(col("lines")).as("nl"),
+            size(array_distinct(col("lines"))).as("ndl"))
+        val bigramAgg = hashedShingleRows(g, 2, Nil)
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max("c").as("maxc"), sum("c").as("tot"), count(lit(1)).as("nd"))
+        lineStats.join(bigramAgg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            r4((col("nl") - col("ndl")).cast("double") / greatest(col("nl"), lit(1)))
+              .as("dup_line_frac"),
+            r4(coalesce(col("maxc").cast("double") / col("tot"), lit(0.0))).as("top2_frac"),
+            r4(coalesce((col("tot") - col("nd")).cast("double") / col("tot"), lit(0.0)))
+              .as("dup2_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+              |  $TOKS AS toks FROM documents),
+              |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+              |  FROM (SELECT doc_id, toks,
+              |    unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i FROM t)),
+              |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+              |ba AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot, count(*) AS nd
+              |  FROM bc GROUP BY 1),
+              |la AS (SELECT doc_id, len(lines) AS nl, len(list_distinct(lines)) AS ndl
+              |  FROM t)
+              |SELECT la.doc_id,
+              |  round(1e-9 + (nl - ndl)::DOUBLE / greatest(nl, 1), 4) AS dup_line_frac,
+              |  round(1e-9 + coalesce(maxc::DOUBLE / tot, 0), 4) AS top2_frac,
+              |  round(1e-9 + coalesce((tot - nd)::DOUBLE / tot, 0), 4) AS dup2_frac
+              |FROM la LEFT JOIN ba ON la.doc_id = ba.doc_id ORDER BY 1""".stripMargin)),
+
+    // Sliding token-window chunking (chunk=64 tokens, stride=48): the
+    // standard context-window prep for RAG / training pipelines. Every
+    // token lands in >=1 chunk; consecutive chunks overlap by 16 tokens.
+    // Scale shape: pure projection + generate (sequence/posexplode), no
+    // shuffle before the output sort — chunking 100 TB is embarrassingly
+    // parallel and this plan keeps it that way. chunk_md5 gates content
+    // exactly against the oracle's array slice.
+    "doc_chunk" -> Q(
+      (s, d) => {
+        val (ck, st) = (64, 48)
+        docs(s, d).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .where(col("n") > 0)
+          .select(col("doc_id"), col("toks"), col("n"),
+            posexplode(sequence(lit(0), col("n") - 1, lit(st))))
+          .toDF("doc_id", "toks", "n", "ci", "start")
+          .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+            col("start").cast("long").as("start"),
+            least(lit(ck), col("n") - col("start")).cast("long").as("chunk_len"),
+            md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ck))))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+              |c AS (SELECT doc_id, toks, n, i AS ci, i * 48 AS start
+              |  FROM (SELECT doc_id, toks, n,
+              |    unnest(range(0, ((n - 1) // 48) + 1)) AS i FROM n))
+              |SELECT doc_id, ci AS chunk_id, start,
+              |  least(64, n - start) AS chunk_len,
+              |  md5(array_to_string(toks[start+1:start+64], ' ')) AS chunk_md5
+              |FROM c ORDER BY 1, 2""".stripMargin)),
+
     "doc_quality" -> Q(
       (s, d) => docs(s, d).select(col("doc_id"),
         r4(TF.punctRatio(col("text"))).as("punct_ratio"),

@@ -161,4 +161,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       "rank filters no longer push a group limit into the window")
   }
+
+  test("doc_chunk: chunking is shuffle-free generate — map-parallel at any scale") {
+    // sliding-window chunking must stay a scan -> project -> generate
+    // chain: the ONLY exchange is the output orderBy's range partitioning.
+    // A hash exchange here means the chunker picked up a keyed operation
+    // and would shuffle the full token volume at 100 TB.
+    // (Tables.documents' small-file `spread` repartition is the one
+    // allowed hash exchange — a test-scale parallelism fixup that never
+    // triggers when the file count provides the parallelism.)
+    val p = plan("doc_chunk")
+    assert(p.contains("Generate"), "chunk starts come from a generate (posexplode)")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash <= 1, s"chunking must not shuffle beyond the scan spread, got $hash")
+  }
+
+  test("doc_repetition: bigram counts ride ONE doc_id exchange") {
+    // window (doc_id) -> groupBy (doc_id, h) -> groupBy (doc_id) -> join
+    // (doc_id): hash(doc_id) satisfies every downstream clustering by the
+    // subset rule, so exactly one hash exchange carries token-grain rows
+    val p = plan("doc_repetition")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash <= 2, s"doc_id partitioning must be reused, got $hash hash exchanges")
+  }
 }
