@@ -80,7 +80,13 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // noop-format write: executes the FULL plan (projections, sorts) —
     // .count() would let Catalyst prune projections and eliminate sorts.
-    val (line, errors) = run(spark, sfDir, SparkEntry.queries)
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local dev loop
+    // only — the driver never sets it, so its bench always runs all).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    val qs = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val (line, errors) = run(spark, sfDir, qs)
     println(line)
     errors.foreach { case (q, e) => System.err.println(s"[bench] FAILED $q: $e") }
     spark.stop()

@@ -880,10 +880,19 @@ object QueriesPipeline {
     // equi-join; nothing ever shuffles text.
     "doc_decontaminate" -> Q(
       (s, d) => {
-        val sh = hashedShingleRows(docs(s, d), 4, Seq("source"))
-        val ev = sh.where(col("source") === "src19").select("h").distinct()
-        sh.where(col("source") =!= "src19")
-          .join(ev, "h")
+        // filter BEFORE shingling: the eval split (src19) and the corpus
+        // split are disjoint doc sets, so shingling each side separately
+        // does 1x the corpus work where shingling-then-filtering a shared
+        // frame evaluates the whole pipeline twice (measured 3.2 s -> the
+        // two-sided 1x cost at sf0.1). The eval-set hash frame broadcasts
+        // — a contamination check's eval suite is small by construction —
+        // so the corpus side never shuffles on h and the per-doc rollup
+        // rides the shingle window's doc_id exchange (subset rule).
+        val g = docs(s, d)
+        val ev = hashedShingleRows(g.where(col("source") === "src19"), 4, Nil)
+          .select("h").distinct()
+        hashedShingleRows(g.where(col("source") =!= "src19"), 4, Seq("source"))
+          .join(broadcast(ev), "h")
           .groupBy("doc_id", "source")
           .agg(countDistinct(col("h")).as("n_hits"))
           .orderBy("doc_id")

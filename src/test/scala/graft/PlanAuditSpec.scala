@@ -162,6 +162,18 @@ class PlanAuditSpec extends SparkSuite {
       "rank filters no longer push a group limit into the window")
   }
 
+  test("decontamination: eval hashes broadcast; corpus side never shuffles on h") {
+    // filter-first + broadcast(ev): the corpus shingle frame must reach
+    // the contamination join without an h-shuffle (the eval suite is the
+    // small side by construction), and the per-doc rollup rides the
+    // shingle window's doc_id exchange. A SortMergeJoin here means the
+    // full 100 TB shingle volume re-shuffles on h.
+    val p = plan("doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval-set join lost its broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus shingles must not shuffle on h")
+  }
+
   test("doc_chunk: chunking is shuffle-free generate — map-parallel at any scale") {
     // sliding-window chunking must stay a scan -> project -> generate
     // chain: the ONLY exchange is the output orderBy's range partitioning.
