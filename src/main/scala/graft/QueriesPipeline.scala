@@ -67,7 +67,15 @@ object QueriesPipeline {
     * min() signatures and collect_set() are duplicate-invariant, so results
     * match the reference's set semantics (and the oracle's list_distinct)
     * exactly. */
-  private def hashedShingleRows(g: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
+  private def hashedShingleRows(g: DataFrame, n: Int, extra: Seq[String]): DataFrame =
+    ngramRows(g, n, extra)
+      .withColumn("h", TF.hash60(col("ng")))
+      .withColumn("h30", col("h") % M30)
+      .select((Seq(col("doc_id")) ++ extra.map(col) :+ col("h") :+ col("h30")): _*)
+
+  /** (doc, n-gram-string) rows — the un-hashed form of [[hashedShingleRows]]
+    * (same posexplode+lead shape, same one doc_id exchange); column `ng`. */
+  private def ngramRows(g: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
     val tok = g.select((Seq(col("doc_id")) ++ extra.map(col) :+
         posexplode(TF.tokens(col("text")))): _*)
@@ -76,9 +84,8 @@ object QueriesPipeline {
       d.withColumn(s"t$i", lead(col("tok"), i).over(w)))
     val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
     val full = if (n > 1) withLeads.where(col(s"t${n - 1}").isNotNull) else withLeads
-    full.withColumn("h", TF.hash60(concat_ws(" ", parts: _*)))
-      .withColumn("h30", col("h") % M30)
-      .select((Seq(col("doc_id")) ++ extra.map(col) :+ col("h") :+ col("h30")): _*)
+    full.withColumn("ng", concat_ws(" ", parts: _*))
+      .select((Seq(col("doc_id")) ++ extra.map(col) :+ col("ng")): _*)
   }
 
   /** MinHash signature (+ optionally the hashed shingle set `shh`, for
@@ -334,6 +341,55 @@ object QueriesPipeline {
               |  least(64, n - start) AS chunk_len,
               |  md5(array_to_string(toks[start+1:start+64], ' ')) AS chunk_md5
               |FROM c ORDER BY 1, 2""".stripMargin)),
+
+    // Corpus-wide heavy hitters: the top-20 trigrams by occurrence count —
+    // vocabulary/boilerplate inspection over a training corpus. Scale
+    // shape: the canonical wordcount — partial (map-side) aggregation
+    // shrinks the shuffle to distinct trigrams per partition, and the
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    // never a full corpus sort). Ties break on the trigram string so the
+    // cut is deterministic in both engines.
+    "doc_top_ngrams" -> Q(
+      (s, d) => ngramRows(docs(s, d), 3, Nil)
+        .groupBy("ng").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ng"))
+        .limit(20),
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ng
+              |  FROM (SELECT doc_id, toks,
+              |    unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i FROM t))
+              |SELECT ng, count(*)::BIGINT AS cnt FROM g GROUP BY 1
+              |ORDER BY cnt DESC, ng LIMIT 20""".stripMargin)),
+
+    // Source-mixture reweighting: per-source doc/token counts, the
+    // source's share of corpus tokens, and the sampling weight that would
+    // flatten the mixture to uniform-over-sources (weight = target share /
+    // actual share — the knob a data-mixing stage multiplies into its
+    // per-source sampling rate). The window totals run over the POST-
+    // aggregation frame (one row per source), so the single-partition
+    // window is #sources-sized no matter the corpus size.
+    "doc_mix_weights" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        docs(s, d).select(col("source"), TF.tokenCount(col("text")).as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").cast("long").as("n_tokens"))
+          .withColumn("tot", sum("n_tokens").over(w))
+          .withColumn("ns", count(lit(1)).over(w))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            r4(col("n_tokens").cast("double") / col("tot")).as("token_share"),
+            r4((lit(1.0) / col("ns")) / (col("n_tokens").cast("double") / col("tot")))
+              .as("weight"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+              |    sum(len($TOKS))::BIGINT AS n_tokens
+              |  FROM documents GROUP BY 1),
+              |t AS (SELECT sum(n_tokens) AS tot, count(*) AS ns FROM per)
+              |SELECT source, n_docs, n_tokens,
+              |  round(1e-9 + n_tokens::DOUBLE / tot, 4) AS token_share,
+              |  round(1e-9 + (1.0 / ns) / (n_tokens::DOUBLE / tot), 4) AS weight
+              |FROM per, t ORDER BY 1""".stripMargin)),
 
     "doc_quality" -> Q(
       (s, d) => docs(s, d).select(col("doc_id"),

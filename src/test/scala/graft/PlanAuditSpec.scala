@@ -188,6 +188,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(hash <= 1, s"chunking must not shuffle beyond the scan spread, got $hash")
   }
 
+  test("doc_top_ngrams: heavy hitters use partial agg + per-partition top-k") {
+    // corpus-wide counts must plan the wordcount shape: map-side partial
+    // aggregation before the ng shuffle, and the orderBy+limit as
+    // TakeOrderedAndProject — a full corpus sort here is the 100 TB
+    // failure mode
+    val p = plan("doc_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition TakeOrderedAndProject, not a global sort")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "ngram counts need map-side partial aggregation")
+  }
+
   test("doc_repetition: bigram counts ride ONE doc_id exchange") {
     // window (doc_id) -> groupBy (doc_id, h) -> groupBy (doc_id) -> join
     // (doc_id): hash(doc_id) satisfies every downstream clustering by the
