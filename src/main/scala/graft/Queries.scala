@@ -487,6 +487,60 @@ object Queries {
              |         ELSE 0 END AS new_session
              |  FROM ($E)) ORDER BY 1,2""".stripMargin)),
 
+    // view -> click -> purchase conversion funnel, 1 h per step: per user,
+    // the first view, the first click within 1 h AFTER that view, the
+    // first purchase within 1 h after THAT click, and the stage reached.
+    // Shape: chained prefix-window minima instead of three self-joins —
+    // the prefix min of qualifying-step timestamps equals the global first
+    // qualifying step whenever one precedes the row (the earliest
+    // qualifier has the smallest ts, so it is always in the prefix), so
+    // ONE scan + ONE user_id exchange serves both window passes and the
+    // final rollup. The three-self-join form reads the event table four
+    // times at 100 TB; this reads it once.
+    "evt_funnel" -> Q(
+      (s, d) => {
+        val H = lit(HOUR)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "seq")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val isV = col("event_type") === "view"
+        ev(s, d).df.select("user_id", "ts", "seq", "event_type")
+          .withColumn("vmin", min(when(isV, col("ts"))).over(w))
+          .withColumn("cq", when(col("event_type") === "click" &&
+            col("ts") > col("vmin") && col("ts") <= col("vmin") + H, col("ts")))
+          .withColumn("cmin", min(col("cq")).over(w))
+          .withColumn("pq", when(col("event_type") === "purchase" &&
+            col("ts") > col("cmin") && col("ts") <= col("cmin") + H, col("ts")))
+          .groupBy("user_id")
+          .agg(min(when(isV, col("ts"))).as("v_ts"),
+            min("cq").as("c_ts"), min("pq").as("p_ts"))
+          .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+            when(col("p_ts").isNotNull, lit(3L))
+              .when(col("c_ts").isNotNull, lit(2L))
+              .when(col("v_ts").isNotNull, lit(1L))
+              .otherwise(lit(0L)).as("stage"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS ($E),
+             |w1 AS (SELECT user_id, ts, seq, event_type,
+             |  min(CASE WHEN event_type = 'view' THEN ts END) OVER
+             |    (PARTITION BY user_id ORDER BY ts, seq
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmin FROM e),
+             |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND ts > vmin
+             |    AND ts <= vmin + ${HOUR} THEN ts END AS cq FROM w1),
+             |w3 AS (SELECT *, min(cq) OVER (PARTITION BY user_id ORDER BY ts, seq
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmin FROM w2),
+             |w4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND ts > cmin
+             |    AND ts <= cmin + ${HOUR} THEN ts END AS pq FROM w3)
+             |SELECT user_id,
+             |  min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+             |  min(cq) AS c_ts, min(pq) AS p_ts,
+             |  (CASE WHEN min(pq) IS NOT NULL THEN 3
+             |        WHEN min(cq) IS NOT NULL THEN 2
+             |        WHEN min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL THEN 1
+             |        ELSE 0 END)::BIGINT AS stage
+             |FROM w4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "evt_delay_1h" -> Q(
       (s, d) => ev(s, d).delay(HOUR).ticks
         .select("user_id", "ts", "value").orderBy("user_id", "ts"),

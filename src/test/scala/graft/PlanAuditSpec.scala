@@ -188,6 +188,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(hash <= 1, s"chunking must not shuffle beyond the scan spread, got $hash")
   }
 
+  test("evt_funnel: windows + rollup share ONE user_id exchange, one scan") {
+    // the chained prefix-window formulation exists to avoid the
+    // three-self-join shape: both window passes and the final groupBy must
+    // ride a single user_id exchange over a single event-table scan
+    val p = plan("evt_funnel")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 1, s"expected 1 user_id exchange, got $hash")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"funnel must read events ONCE, got $scans scans")
+  }
+
   test("doc_top_ngrams: heavy hitters use partial agg + per-partition top-k") {
     // corpus-wide counts must plan the wordcount shape: map-side partial
     // aggregation before the ng shuffle, and the orderBy+limit as
