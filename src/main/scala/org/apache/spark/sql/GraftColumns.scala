@@ -14,3 +14,15 @@ object GraftColumns {
     ExpressionUtils.column(
       DotPacked(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** Live-session registration of graft's SQL functions — the companion to
+  * the `spark.sql.extensions=graft.GraftExtensions` config route (that one
+  * only applies at session construction; this one retrofits a running
+  * session via its function registry — in the sql package because
+  * `sessionState` is `private[sql]` in Spark 4). */
+object GraftSql {
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

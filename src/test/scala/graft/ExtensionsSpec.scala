@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.GraftSql
+
+/** The SQL front door to graft's native expressions: after registration,
+  * `dot_packed` is callable from `spark.sql` and computes the same value
+  * as the Scala column API (one expression, two entry points). */
+class ExtensionsSpec extends SparkSuite {
+
+  private def pack(v: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(v.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    v.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  test("dot_packed registers as a SQL function and matches the column API") {
+    GraftSql.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pack(Array(1.0, 2.0, 3.0)), pack(Array(4.0, 5.0, 6.0))),
+      (2L, pack(Array(0.5, -1.0)), pack(Array(2.0, 2.0))))
+      .toDF("id", "a", "b")
+    rows.createOrReplaceTempView("vecs")
+    try {
+      val sql = spark.sql("SELECT id, dot_packed(a, b) AS d FROM vecs ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(sql.toSeq == Seq((1L, 32.0), (2L, -1.0)))
+      val colApi = rows.select($"id",
+          org.apache.spark.sql.GraftColumns.dotPacked($"a", $"b").as("d"))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(colApi.toSeq == sql.toSeq, "SQL and column API must share the expression")
+    } finally spark.catalog.dropTempView("vecs")
+  }
+
+  test("extensions injector carries the same registry as live registration") {
+    // a session configured with spark.sql.extensions=graft.GraftExtensions
+    // receives exactly GraftExtensions.functions; applying the injector to
+    // a fresh SparkSessionExtensions must accept every triple (shape gate —
+    // the full config route needs a brand-new session, which local tests
+    // sharing one context cannot construct)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftExtensions.functions.map(_._1.funcName) == Seq("dot_packed"))
+  }
+
+  test("dot_packed arity is enforced at plan time") {
+    GraftSql.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_packed(x'00')").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("dot_packed"))
+  }
+}
