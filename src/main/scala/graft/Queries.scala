@@ -487,6 +487,34 @@ object Queries {
              |         ELSE 0 END AS new_session
              |  FROM ($E)) ORDER BY 1,2""".stripMargin)),
 
+    // Cohort retention: users grouped by first-activity day; for each
+    // (cohort, day-offset) the number of cohort members active that day.
+    // Shape: ONE exchange carries event-grain rows (explicit user_id
+    // repartition that the dedup, the cohort window, and the per-user
+    // uniqueness all reuse via the subset rule); the final (cohort,
+    // offset) rollup shuffles only per-user-day rows. Day arithmetic is
+    // integral (ts DIV day) — float division of ns clocks loses precision
+    // past 2^53.
+    "evt_retention" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        ev(s, d).df.selectExpr("user_id", s"ts DIV $DAY AS day")
+          .repartition(col("user_id"))
+          .dropDuplicates("user_id", "day")
+          .withColumn("cohort_day", min("day").over(w))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          // (user_id, day) is unique here, so count(*) == distinct users
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some(s"""WITH e AS ($E),
+             |days AS (SELECT DISTINCT user_id, ts // ${DAY} AS day FROM e),
+             |c AS (SELECT user_id, day,
+             |  min(day) OVER (PARTITION BY user_id) AS cohort_day FROM days)
+             |SELECT cohort_day, day - cohort_day AS day_offset,
+             |  count(*)::BIGINT AS n_users
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // view -> click -> purchase conversion funnel, 1 h per step: per user,
     // the first view, the first click within 1 h AFTER that view, the
     // first purchase within 1 h after THAT click, and the stage reached.
@@ -498,29 +526,16 @@ object Queries {
     // final rollup. The three-self-join form reads the event table four
     // times at 100 TB; this reads it once.
     "evt_funnel" -> Q(
-      (s, d) => {
-        val H = lit(HOUR)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts", "seq")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val isV = col("event_type") === "view"
-        ev(s, d).df.select("user_id", "ts", "seq", "event_type")
-          .withColumn("vmin", min(when(isV, col("ts"))).over(w))
-          .withColumn("cq", when(col("event_type") === "click" &&
-            col("ts") > col("vmin") && col("ts") <= col("vmin") + H, col("ts")))
-          .withColumn("cmin", min(col("cq")).over(w))
-          .withColumn("pq", when(col("event_type") === "purchase" &&
-            col("ts") > col("cmin") && col("ts") <= col("cmin") + H, col("ts")))
-          .groupBy("user_id")
-          .agg(min(when(isV, col("ts"))).as("v_ts"),
-            min("cq").as("c_ts"), min("pq").as("p_ts"))
-          .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
-            when(col("p_ts").isNotNull, lit(3L))
-              .when(col("c_ts").isNotNull, lit(2L))
-              .when(col("v_ts").isNotNull, lit(1L))
-              .otherwise(lit(0L)).as("stage"))
-          .orderBy("user_id")
-      },
+      (s, d) => graft.ops.Funnel.stages(
+          ev(s, d).df.select("user_id", "ts", "seq", "event_type"),
+          Seq("user_id"), "event_type", Seq("view", "click", "purchase"), HOUR)
+        .select(col("user_id"), col("t0").as("v_ts"),
+          col("t1").as("c_ts"), col("t2").as("p_ts"),
+          when(col("t2").isNotNull, lit(3L))
+            .when(col("t1").isNotNull, lit(2L))
+            .when(col("t0").isNotNull, lit(1L))
+            .otherwise(lit(0L)).as("stage"))
+        .orderBy("user_id"),
       Some(s"""WITH e AS ($E),
              |w1 AS (SELECT user_id, ts, seq, event_type,
              |  min(CASE WHEN event_type = 'view' THEN ts END) OVER

@@ -80,6 +80,23 @@ object StateProcs {
       (HeldS(has = true, ev.value), if (s.has) Some(ev.value - s.v) else None)
     }
 
+  final case class FunnelS(reached: Int, lastTs: Long)
+
+  /** Ordered-step funnel, streaming form of [[graft.ops.Funnel.stages]]:
+    * `ev.src` is the 0-based stage index; an event advances the funnel iff
+    * it is the NEXT stage and lands strictly after the previous stage's
+    * anchor within `stepNs`. Emits the 1-based stage reached at each
+    * advancement. State is two fields per key, O(1) forever — the
+    * streaming shape a conversion tracker runs for months. */
+  def funnel(stepNs: Long): BurstProc[FunnelS] =
+    perEvent(() => FunnelS(0, 0L)) { (s, ev) =>
+      val i = ev.src
+      val advance = i == s.reached &&
+        (i == 0 || (ev.ts > s.lastTs && ev.ts <= s.lastTs + stepNs))
+      if (advance) (FunnelS(i + 1, ev.ts), Some((i + 1).toDouble))
+      else (s, None)
+    }
+
   /** `distinct` (reference `ops.rs:187`): suppress consecutive duplicates. */
   def distinctConsecutive: BurstProc[HeldS] =
     perEvent(() => HeldS(has = false, 0.0)) { (s, ev) =>

@@ -294,6 +294,35 @@ class ParitySpec extends SparkSuite {
     assert(got == Seq(("a", 3.5), ("b", 4.5)))
   }
 
+  test("funnel: batch == streaming == window-chain Funnel.stages") {
+    // src encodes the 0-based stage (0=view, 1=click, 2=purchase), step=100
+    val evs = Seq(
+      Ev("a", 10L, 1L, 0, 0.0), Ev("a", 30L, 2L, 1, 0.0), Ev("a", 50L, 3L, 2, 0.0), // full conversion
+      Ev("b", 10L, 4L, 1, 0.0),  // click before any view: ignored
+      Ev("b", 20L, 5L, 0, 0.0), Ev("b", 25L, 6L, 1, 0.0), // view then qualifying click
+      Ev("b", 2000L, 7L, 2, 0.0), // purchase outside the 100-step window: stage 3 not reached
+      Ev("c", 5L, 8L, 2, 0.0),    // purchase only: nothing
+      Ev("d", 10L, 9L, 0, 0.0), Ev("d", 10L, 10L, 1, 0.0)) // same-instant click: strict > fails
+    val agreed = parity("funnel", evs, P.funnel(100L))
+    // third leg: the window-chain form over the same fixture — each
+    // non-null t_i is the stage-(i+1) advancement emission
+    val df = spark.createDataset(evs).toDF()
+      .withColumn("etype", col("src").cast("string"))
+    val st = graft.ops.Funnel.stages(df, Seq("key"), "etype", Seq("0", "1", "2"), 100L)
+    val derived = st.collect().flatMap { r =>
+      (0 until 3).flatMap { i =>
+        Option(r.getAs[java.lang.Long](s"t$i"))
+          .map(ts => (r.getString(0), ts.toLong, (i + 1).toDouble, 0.0))
+      }
+    }.toSeq.sorted
+    assert(agreed == derived, "window-chain stages must equal the scan emissions")
+    // spot-check the fixture's semantics directly
+    assert(derived.filter(_._1 == "a").map(_._3) == Seq(1.0, 2.0, 3.0))
+    assert(derived.filter(_._1 == "b").map(_._3) == Seq(1.0, 2.0))
+    assert(derived.filter(_._1 == "c").isEmpty)
+    assert(derived.filter(_._1 == "d").map(_._3) == Seq(1.0))
+  }
+
   test("feedback: previous cycle's output feeds the next cycle (fluent.rs:363, §7.4 subset)") {
     import graft.streaming.Feedback
     // EMA of own output: out = fed*0.5 + input*0.5; first cycle passes input
