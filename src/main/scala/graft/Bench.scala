@@ -33,20 +33,23 @@ object Bench {
       }
     }
     val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
-    // 2-decimal rounding keeps the WHOLE line under ~1.9k chars at 75+
-    // queries: the driver records only the last 2000 chars of stdout
-    // (minus sbt's ~75-char [success] trailer), and a full-precision line
-    // overflows that window — truncating away the total. 10 ms precision
-    // loses nothing at these magnitudes; the empty errors map is omitted
-    // for the same budget reason.
-    def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // The whole line must fit the driver's 2000-char stdout tail at 84+
+    // queries (an overflowing line truncates away its head — the total):
+    // values are 2-decimal with trailing zeros stripped ("0.70" -> "0.7",
+    // "2.00" -> "2"; 10 ms precision loses nothing at these magnitudes),
+    // the sf dir is reported by basename, and the empty errors map is
+    // omitted. BenchSpec projects the line length for the full registry.
+    def r2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = if (errors.isEmpty) "" else "\"errors\":" + errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "},")
-    (s"""{"metric":"total","value":${r2(total)},"unit":"sec","passes":$passes,"queries":$qs,$errJson"sf":"$sfDir"}""",
+    val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    (s"""{"metric":"total","value":${r2(total)},"unit":"sec","passes":$passes,"queries":$qs,$errJson"sf":"$sfName"}""",
       errors)
   }
 
