@@ -515,6 +515,26 @@ object Queries {
              |  count(*)::BIGINT AS n_users
              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Exact per-key percentiles (p50/p90/p99 of event values) — the
+    // latency-percentile rollup every telemetry pipeline runs. Both
+    // engines use R-7 linear interpolation at rank p*(n-1), so the exact
+    // forms agree bit-for-bit modulo the shared r4 rounding. Scale note:
+    // exact percentile sorts each group (Spark buffers the group's
+    // values); for sketch-sized state at 100 TB swap in
+    // approx_percentile — kept exact here because the oracle must
+    // hash-match.
+    "evt_percentiles" -> Q(
+      (s, d) => ev(s, d).df.groupBy("user_id")
+        .agg(r4(expr("percentile(value, 0.5)")).as("p50"),
+          r4(expr("percentile(value, 0.9)")).as("p90"),
+          r4(expr("percentile(value, 0.99)")).as("p99"))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id,
+             |  round(1e-9 + quantile_cont(value, 0.5), 4) AS p50,
+             |  round(1e-9 + quantile_cont(value, 0.9), 4) AS p90,
+             |  round(1e-9 + quantile_cont(value, 0.99), 4) AS p99
+             |FROM ($E) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // view -> click -> purchase conversion funnel, 1 h per step: per user,
     // the first view, the first click within 1 h AFTER that view, the
     // first purchase within 1 h after THAT click, and the stage reached.
