@@ -806,6 +806,37 @@ object QueriesPipeline {
              |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3
              |ORDER BY qid, rank""".stripMargin)),
 
+    // PQ-Flat asymmetric-distance ANN (Similarity.pqTopK): 32 subspaces x
+    // 64 sample codewords over the 64-dim embeddings — the memory-bounded
+    // ANN path (m bytes per indexed vector). Uniform-ish embeddings are
+    // PQ's hardest case (distance concentration), so the config is finer
+    // than text-embedding deployments would need: measured recall@3 vs
+    // exact L2 = 0.58 at sf0.01 (m=8,ksub=16 scores 0.14). Oracle replays
+    // encode (rounded per-subspace L2 argmin) and ADC scoring exactly.
+    "emb_ann_pq" -> Q(
+      (s, d) => Similarity.pqTopK(
+        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3,
+        m = 32, ksub = 64, dimHint = AnnDim)
+        .orderBy("qid", "rank"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cb AS (SELECT v AS cv, (row_number() OVER (ORDER BY vec_id) - 1) AS c
+             |  FROM e ORDER BY vec_id LIMIT 64),
+             |d AS (SELECT e.vec_id AS id, j, c,
+             |    round(1e-9 + list_sum(list_transform(range(1, 3),
+             |      i -> (v[j*2 + i] - cv[j*2 + i])^2)), 4) AS d2
+             |  FROM e, cb, (SELECT unnest(range(32)) AS j)),
+             |codes AS (SELECT id AS nid, j, c FROM (
+             |    SELECT id, j, c, row_number() OVER
+             |      (PARTITION BY id, j ORDER BY d2, c) AS rn FROM d)
+             |  WHERE rn = 1),
+             |qd AS (SELECT id AS qid, j, c, d2 FROM d WHERE id < 10),
+             |adc AS (SELECT qid, nid, round(1e-9 + sum(d2), 4) AS adist
+             |  FROM codes JOIN qd USING (j, c) WHERE qid <> nid GROUP BY 1, 2),
+             |r AS (SELECT qid, nid, adist, CAST(row_number() OVER
+             |    (PARTITION BY qid ORDER BY adist, nid) AS BIGINT) AS rank FROM adc)
+             |SELECT qid, nid, adist, rank FROM r WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)),
+
     // embedding-cosine near-dup pairs — the fifth dedup flavor. Candidates
     // from the multi-table hyperplane LSH (plan-time literal planes, so
     // the DuckDB oracle replicates candidate generation EXACTLY and the

@@ -393,4 +393,100 @@ object Similarity {
     }
     (asg, model)
   }
+
+  /** Product-quantization approximate top-k (PQ-Flat, asymmetric distance):
+    * the MEMORY-bounded ANN path — each candidate vector compresses to `m`
+    * small codes (one per subspace), so at 100 TB the index the scoring
+    * join shuffles is m bytes/vector, not dim×8 (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011).
+    *
+    * Per-subspace codebooks are a deterministic data sample (the `ksub`
+    * lowest vec_ids' subvectors — the same pure-function-of-input trick as
+    * [[ivfTopK]], so the DuckDB oracle replays encode + scoring exactly;
+    * a trained per-subspace k-means would drop in unchanged). Encoding:
+    * argmin of the ROUNDED squared L2 per (vector, subspace), ties to the
+    * lowest code. Scoring: ADC — the query precomputes its distance to
+    * every (subspace, codeword) once (m×ksub table, broadcast), and a
+    * candidate's approximate distance is the sum of m lookups on its
+    * codes; rank ascending, ties to the lowest nid.
+    *
+    * Scale shape: the codebook is collected ONCE at plan time (ksub×dim
+    * doubles — the broadcast model, same discipline as [[kmeansModel]])
+    * and encoding runs as one JIT'd loop per row (O(dim·ksub) flops, the
+    * inherent encode cost, with zero join/aggregate row machinery — the
+    * exploded-join formulation of the same math measured 8.6 s vs ~1 s
+    * at sf0.1). Scoring joins the m-row-per-candidate CODE frame against
+    * the broadcast query distance table on (subspace, code) — the
+    * shuffle carries (nid, j, c) longs, never vectors. Compose with
+    * [[ivfTopK]] cells to cut the scan to nProbe/nCent of the corpus
+    * (IVF-PQ).
+    *
+    * Oracle exactness: per-subspace distances are rounded to 4dp
+    * (HALF_UP after the shared +1e-9 shift) BEFORE the argmin and before
+    * the ADC sum, so both engines compare identical values; at dsub ≤ 2
+    * fp addition is commutative, so summation order cannot diverge
+    * either. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int, m: Int,
+      ksub: Int, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+      else candidates.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0)
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("adist"), lit(0L).as("rank"))
+        .where(lit(false))
+    require(dim % m == 0, s"pqTopK: dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"pqTopK: expected dim $dim, got "),
+          size(vec).cast("string"))))
+    // plan-time codebook: the ksub lowest vec_ids' vectors, collected once
+    // (ksub x dim doubles) and serialized into the encode closures — the
+    // same broadcast-model discipline as kmeansModel/planeVec
+    val cb: Array[Array[Double]] = candidates.orderBy("vec_id").limit(ksub)
+      .select(toDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cb.nonEmpty, "pqTopK: candidates must be non-empty to build a codebook")
+    require(cb.forall(_.length == dim),
+      s"pqTopK: codebook vectors must all have dim $dim")
+    val kEff = cb.length // < ksub only when the corpus is smaller than ksub
+    // rounded per-subspace squared L2 — the cross-engine argmin/sum value
+    def r4d(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def subD(v: Seq[Double], j: Int, c: Int): Double = {
+      var ss = 0.0; var i = 0
+      while (i < dsub) {
+        val dd = v(j * dsub + i) - cb(c)(j * dsub + i); ss += dd * dd; i += 1
+      }
+      r4d(ss)
+    }
+    // encode: one JIT'd loop per row; ties to the lowest code (strict <)
+    val codesU = udf { v: Seq[Double] =>
+      Array.tabulate(m) { j =>
+        var best = 0; var bd = subD(v, j, 0); var c = 1
+        while (c < kEff) {
+          val dd = subD(v, j, c); if (dd < bd) { bd = dd; best = c }; c += 1
+        }
+        best
+      }
+    }
+    val qdU = udf { v: Seq[Double] =>
+      (for { j <- 0 until m; c <- 0 until kEff } yield (j, c, subD(v, j, c))).toArray
+    }
+    val codes = candidates
+      .select(col("vec_id").as("nid"), posexplode(codesU(checked(col("embedding")))))
+      .toDF("nid", "j", "c")
+    val qTable = queries
+      .select(col("vec_id").as("qid"), explode(qdU(checked(col("embedding")))).as("e"))
+      .select(col("qid"), col("e._1").as("j"), col("e._2").as("c"), col("e._3").as("d2"))
+    val adc = codes.join(broadcast(qTable), Seq("j", "c"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(round(sum(col("d2")) + lit(1e-9), 4).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("adist"), col("rank").cast("long").as("rank"))
+  }
 }

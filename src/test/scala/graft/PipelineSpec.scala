@@ -110,6 +110,34 @@ class PipelineSpec extends SparkSuite {
       "(16 sample centroids, 4 probes on 500 vectors; measured 0.627 when frozen)")
   }
 
+  test("PQ recall@3 vs exact L2 clears the frozen gate (ADC approximates L2)") {
+    // PQ approximates EUCLIDEAN distance, so the honest truth set is the
+    // exact-L2 top-k (cosine top-k would conflate metric mismatch with
+    // quantization loss). 500 uniform-ish vectors are PQ's hardest case;
+    // measured 0.56 with m=32, ksub=64 when frozen.
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val q = e.where(col("vec_id") < 50)
+    val vecs = e.select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val truth = (for {
+      qid <- vecs.keys.filter(_ < 50)
+      top = vecs.keys.filter(_ != qid).toSeq
+        .map(n => (n, BigDecimal(l2(vecs(qid), vecs(n)) + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+        .sortBy { case (n, dd) => (dd, n) }.take(3)
+      (nid, _) <- top
+    } yield (qid, nid)).toSet
+    val pq = Similarity.pqTopK(q, e, 3, m = 32, ksub = 64, dimHint = 64)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (pq & truth).size.toDouble / truth.size
+    info(f"PQ recall@3 = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.45, f"PQ recall@3 $recall%.3f fell below the frozen 0.45 gate " +
+      "(32 subspaces x 64 sample codewords on 500 vectors; measured 0.56 when frozen)")
+  }
+
   test("cosine near-dup recall vs brute force clears the frozen gate (LSH is probabilistic)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)

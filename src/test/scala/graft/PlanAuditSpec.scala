@@ -174,6 +174,18 @@ class PlanAuditSpec extends SparkSuite {
       "corpus shingles must not shuffle on h")
   }
 
+  test("PQ ANN: plan-time codebook, broadcast query table, id-width code shuffle") {
+    // encode is one JIT'd loop per row (codebook collected at plan time —
+    // NO join in the encode stage); ADC joins the code frame (3 longs/row)
+    // against the broadcast query distance table — the candidate-scoring
+    // shuffle must never carry vectors
+    val p = plan("emb_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), "query-table ADC join lost broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k rank filter must push a group limit into the window")
+  }
+
   test("doc_chunk: chunking is shuffle-free generate — map-parallel at any scale") {
     // sliding-window chunking must stay a scan -> project -> generate
     // chain: the ONLY exchange is the output orderBy's range partitioning.
