@@ -8,8 +8,8 @@ object Bench {
     * host intermittently inflates individual queries 10-100x — a fixed
     * single-core probe swings 1.3 s to 3.4 s — and a single-pass bench
     * laundered those bursts into per-query numbers) and to first-pass JIT
-    * warmth. The pass count is recorded in the JSON line ("passes") so
-    * cross-round comparisons know the methodology. A query that throws is
+    * warmth. The pass count is recorded in COVERAGE.md so cross-round
+    * comparisons know the methodology. A query that throws is
     * RECORDED (err entry), never silently timed as ~0 s: a regression
     * must fail the bench loudly, not masquerade as a speedup. Factored
     * out of main so a spec can drive it with a deliberately-broken
@@ -33,23 +33,25 @@ object Bench {
       }
     }
     val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
-    // The whole line must fit the driver's 2000-char stdout tail at 84+
+    // The whole line must fit the driver's 2000-char stdout tail at ~90
     // queries (an overflowing line truncates away its head — the total):
-    // values are 2-decimal with trailing zeros stripped ("0.70" -> "0.7",
-    // "2.00" -> "2"; 10 ms precision loses nothing at these magnitudes),
-    // the sf dir is reported by basename, and the empty errors map is
-    // omitted. BenchSpec projects the line length for the full registry.
-    def r2(v: Double): String = BigDecimal(v)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // per-query values are 1-decimal with trailing zeros stripped
+    // ("0.70" -> "0.7", "2.00" -> "2"; 0.1 s resolution still ranks the
+    // expensive queries), the total keeps 2 decimals, the sf dir is
+    // reported by basename, the pass count lives in COVERAGE.md (min
+    // over 2 passes), and the empty errors map is omitted. BenchSpec
+    // projects the line length for the full registry.
+    def rd(v: Double, scale: Int): String = BigDecimal(v)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + rd(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = if (errors.isEmpty) "" else "\"errors\":" + errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "},")
     val sfName = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    (s"""{"metric":"total","value":${r2(total)},"unit":"sec","passes":$passes,"queries":$qs,$errJson"sf":"$sfName"}""",
+    (s"""{"metric":"total","value":${rd(total, 2)},"unit":"sec","queries":$qs,$errJson"sf":"$sfName"}""",
       errors)
   }
 

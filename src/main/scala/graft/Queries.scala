@@ -515,6 +515,27 @@ object Queries {
              |  count(*)::BIGINT AS n_users
              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Fixed-width value histogram per event type (width-5 buckets): the
+    // distribution profile that feeds dashboards and drift monitors.
+    // Fixed bounds keep the bucketing a pure projection — count+share per
+    // (type, bucket) is one partial-aggregated shuffle of #types×#buckets
+    // groups at any scale.
+    "evt_histogram" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        ev(s, d).df
+          .select(col("event_type"), floor(col("value") / lit(5.0)).cast("long").as("bucket"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+          .withColumn("share", r4(col("n") / sum("n").over(w)))
+          .orderBy("event_type", "bucket")
+      },
+      Some(s"""SELECT event_type, bucket, n,
+             |  round(1e-9 + n / sum(n) OVER (PARTITION BY event_type), 4) AS share
+             |FROM (SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Exact per-key percentiles (p50/p90/p99 of event values) — the
     // latency-percentile rollup every telemetry pipeline runs. Both
     // engines use R-7 linear interpolation at rank p*(n-1), so the exact

@@ -27,19 +27,21 @@ class BenchSpec extends SparkSuite {
       Map("t" -> ((s, _) => s.range(3).toDF())))
     assert(errors.isEmpty)
     assert(!line.contains("errors"), "empty errors map omitted for budget")
-    assert(line.matches(""".*"t":\d+(\.\d\d?)?[,}].*"""),
-      s"minimal-digit 2-decimal values: $line")
+    assert(line.matches(""".*"t":\d+(\.\d)?[,}].*"""),
+      s"minimal-digit 1-decimal values: $line")
     assert(line.contains("\"sf\":\"sf0.001\""), s"sf reported by basename: $line")
+    assert(!line.contains("passes"), "pass count lives in COVERAGE.md, not the line")
     // project the line length for the REAL registry: each entry is worst
-    // case "name":999.99, (6 value chars). build.sbt's
+    // case "name":999.9, (5 value chars). build.sbt's
     // showSuccess := false suppresses sbt's "[success] Total time"
     // trailer, so the JSON line is the LAST stdout line and owns the
-    // whole 2000-char window (small slack for a stray late log line)
-    val entry = """"t":\d+(\.\d\d?)?[,}]""".r.findFirstIn(line)
+    // 2000-char window minus slack for a possible "[info] " prefix and a
+    // stray late log line
+    val entry = """"t":\d+(\.\d)?[,}]""".r.findFirstIn(line)
     assert(entry.isDefined, s"entry for 't' present: $line")
     val projected = line.length - entry.get.length +
-      SparkEntry.queries.keys.map(n => n.length + 2 + 1 + 6 + 1).sum
-    assert(projected < 1985,
+      SparkEntry.queries.keys.map(n => n.length + 2 + 1 + 5 + 1).sum
+    assert(projected < 1950,
       s"projected bench line at ${SparkEntry.queries.size} queries = $projected chars; " +
         "must fit the driver's visible tail — shorten names or precision")
   }
