@@ -806,6 +806,50 @@ object QueriesPipeline {
              |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3
              |ORDER BY qid, rank""".stripMargin)),
 
+    // IVF-PQ (Similarity.ivfPqTopK): the composed 100 TB ANN architecture
+    // — IVF cells cut the scan to ~nProbe/nCent of the corpus, PQ codes
+    // score the survivors from m bytes/vector. Both models are
+    // deterministic samples, so the oracle replays the whole index.
+    "emb_ann_ivfpq" -> Q(
+      (s, d) => Similarity.ivfPqTopK(
+        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3,
+        nCent = 16, nProbe = 4, m = 32, ksub = 64, dimHint = AnnDim)
+        .orderBy("qid", "rank"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |af AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
+             |cells AS (SELECT id AS nid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM af)
+             |  WHERE rn = 1),
+             |probes AS (SELECT id AS qid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+             |    FROM af WHERE id < 10)
+             |  WHERE rn <= 4),
+             |pairs AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
+             |  WHERE qid <> nid),
+             |cb AS (SELECT v AS cv2, (row_number() OVER (ORDER BY vec_id) - 1) AS c
+             |  FROM e ORDER BY vec_id LIMIT 64),
+             |dt AS (SELECT e.vec_id AS id, j, c,
+             |    round(1e-9 + list_sum(list_transform(range(1, 3),
+             |      i -> (v[j*2 + i] - cv2[j*2 + i])^2)), 4) AS d2
+             |  FROM e, cb, (SELECT unnest(range(32)) AS j)),
+             |codes AS (SELECT id AS nid, j, c FROM (
+             |    SELECT id, j, c, row_number() OVER
+             |      (PARTITION BY id, j ORDER BY d2, c) AS rn FROM dt)
+             |  WHERE rn = 1),
+             |qd AS (SELECT id AS qid, j, c, d2 FROM dt WHERE id < 10),
+             |adc AS (SELECT p.qid, p.nid, round(1e-9 + sum(qd.d2), 4) AS adist
+             |  FROM pairs p JOIN codes ON codes.nid = p.nid
+             |  JOIN qd ON qd.qid = p.qid AND qd.j = codes.j AND qd.c = codes.c
+             |  GROUP BY 1, 2),
+             |r AS (SELECT qid, nid, adist, CAST(row_number() OVER
+             |    (PARTITION BY qid ORDER BY adist, nid) AS BIGINT) AS rank FROM adc)
+             |SELECT qid, nid, adist, rank FROM r WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)),
+
     // PQ-Flat asymmetric-distance ANN (Similarity.pqTopK): 32 subspaces x
     // 64 sample codewords over the 64-dim embeddings — the memory-bounded
     // ANN path (m bytes per indexed vector). Uniform-ish embeddings are

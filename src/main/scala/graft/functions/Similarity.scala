@@ -436,20 +436,44 @@ object Similarity {
         .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("adist"), lit(0L).as("rank"))
         .where(lit(false))
     require(dim % m == 0, s"pqTopK: dim $dim must divide into $m subspaces")
-    val dsub = dim / m
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"pqTopK: expected dim $dim, got "),
           size(vec).cast("string"))))
-    // plan-time codebook: the ksub lowest vec_ids' vectors, collected once
-    // (ksub x dim doubles) and serialized into the encode closures — the
-    // same broadcast-model discipline as kmeansModel/planeVec
+    val (codesU, qdU) = pqEncoders(candidates, m, ksub, dim)
+    val codes = candidates
+      .select(col("vec_id").as("nid"), posexplode(codesU(checked(col("embedding")))))
+      .toDF("nid", "j", "c")
+    val qTable = queries
+      .select(col("vec_id").as("qid"), explode(qdU(checked(col("embedding")))).as("e"))
+      .select(col("qid"), col("e._1").as("j"), col("e._2").as("c"), col("e._3").as("d2"))
+    val adc = codes.join(broadcast(qTable), Seq("j", "c"))
+      .where(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(round(sum(col("d2")) + lit(1e-9), 4).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    adc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("adist"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The PQ encode closures: (codesU, qdU). The codebook — the `ksub`
+    * lowest vec_ids' vectors — is collected once at plan time (ksub×dim
+    * doubles, the broadcast-model discipline shared with [[kmeansModel]]
+    * and [[planeVec]]) and serialized into both UDFs; `codesU` maps a
+    * vector to its m nearest-codeword indices (rounded per-subspace L2
+    * argmin, ties to the lowest code), `qdU` to the full (j, c, d2)
+    * distance table a query precomputes for ADC. */
+  private def pqEncoders(candidates: DataFrame, m: Int, ksub: Int, dim: Int)
+      : (org.apache.spark.sql.expressions.UserDefinedFunction,
+         org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val dsub = dim / m
     val cb: Array[Array[Double]] = candidates.orderBy("vec_id").limit(ksub)
       .select(toDouble(col("embedding"))).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(cb.nonEmpty, "pqTopK: candidates must be non-empty to build a codebook")
+    require(cb.nonEmpty, "pqEncoders: candidates must be non-empty to build a codebook")
     require(cb.forall(_.length == dim),
-      s"pqTopK: codebook vectors must all have dim $dim")
+      s"pqEncoders: codebook vectors must all have dim $dim")
     val kEff = cb.length // < ksub only when the corpus is smaller than ksub
     // rounded per-subspace squared L2 — the cross-engine argmin/sum value
     def r4d(x: Double): Double =
@@ -461,7 +485,6 @@ object Similarity {
       }
       r4d(ss)
     }
-    // encode: one JIT'd loop per row; ties to the lowest code (strict <)
     val codesU = udf { v: Seq[Double] =>
       Array.tabulate(m) { j =>
         var best = 0; var bd = subD(v, j, 0); var c = 1
@@ -474,14 +497,60 @@ object Similarity {
     val qdU = udf { v: Seq[Double] =>
       (for { j <- 0 until m; c <- 0 until kEff } yield (j, c, subD(v, j, c))).toArray
     }
+    (codesU, qdU)
+  }
+
+  /** IVF-PQ: the composed 100 TB ANN architecture — [[ivfTopK]]'s coarse
+    * quantizer cuts the scan to the probed cells' members (~nProbe/nCent
+    * of the corpus) and [[pqTopK]]'s asymmetric distance scores those
+    * candidates from m-byte codes instead of full vectors. Same
+    * deterministic sample models as its two parents, so the DuckDB oracle
+    * replays cell assignment, probing, encode, and ADC scoring exactly.
+    *
+    * Scale shape: candidate generation is the IVF bare-id cell join;
+    * scoring attaches codes (m longs) and the broadcast query distance
+    * table — vectors appear in NO shuffle after the two assignment
+    * passes. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCent: Int, nProbe: Int, m: Int, ksub: Int, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+      else candidates.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0)
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("adist"), lit(0L).as("rank"))
+        .where(lit(false))
+    require(dim % m == 0, s"ivfPqTopK: dim $dim must divide into $m subspaces")
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"ivfPqTopK: expected dim $dim, got "),
+          size(vec).cast("string"))))
+    val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
+    val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
+    val centEx = candidates.orderBy("vec_id").limit(nCent)
+      .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
+      .toDF("cid", "i", "w")
+    val wNear = org.apache.spark.sql.expressions.Window
+      .partitionBy("nid").orderBy(col("cs").desc, col("cid"))
+    val cells = cellAffinity(cv, "nid", "nv", centEx)
+      .withColumn("rn", row_number().over(wNear)).where(col("rn") === 1)
+      .select(col("nid"), col("cid").as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cs").desc, col("cid"))
+    val probes = cellAffinity(qv, "qid", "qv", centEx)
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val pairs = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val (codesU, qdU) = pqEncoders(candidates, m, ksub, dim)
     val codes = candidates
       .select(col("vec_id").as("nid"), posexplode(codesU(checked(col("embedding")))))
       .toDF("nid", "j", "c")
     val qTable = queries
       .select(col("vec_id").as("qid"), explode(qdU(checked(col("embedding")))).as("e"))
       .select(col("qid"), col("e._1").as("j"), col("e._2").as("c"), col("e._3").as("d2"))
-    val adc = codes.join(broadcast(qTable), Seq("j", "c"))
-      .where(col("qid") =!= col("nid"))
+    val adc = pairs.join(codes, "nid")
+      .join(broadcast(qTable), Seq("qid", "j", "c"))
       .groupBy("qid", "nid")
       .agg(round(sum(col("d2")) + lit(1e-9), 4).as("adist"))
     val w = org.apache.spark.sql.expressions.Window

@@ -138,6 +138,34 @@ class PipelineSpec extends SparkSuite {
       "(32 subspaces x 64 sample codewords on 500 vectors; measured 0.56 when frozen)")
   }
 
+  test("IVF-PQ recall@3 vs exact L2 clears the frozen gate (coverage x quantization)") {
+    // end-to-end recall compounds the IVF probe coverage and the PQ
+    // ranking quality — the price of the composed architecture's speed
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val q = e.where(col("vec_id") < 50)
+    val vecs = e.select(col("vec_id"), Similarity.toDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val truth = (for {
+      qid <- vecs.keys.filter(_ < 50)
+      top = vecs.keys.filter(_ != qid).toSeq
+        .map(n => (n, BigDecimal(l2(vecs(qid), vecs(n)) + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+        .sortBy { case (n, dd) => (dd, n) }.take(3)
+      (nid, _) <- top
+    } yield (qid, nid)).toSet
+    val got = Similarity.ivfPqTopK(q, e, 3, nCent = 16, nProbe = 4,
+        m = 32, ksub = 64, dimHint = 64)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"IVF-PQ recall@3 = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.3, f"IVF-PQ recall@3 $recall%.3f fell below the frozen 0.3 gate " +
+      "(16 cells x 4 probes, 32 subspaces x 64 codewords on 500 vectors; " +
+      "measured 0.427 when frozen)")
+  }
+
   test("cosine near-dup recall vs brute force clears the frozen gate (LSH is probabilistic)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
