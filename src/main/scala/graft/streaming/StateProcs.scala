@@ -80,6 +80,18 @@ object StateProcs {
       (HeldS(has = true, ev.value), if (s.has) Some(ev.value - s.v) else None)
     }
 
+  final case class SessS(has: Boolean, lastTs: Long, sid: Long)
+
+  /** Gap-based sessionization, streaming form of `Timeline.sessionize`:
+    * a new session starts when the gap to the previous event exceeds
+    * `gapNs` (first event = session 1); emits the session id per event.
+    * O(1) per-key state. */
+  def sessionize(gapNs: Long): BurstProc[SessS] =
+    perEvent(() => SessS(has = false, 0L, 0L)) { (s, ev) =>
+      val sid = if (!s.has || ev.ts - s.lastTs > gapNs) s.sid + 1 else s.sid
+      (SessS(has = true, ev.ts, sid), Some(sid.toDouble))
+    }
+
   final case class FunnelS(reached: Int, lastTs: Long)
 
   /** Ordered-step funnel, streaming form of [[graft.ops.Funnel.stages]]:

@@ -294,6 +294,15 @@ class ParitySpec extends SparkSuite {
     assert(got == Seq(("a", 3.5), ("b", 4.5)))
   }
 
+  test("sessionize: batch == streaming == Timeline window chain") {
+    // gap 25 over the shared fixture: key a splits at the 41 -> 100 jump,
+    // key b at 15 -> 70; same-instant bursts never split a session
+    val agreed = parity("sess", single, P.sessionize(25L))
+    assert(agreed == tlOut(tl(single).sessionize(25L).df, "session_id"))
+    assert(agreed.filter(_._1 == "a").map(_._3) == Seq(1.0, 1.0, 1.0, 1.0, 1.0, 2.0))
+    assert(agreed.filter(_._1 == "b").map(_._3) == Seq(1.0, 1.0, 1.0, 2.0))
+  }
+
   test("funnel: batch == streaming == window-chain Funnel.stages") {
     // src encodes the 0-based stage (0=view, 1=click, 2=purchase), step=100
     val evs = Seq(
