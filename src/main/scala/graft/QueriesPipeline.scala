@@ -811,10 +811,15 @@ object QueriesPipeline {
     // score the survivors from m bytes/vector. Both models are
     // deterministic samples, so the oracle replays the whole index.
     "emb_ann_ivfpq" -> Q(
-      (s, d) => Similarity.ivfPqTopK(
-        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3,
-        nCent = 16, nProbe = 4, m = 32, ksub = 64, dimHint = AnnDim)
-        .orderBy("qid", "rank"),
+      (s, d) => {
+        // one materialized scan feeds cells, codes, and both model
+        // collects (4 consumers otherwise re-read the parquet each)
+        val ec = cached(emb(s, d))
+        Similarity.ivfPqTopK(
+          ec.where(col("vec_id") < 10), ec, 3,
+          nCent = 16, nProbe = 4, m = 32, ksub = 64, dimHint = AnnDim)
+          .orderBy("qid", "rank")
+      },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
              |af AS (SELECT e.vec_id AS id, cid,
@@ -858,10 +863,13 @@ object QueriesPipeline {
     // exact L2 = 0.58 at sf0.01 (m=8,ksub=16 scores 0.14). Oracle replays
     // encode (rounded per-subspace L2 argmin) and ADC scoring exactly.
     "emb_ann_pq" -> Q(
-      (s, d) => Similarity.pqTopK(
-        emb(s, d).where(col("vec_id") < 10), emb(s, d), 3,
-        m = 32, ksub = 64, dimHint = AnnDim)
-        .orderBy("qid", "rank"),
+      (s, d) => {
+        val ec = cached(emb(s, d)) // encode + codebook collect share one scan
+        Similarity.pqTopK(
+          ec.where(col("vec_id") < 10), ec, 3,
+          m = 32, ksub = 64, dimHint = AnnDim)
+          .orderBy("qid", "rank")
+      },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cb AS (SELECT v AS cv, (row_number() OVER (ORDER BY vec_id) - 1) AS c
              |  FROM e ORDER BY vec_id LIMIT 64),

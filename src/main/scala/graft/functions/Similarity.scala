@@ -525,21 +525,38 @@ object Similarity {
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"ivfPqTopK: expected dim $dim, got "),
           size(vec).cast("string"))))
-    val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
-    val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
-    val centEx = candidates.orderBy("vec_id").limit(nCent)
-      .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
-      .toDF("cid", "i", "w")
-    val wNear = org.apache.spark.sql.expressions.Window
-      .partitionBy("nid").orderBy(col("cs").desc, col("cid"))
-    val cells = cellAffinity(cv, "nid", "nv", centEx)
-      .withColumn("rn", row_number().over(wNear)).where(col("rn") === 1)
-      .select(col("nid"), col("cid").as("cell"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cs").desc, col("cid"))
-    val probes = cellAffinity(qv, "qid", "qv", centEx)
-      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
-      .select(col("qid"), col("cid").as("cell"))
+    // cell assignment via a plan-time centroid model + one JIT'd loop per
+    // row (same discipline as the PQ encode; the exploded-join
+    // cellAffinity shape that ivfTopK keeps measured ~1.5 s more here) —
+    // identical math: rounded cosine argmax, ties to the lowest cid
+    val cents: Array[(Long, Array[Double])] = candidates.orderBy("vec_id").limit(nCent)
+      .select(col("vec_id"), toDouble(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "ivfPqTopK: candidates must be non-empty to build centroids")
+    def r4c(x: Double): Double =
+      BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosTo(v: Seq[Double], c: Array[Double]): Double = {
+      var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < dim) { val x = v(i); val y = c(i); d += x * y; nv += x * x; nc += y * y; i += 1 }
+      r4c(if (nv == 0.0 || nc == 0.0) 0.0 else d / (math.sqrt(nv) * math.sqrt(nc)))
+    }
+    val bestCellU = udf { v: Seq[Double] =>
+      var best = 0; var bs = cosTo(v, cents(0)._2); var c = 1
+      while (c < cents.length) {
+        val cs = cosTo(v, cents(c)._2)
+        if (cs > bs) { bs = cs; best = c } // strict > keeps the lowest cid on ties
+        c += 1
+      }
+      cents(best)._1
+    }
+    val probeCellsU = udf { v: Seq[Double] =>
+      cents.map { case (cid, cw) => (cid, cosTo(v, cw)) }
+        .sortBy { case (cid, cs) => (-cs, cid) }.take(nProbe).map(_._1)
+    }
+    val cells = candidates
+      .select(col("vec_id").as("nid"), bestCellU(checked(col("embedding"))).as("cell"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), explode(probeCellsU(checked(col("embedding")))).as("cell"))
     val pairs = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
       .select("qid", "nid")
     val (codesU, qdU) = pqEncoders(candidates, m, ksub, dim)
