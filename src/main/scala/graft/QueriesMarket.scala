@@ -79,6 +79,73 @@ object QueriesMarket {
              |  CAST(CAST(floor(value*10) AS BIGINT) % 7 + 1 AS DOUBLE) AS qty
              |FROM events WHERE event_type='purchase' ORDER BY 1,3""".stripMargin)),
 
+    // Running VWAP per instrument over the trade stream — the benchmark
+    // execution-quality signal every trading pipeline maintains. Shape:
+    // two prefix-window sums over ONE (instrument) exchange; both engines
+    // accumulate in the same (ts, seq) order, and the grid prices/qtys
+    // are small integers, so the sums are fp-exact and only the final
+    // ratio needs the shared rounding.
+    "mkt_vwap" -> Q(
+      (s, d) => {
+        val t = MarketEvents.trades(marketEventsFromEvents(s, d)).toDF()
+          .select(col("instrument").cast("long").as("user_id"), col("ts"), col("seq"),
+            col("price").cast("double").as("price"), col("qty").cast("double").as("qty"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "seq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("vwap",
+            round(sum(col("price") * col("qty")).over(w) / sum(col("qty")).over(w)
+              + lit(1e-9), 4))
+          .select("user_id", "ts", "seq", "vwap").orderBy("user_id", "seq")
+      },
+      Some("""WITH t AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq,
+             |    CAST(CAST(floor(value) AS BIGINT) % 20 AS DOUBLE) AS price,
+             |    CAST(CAST(floor(value*10) AS BIGINT) % 7 + 1 AS DOUBLE) AS qty
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, ts, seq,
+             |  round(1e-9 + sum(price*qty) OVER wnd / sum(qty) OVER wnd, 4) AS vwap
+             |FROM t WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, seq
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // Daily OHLCV bars per instrument — the canonical market aggregation.
+    // Open/close are conditional aggregates on ascending/descending row
+    // numbers; both windows and the rollup share one (instrument, day)
+    // partitioning (integral ns-clock day arithmetic, as evt_retention).
+    "mkt_ohlc_1d" -> Q(
+      (s, d) => {
+        val dayNs = 24L * 3600L * 1000000000L
+        val t = MarketEvents.trades(marketEventsFromEvents(s, d)).toDF()
+          .select(col("instrument").cast("long").as("user_id"), col("ts"), col("seq"),
+            col("price").cast("double").as("price"), col("qty").cast("double").as("qty"))
+          .withColumn("day", expr(s"ts DIV $dayNs"))
+        val wa = Window.partitionBy("user_id", "day").orderBy("ts", "seq")
+        val wd = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("seq").desc)
+        t.withColumn("ra", row_number().over(wa))
+          .withColumn("rd", row_number().over(wd))
+          .groupBy("user_id", "day")
+          .agg(max(when(col("ra") === 1, col("price"))).as("open"),
+            max("price").as("high"), min("price").as("low"),
+            max(when(col("rd") === 1, col("price"))).as("close"),
+            sum("qty").as("volume"), count(lit(1)).as("n_trades"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH t AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq,
+             |    CAST(CAST(floor(value) AS BIGINT) % 20 AS DOUBLE) AS price,
+             |    CAST(CAST(floor(value*10) AS BIGINT) % 7 + 1 AS DOUBLE) AS qty
+             |  FROM events WHERE event_type = 'purchase'),
+             |d AS (SELECT *, ts // ${24L * 3600L * 1000000000L} AS day,
+             |    row_number() OVER (PARTITION BY user_id, ts // ${24L * 3600L * 1000000000L}
+             |      ORDER BY ts, seq) AS ra,
+             |    row_number() OVER (PARTITION BY user_id, ts // ${24L * 3600L * 1000000000L}
+             |      ORDER BY ts DESC, seq DESC) AS rd
+             |  FROM t)
+             |SELECT user_id, day, max(CASE WHEN ra = 1 THEN price END) AS open,
+             |  max(price) AS high, min(price) AS low,
+             |  max(CASE WHEN rd = 1 THEN price END) AS close,
+             |  sum(qty) AS volume, count(*)::BIGINT AS n_trades
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "book_top" -> Q(
       (s, d) => OrderBookOp.batch(updatesFromEvents(s, d)).toDF()
         .select(col("instrument").cast("long").as("user_id"), col("ts"), col("seq"),
