@@ -83,6 +83,37 @@ object Queries {
              |  AND l_shipdate > TIMESTAMP '1995-03-15'
              |GROUP BY 1,2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q10 profile (returned-item reporting): customers ranked by
+    // revenue lost to returns in a quarter. Plan: lineitem/orders shuffle
+    // on orderkey; customer joins on custkey; the tiny nation dim
+    // broadcasts; top-20 via TakeOrderedAndProject, never a global sort.
+    "q10_returned_items" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .where(col("o_orderdate") >= to_timestamp(lit("1993-10-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1994-01-01")))
+        val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  round(1e-9 + sum(l_extendedprice*(1-l_discount)),4) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1993-10-01'
+             |  AND o_orderdate < TIMESTAMP '1994-01-01'
+             |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     "q05_regional_revenue" -> Q(
       (s, d) => {
         val r = Tables.region(s, d).where(col("r_name") === "ASIA")

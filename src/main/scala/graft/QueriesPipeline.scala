@@ -391,6 +391,55 @@ object QueriesPipeline {
               |  round(1e-9 + (1.0 / ns) / (n_tokens::DOUBLE / tot), 4) AS weight
               |FROM per, t ORDER BY 1""".stripMargin)),
 
+    // The Gopher FILTER RULES (Rae et al. 2021, Table A1) as keep/drop
+    // decisions — the stage that actually gates a corpus, downstream of
+    // the raw signals (doc_quality / doc_repetition): word count in
+    // [15, 100k], mean word length in [2, 10], symbol-to-word ratio
+    // <= 0.1 ('#' and ellipsis), and < 90% lines starting with a bullet.
+    // (Bounds adapted to the synthetic corpus's scale; the rule SHAPES
+    // are Gopher's.) Pure projection — filters a 100 TB corpus at scan
+    // speed with zero shuffles beyond the output sort.
+    "doc_gopher_filters" -> Q(
+      (s, d) => {
+        val nTok = size(TF.tokens(col("text")))
+        val meanLen = TF.meanTokenLen(col("text"))
+        val symbols = length(col("text")) -
+          length(regexp_replace(col("text"), "[#…]", ""))
+        val lines = split(col("text"), "\n")
+        val bulletFrac = when(size(lines) > 0,
+          size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / size(lines))
+          .otherwise(0.0)
+        docs(s, d).select(col("doc_id"),
+          (nTok >= 15 && nTok <= 100000).as("ok_words"),
+          (meanLen >= 2.0 && meanLen <= 10.0).as("ok_word_len"),
+          (symbols.cast("double") <= lit(0.1) * greatest(nTok, lit(1))).as("ok_symbols"),
+          (bulletFrac < 0.9).as("ok_bullets"))
+          .withColumn("keep",
+            col("ok_words") && col("ok_word_len") && col("ok_symbols") && col("ok_bullets"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks,
+              |    string_split(text, chr(10)) AS lines FROM documents),
+              |m AS (SELECT doc_id,
+              |    len(toks) AS ntok,
+              |    CASE WHEN len(toks) > 0 THEN
+              |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+              |      ELSE 0 END AS meanlen,
+              |    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+              |    CASE WHEN len(lines) > 0 THEN
+              |      len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+              |        / len(lines) ELSE 0 END AS bulletfrac
+              |  FROM t)
+              |SELECT doc_id,
+              |  ntok >= 15 AND ntok <= 100000 AS ok_words,
+              |  meanlen >= 2.0 AND meanlen <= 10.0 AS ok_word_len,
+              |  symbols::DOUBLE <= 0.1 * greatest(ntok, 1) AS ok_symbols,
+              |  bulletfrac < 0.9 AS ok_bullets,
+              |  (ntok >= 15 AND ntok <= 100000) AND (meanlen >= 2.0 AND meanlen <= 10.0)
+              |    AND (symbols::DOUBLE <= 0.1 * greatest(ntok, 1)) AND (bulletfrac < 0.9)
+              |    AS keep
+              |FROM m ORDER BY 1""".stripMargin)),
+
     "doc_quality" -> Q(
       (s, d) => docs(s, d).select(col("doc_id"),
         r4(TF.punctRatio(col("text"))).as("punct_ratio"),
