@@ -44,7 +44,10 @@ object Bench {
     def rd(v: Double, scale: Int): String = BigDecimal(v)
       .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + rd(v, 1) }
+    // >=10 s prints as an integer so a noise-inflated run cannot grow the
+    // line past the window (worst case per value: 4 chars, "999.9" never)
+    def qv(v: Double): String = if (v >= 10) rd(v, 0) else rd(v, 1)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + qv(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = if (errors.isEmpty) "" else "\"errors\":" + errors.map { case (k, v) =>

@@ -87,7 +87,7 @@ object Queries {
     // revenue lost to returns in a quarter. Plan: lineitem/orders shuffle
     // on orderkey; customer joins on custkey; the tiny nation dim
     // broadcasts; top-20 via TakeOrderedAndProject, never a global sort.
-    "q10_returned_items" -> Q(
+    "q10_returns" -> Q(
       (s, d) => {
         val o = Tables.orders(s, d)
           .where(col("o_orderdate") >= to_timestamp(lit("1993-10-01")) &&
@@ -526,7 +526,7 @@ object Queries {
     // offset) rollup shuffles only per-user-day rows. Day arithmetic is
     // integral (ts DIV day) — float division of ns clocks loses precision
     // past 2^53.
-    "evt_retention" -> Q(
+    "evt_cohort" -> Q(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
         ev(s, d).df.selectExpr("user_id", s"ts DIV $DAY AS day")
@@ -551,7 +551,7 @@ object Queries {
     // Fixed bounds keep the bucketing a pure projection — count+share per
     // (type, bucket) is one partial-aggregated shuffle of #types×#buckets
     // groups at any scale.
-    "evt_histogram" -> Q(
+    "evt_hist" -> Q(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
         ev(s, d).df
@@ -575,7 +575,7 @@ object Queries {
     // values); for sketch-sized state at 100 TB swap in
     // approx_percentile — kept exact here because the oracle must
     // hash-match.
-    "evt_percentiles" -> Q(
+    "evt_pctiles" -> Q(
       (s, d) => ev(s, d).df.groupBy("user_id")
         .agg(r4(expr("percentile(value, 0.5)")).as("p50"),
           r4(expr("percentile(value, 0.9)")).as("p90"),

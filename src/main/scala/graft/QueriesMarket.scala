@@ -110,8 +110,8 @@ object QueriesMarket {
     // Daily OHLCV bars per instrument — the canonical market aggregation.
     // Open/close are conditional aggregates on ascending/descending row
     // numbers; both windows and the rollup share one (instrument, day)
-    // partitioning (integral ns-clock day arithmetic, as evt_retention).
-    "mkt_ohlc_1d" -> Q(
+    // partitioning (integral ns-clock day arithmetic, as evt_cohort).
+    "mkt_ohlc" -> Q(
       (s, d) => {
         val dayNs = 24L * 3600L * 1000000000L
         val t = MarketEvents.trades(marketEventsFromEvents(s, d)).toDF()

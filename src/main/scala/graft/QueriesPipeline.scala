@@ -274,7 +274,7 @@ object QueriesPipeline {
     // window exchange (hash(doc_id) satisfies the (doc_id, h) clustering
     // by the subset rule) and the per-doc rollup + join stay on the same
     // doc_id partitioning — no shuffle is keyed on anything but doc_id.
-    "doc_repetition" -> Q(
+    "doc_repeat" -> Q(
       (s, d) => {
         val g = docs(s, d)
         val lineStats = g.select(col("doc_id"), split(col("text"), "\n").as("lines"))
@@ -349,7 +349,7 @@ object QueriesPipeline {
     // orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
     // never a full corpus sort). Ties break on the trigram string so the
     // cut is deterministic in both engines.
-    "doc_top_ngrams" -> Q(
+    "doc_topng" -> Q(
       (s, d) => ngramRows(docs(s, d), 3, Nil)
         .groupBy("ng").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ng"))
@@ -368,7 +368,7 @@ object QueriesPipeline {
     // per-source sampling rate). The window totals run over the POST-
     // aggregation frame (one row per source), so the single-partition
     // window is #sources-sized no matter the corpus size.
-    "doc_mix_weights" -> Q(
+    "doc_mixwts" -> Q(
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window.partitionBy()
         docs(s, d).select(col("source"), TF.tokenCount(col("text")).as("ntok"))
@@ -393,13 +393,13 @@ object QueriesPipeline {
 
     // The Gopher FILTER RULES (Rae et al. 2021, Table A1) as keep/drop
     // decisions — the stage that actually gates a corpus, downstream of
-    // the raw signals (doc_quality / doc_repetition): word count in
+    // the raw signals (doc_quality / doc_repeat): word count in
     // [15, 100k], mean word length in [2, 10], symbol-to-word ratio
     // <= 0.1 ('#' and ellipsis), and < 90% lines starting with a bullet.
     // (Bounds adapted to the synthetic corpus's scale; the rule SHAPES
     // are Gopher's.) Pure projection — filters a 100 TB corpus at scan
     // speed with zero shuffles beyond the output sort.
-    "doc_gopher_filters" -> Q(
+    "doc_gopher" -> Q(
       (s, d) => {
         val nTok = size(TF.tokens(col("text")))
         val meanLen = TF.meanTokenLen(col("text"))
@@ -859,7 +859,7 @@ object QueriesPipeline {
     // — IVF cells cut the scan to ~nProbe/nCent of the corpus, PQ codes
     // score the survivors from m bytes/vector. Both models are
     // deterministic samples, so the oracle replays the whole index.
-    "emb_ann_ivfpq" -> Q(
+    "emb_ivfpq" -> Q(
       (s, d) => {
         // one materialized scan feeds cells, codes, and both model
         // collects (4 consumers otherwise re-read the parquet each)
@@ -911,7 +911,7 @@ object QueriesPipeline {
     // than text-embedding deployments would need: measured recall@3 vs
     // exact L2 = 0.58 at sf0.01 (m=8,ksub=16 scores 0.14). Oracle replays
     // encode (rounded per-subspace L2 argmin) and ADC scoring exactly.
-    "emb_ann_pq" -> Q(
+    "emb_pq" -> Q(
       (s, d) => {
         val ec = cached(emb(s, d)) // encode + codebook collect share one scan
         Similarity.pqTopK(

@@ -39,10 +39,16 @@ class BenchSpec extends SparkSuite {
     // stray late log line
     val entry = """"t":\d+(\.\d)?[,}]""".r.findFirstIn(line)
     assert(entry.isDefined, s"entry for 't' present: $line")
+    // keys.toSeq, NOT keys.map: Map.keys is a Set, and mapping names to
+    // lengths on a Set DEDUPLICATES equal lengths — the round-4 version
+    // of this gate was vacuous because of exactly that
+    // worst plausible value width is 3 chars: <10 s prints "9.9", and
+    // >=10 s prints as an integer (<1000 s — a 1000 s query would have
+    // failed the round long before the line length mattered)
     val projected = line.length - entry.get.length +
-      SparkEntry.queries.keys.map(n => n.length + 2 + 1 + 5 + 1).sum
-    assert(projected < 1950,
+      SparkEntry.queries.keys.toSeq.map(n => n.length + 2 + 1 + 3 + 1).sum
+    assert(projected < 1985,
       s"projected bench line at ${SparkEntry.queries.size} queries = $projected chars; " +
-        "must fit the driver's visible tail — shorten names or precision")
+        "must fit the driver's 2000-char visible tail — shorten names or precision")
   }
 }

@@ -179,7 +179,7 @@ class PlanAuditSpec extends SparkSuite {
     // NO join in the encode stage); ADC joins the code frame (3 longs/row)
     // against the broadcast query distance table — the candidate-scoring
     // shuffle must never carry vectors
-    val p = plan("emb_ann_pq")
+    val p = plan("emb_pq")
     assert(p.contains("BroadcastHashJoin"), "query-table ADC join lost broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("WindowGroupLimit"),
@@ -211,23 +211,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans == 1, s"funnel must read events ONCE, got $scans scans")
   }
 
-  test("doc_top_ngrams: heavy hitters use partial agg + per-partition top-k") {
+  test("doc_topng: heavy hitters use partial agg + per-partition top-k") {
     // corpus-wide counts must plan the wordcount shape: map-side partial
     // aggregation before the ng shuffle, and the orderBy+limit as
     // TakeOrderedAndProject — a full corpus sort here is the 100 TB
     // failure mode
-    val p = plan("doc_top_ngrams")
+    val p = plan("doc_topng")
     assert(p.contains("TakeOrderedAndProject"),
       "top-k must be per-partition TakeOrderedAndProject, not a global sort")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       "ngram counts need map-side partial aggregation")
   }
 
-  test("doc_repetition: bigram counts ride ONE doc_id exchange") {
+  test("doc_repeat: bigram counts ride ONE doc_id exchange") {
     // window (doc_id) -> groupBy (doc_id, h) -> groupBy (doc_id) -> join
     // (doc_id): hash(doc_id) satisfies every downstream clustering by the
     // subset rule, so exactly one hash exchange carries token-grain rows
-    val p = plan("doc_repetition")
+    val p = plan("doc_repeat")
     val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hash <= 2, s"doc_id partitioning must be reused, got $hash hash exchanges")
   }
