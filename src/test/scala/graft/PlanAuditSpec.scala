@@ -186,6 +186,18 @@ class PlanAuditSpec extends SparkSuite {
       "top-k rank filter must push a group limit into the window")
   }
 
+  test("mkt_vwap: both prefix sums and the trade scan share one instrument exchange") {
+    val p = plan("mkt_vwap")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 1, s"expected 1 instrument exchange, got $hash")
+  }
+
+  test("mkt_ohlc: asc/desc windows + rollup share one (instrument, day) partitioning") {
+    val p = plan("mkt_ohlc")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 1, s"expected 1 (instrument, day)-compatible exchange, got $hash")
+  }
+
   test("doc_chunk: chunking is shuffle-free generate — map-parallel at any scale") {
     // sliding-window chunking must stay a scan -> project -> generate
     // chain: the ONLY exchange is the output orderBy's range partitioning.
