@@ -91,7 +91,15 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local dev loop
     // only — the driver never sets it, so its bench always runs all).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // loud-fail: a typo'd name would otherwise silently bench 0 queries
+      // and print a plausible-looking empty JSON line
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val qs = if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     val (line, errors) = run(spark, sfDir, qs)

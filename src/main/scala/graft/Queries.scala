@@ -87,11 +87,14 @@ object Queries {
     // revenue lost to returns in a quarter. Plan: lineitem/orders shuffle
     // on orderkey; customer joins on custkey; the tiny nation dim
     // broadcasts; top-20 via TakeOrderedAndProject, never a global sort.
+    // NOTE: the synthetic orders span 1995-01..2001-08, so the classic
+    // 1993-Q4 window would be empty (a vacuous oracle). Pinned to 1996-Q4,
+    // a quarter the testdata populates at every SF.
     "q10_returns" -> Q(
       (s, d) => {
         val o = Tables.orders(s, d)
-          .where(col("o_orderdate") >= to_timestamp(lit("1993-10-01")) &&
-            col("o_orderdate") < to_timestamp(lit("1994-01-01")))
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
         val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
         val c = Tables.customer(s, d)
         val n = Tables.nation(s, d)
@@ -110,8 +113,8 @@ object Queries {
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
              |WHERE l_returnflag = 'R'
-             |  AND o_orderdate >= TIMESTAMP '1993-10-01'
-             |  AND o_orderdate < TIMESTAMP '1994-01-01'
+             |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
     "q05_regional_revenue" -> Q(
@@ -119,9 +122,11 @@ object Queries {
         val r = Tables.region(s, d).where(col("r_name") === "ASIA")
         val n = Tables.nation(s, d)
         val c = Tables.customer(s, d)
+        // 1996 calendar year: the synthetic orders start 1995-01, so the
+        // classic 1994 window would make this oracle vacuous.
         val o = Tables.orders(s, d)
-          .where(col("o_orderdate") >= to_timestamp(lit("1994-01-01")) &&
-            col("o_orderdate") < to_timestamp(lit("1995-01-01")))
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
         val l = Tables.lineitem(s, d)
         val su = Tables.supplier(s, d)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -141,8 +146,8 @@ object Queries {
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'ASIA'
-             |  AND o_orderdate >= TIMESTAMP '1994-01-01'
-             |  AND o_orderdate < TIMESTAMP '1995-01-01'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // TPC-H Q6 shape: tight range+quantity predicates all pushed to the
@@ -183,12 +188,19 @@ object Queries {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Anti-join against the orders placed in the first synthetic half-year:
+    // every customer eventually orders, so an unfiltered anti-join is empty
+    // (vacuous oracle); restricting the right side to 1995-H1 leaves a real
+    // non-matching customer set at every SF.
     "q_anti_join" -> Q(
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d)
+            .where(col("o_orderdate") < to_timestamp(lit("1995-07-01"))),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_nationkey").agg(count(lit(1)).as("n")).orderBy("c_nationkey"),
       Some("""SELECT c_nationkey, count(*) AS n FROM customer
-             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_orderdate < TIMESTAMP '1995-07-01')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     "q_distinct_parts" -> Q(
@@ -569,8 +581,10 @@ object Queries {
 
     // Exact per-key percentiles (p50/p90/p99 of event values) — the
     // latency-percentile rollup every telemetry pipeline runs. Both
-    // engines use R-7 linear interpolation at rank p*(n-1), so the exact
-    // forms agree bit-for-bit modulo the shared r4 rounding. Scale note:
+    // engines use R-7 linear interpolation at rank p*(n-1); floating-point
+    // summation order can still differ in the last ulps, which the shared
+    // r4 rounding absorbs (the gate is round-then-hash, not bit-for-bit
+    // doubles). Scale note:
     // exact percentile sorts each group (Spark buffers the group's
     // values); for sketch-sized state at 100 TB swap in
     // approx_percentile — kept exact here because the oracle must

@@ -116,6 +116,54 @@ object QueriesAugurs {
              |  round(1e-9 + fc + 1.96*sigma,4) AS hi
              |FROM f ORDER BY 1,2""".stripMargin)),
 
+    // ETS flavor: additive Holt-Winters over the same trailing-28 window,
+    // season 7, horizon 4. The oracle replays the level/trend/season
+    // recurrence with a recursive CTE — same init, same op order, exact
+    // binary-fraction smoothing constants (0.5/0.25/0.125), so the two
+    // engines' doubles agree before the shared r4 rounding.
+    "aug_ets" -> Q(
+      (s, d) => Augurs.forecastEts(Tables.events(s, d),
+        window = 28, season = 7, horizon = 4)
+        .select(col("user_id"), col("step"), r4c(col("forecast")).as("forecast"),
+          r4c(col("lo")).as("lo"), r4c(col("hi")).as("hi"))
+        .orderBy("user_id", "step"),
+      Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl
+             |  FROM ($E) GROUP BY 1),
+             |w AS (SELECT user_id,
+             |    list_slice(fl, greatest(len(fl)-27, 1), len(fl)) AS arr
+             |  FROM a WHERE len(fl) >= 14),
+             |init AS (SELECT user_id, arr, len(arr) AS n,
+             |    list_sum(list_slice(arr, 1, 7)) / 7 AS l0,
+             |    (list_sum(list_slice(arr, 8, 14)) / 7 - l0) / 7 AS b0
+             |  FROM w),
+             |rec AS (
+             |  SELECT user_id, arr, n, 7 AS t, l0 AS l, b0 AS b,
+             |    list_transform(range(1, 8), i -> arr[i] - l0) AS s,
+             |    CAST(0 AS DOUBLE) AS se, 0 AS nr
+             |  FROM init
+             |  UNION ALL
+             |  SELECT user_id, arr, n, t + 1,
+             |    0.5 * (arr[t+1] - s[(t % 7) + 1]) + 0.5 * (l + b),
+             |    0.25 * ((0.5 * (arr[t+1] - s[(t % 7) + 1]) + 0.5 * (l + b)) - l)
+             |      + 0.75 * b,
+             |    list_transform(range(1, 8), i -> CASE WHEN i = (t % 7) + 1
+             |      THEN 0.125 * (arr[t+1] - l - b) + 0.875 * s[i] ELSE s[i] END),
+             |    se + (arr[t+1] - (l + b + s[(t % 7) + 1]))
+             |       * (arr[t+1] - (l + b + s[(t % 7) + 1])),
+             |    nr + 1
+             |  FROM rec WHERE t < n),
+             |fin AS (SELECT user_id, n, l, b, s,
+             |    CASE WHEN nr >= 2 THEN sqrt(se / (nr - 1)) ELSE 0 END AS sigma
+             |  FROM rec WHERE t = n),
+             |f AS (SELECT user_id, j AS step,
+             |    l + j * b + s[((n + j - 1) % 7) + 1] AS fc, sigma
+             |  FROM fin, (SELECT unnest(range(1, 5)) AS j))
+             |SELECT user_id, CAST(step AS BIGINT) AS step,
+             |  round(1e-9 + fc,4) AS forecast,
+             |  round(1e-9 + fc - 1.96*sigma,4) AS lo,
+             |  round(1e-9 + fc + 1.96*sigma,4) AS hi
+             |FROM f ORDER BY 1,2""".stripMargin)),
+
     "aug_seasons" -> Q(
       (s, d) => Augurs.seasonsAutocorr(Tables.events(s, d), 12)
         .orderBy("user_id"),

@@ -280,8 +280,12 @@ object QueriesPipeline {
         val lineStats = g.select(col("doc_id"), split(col("text"), "\n").as("lines"))
           .select(col("doc_id"), size(col("lines")).as("nl"),
             size(array_distinct(col("lines"))).as("ndl"))
-        val bigramAgg = hashedShingleRows(g, 2, Nil)
-          .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        // exact string bigram keys, matching the oracle's string-keyed
+        // counts (hash60 keys carried a ~2^-60 within-doc collision risk
+        // against the oracle; the dedup pipeline still hashes — this is a
+        // per-doc stat whose shuffle key is (doc_id, ng) either way)
+        val bigramAgg = ngramRows(g, 2, Nil)
+          .groupBy("doc_id", "ng").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(max("c").as("maxc"), sum("c").as("tot"), count(lit(1)).as("nd"))
         lineStats.join(bigramAgg, Seq("doc_id"), "left")

@@ -19,11 +19,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Vacuity guard: an oracle query returning 0 rows "passes" the driver's
+    // rows/schema/hash compare trivially (both sides empty) and certifies
+    // nothing. Count each written result (parquet-footer count, no rescan)
+    // and fail loudly at the end if any oracle-gated query came back empty.
+    val vacuous = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (spark.read.parquet(s"$outDir/$name").count() == 0L) {
+          vacuous += name
+          System.err.println(s"[verify] VACUOUS: $name returned 0 rows at $sfDir")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -43,6 +54,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/vacuous.json"),
+      vacuous.toList.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
+    // Assert AFTER all outputs (incl. oracle_sql.json) are on disk so a
+    // single empty query never zeroes the whole correctness dump; override
+    // only for deliberate empty-edge-case runs at tiny SFs.
+    val oracleVacuous = vacuous.filter(SparkEntry.oracleSql.contains)
+    if (oracleVacuous.nonEmpty && !sys.env.contains("SPARK_GRAFT_ALLOW_EMPTY")) {
+      System.err.println(
+        s"[verify] FAIL: ${oracleVacuous.size} oracle quer${if (oracleVacuous.size == 1) "y" else "ies"} " +
+        s"vacuous (empty result => trivially matching hash): ${oracleVacuous.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * path uses an exploded broadcast-join aggregate that IS codegen'd. */
 object Similarity {
 
+  /** Max rows in [[pqTopK]]'s broadcast ADC query-distance table
+    * (#queries × m × ksub, ~40 B/row → ~400 MB at the cap — inside
+    * Spark's 8 GB broadcast limit with headroom for the driver to hold
+    * build + serialized copies). Exceeding it means the query batch is
+    * corpus-sized and the broadcast ADC formulation is the wrong plan. */
+  val PqAdcBroadcastRowCap: Long = 10L * 1000 * 1000
+
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
@@ -425,9 +432,23 @@ object Similarity {
     * (HALF_UP after the shared +1e-9 shift) BEFORE the argmin and before
     * the ADC sum, so both engines compare identical values; at dsub ≤ 2
     * fp addition is commutative, so summation order cannot diverge
-    * either. */
+    * either.
+    *
+    * BOUNDED-QUERY CONTRACT: the broadcast ADC table is
+    * #queries × m × ksub rows (~40 B each) — linear in the QUERY batch,
+    * never the corpus. That is broadcast-sane only for bounded query
+    * batches (the ANN serving shape: thousands of queries, not millions);
+    * [[PqAdcBroadcastRowCap]] enforces it with a plan-time `require`. For
+    * query sets at corpus scale, feed bounded slices (or drop the
+    * `broadcast` hint and let the (j, c) join shuffle both sides). */
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int, m: Int,
       ksub: Int, dimHint: Int = -1): DataFrame = {
+    val nQueries = queries.count()
+    val adcRows = nQueries * m * ksub
+    require(adcRows <= PqAdcBroadcastRowCap,
+      s"pqTopK: ADC broadcast table would be $adcRows rows " +
+      s"(#queries=$nQueries x m=$m x ksub=$ksub) > cap $PqAdcBroadcastRowCap " +
+      "(~40 B/row). Feed a bounded query batch, or shuffle-join instead of broadcasting.")
     val dim = if (dimHint > 0) dimHint
       else candidates.select(size(col("embedding"))).take(1).headOption
         .map(_.getInt(0)).getOrElse(0)
@@ -439,7 +460,9 @@ object Similarity {
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"pqTopK: expected dim $dim, got "),
-          size(vec).cast("string"))))
+          // coalesce: a NULL embedding would otherwise null out the whole
+          // concat and raise_error would throw with a null message
+          coalesce(size(vec).cast("string"), lit("NULL")))))
     val (codesU, qdU) = pqEncoders(candidates, m, ksub, dim)
     val codes = candidates
       .select(col("vec_id").as("nid"), posexplode(codesU(checked(col("embedding")))))

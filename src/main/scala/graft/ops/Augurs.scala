@@ -135,6 +135,83 @@ object Augurs {
         (col("e.f") + lit(1.96) * col("sigma")).as("hi")): _*)
   }
 
+  /** ETS forecast — additive Holt-Winters level+trend+season smoothing
+    * (reference `augurs_forecast`'s ETS configs, `augurs.rs:248-349`; this
+    * is the exponential-smoothing flavor next to
+    * [[forecastSeasonalNaive]]'s naive+drift). Deterministic throughout so
+    * a recursive-CTE oracle replays the recurrence exactly:
+    *
+    *  - init (Hyndman & Athanasopoulos, fpp3 §8.3): over the trailing
+    *    `window` samples, l₀ = mean(season 1), b₀ = (mean(season 2) −
+    *    mean(season 1))/m, sᵢ = yᵢ − l₀; keys need ≥ 2 seasons.
+    *  - recurrence for t = m+1..n (classic additive HW):
+    *    lₜ = α(yₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁);
+    *    bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁;
+    *    sₜ = γ(yₜ − lₜ₋₁ − bₜ₋₁) + (1−γ)sₜ₋ₘ.
+    *  - forecast j = 1..horizon: lₙ + j·bₙ + s at the phase of n+j, with
+    *    ±1.96σ bounds from the one-step in-sample residuals.
+    *
+    * Default α/β/γ are EXACT binary fractions (0.5, 0.25, 0.125) so both
+    * engines' double arithmetic is bit-identical given the same op order
+    * (the expressions here and in the oracle SQL are written in the same
+    * order; the shared r4 rounding absorbs any residual ulps).
+    *
+    * Scale shape: same discipline as [[forecastSeasonalNaive]] — trim to
+    * the trailing `window` BEFORE the collect_list so the per-key state is
+    * O(window) regardless of history length, then ONE sequential
+    * `aggregate` fold per key (the recurrence is inherently sequential;
+    * keys parallelize). */
+  def forecastEts(t: Timeline, window: Int, season: Int, horizon: Int,
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.125): DataFrame = {
+    require(window >= 2 * season,
+      s"forecastEts: window ($window) must cover two seasons (${2 * season}) for HW init")
+    require(alpha > 0 && alpha < 1 && beta >= 0 && beta < 1 && gamma >= 0 && gamma < 1,
+      s"forecastEts: smoothing params out of range: alpha=$alpha beta=$beta gamma=$gamma")
+    val m = season
+    // double literals with Spark's D suffix: a bare 0.5 parses as DECIMAL
+    def D(x: Double) = s"${x}D"
+    val (al, al1, be, be1, ga, ga1) =
+      (D(alpha), D(1 - alpha), D(beta), D(1 - beta), D(gamma), D(1 - gamma))
+    val phase = s"(acc.t % $m) + 1" // seasonal slot of the row being consumed
+    val newL = s"$al * (y - element_at(acc.s, $phase)) + $al1 * (acc.l + acc.b)"
+    val resid = s"(y - (acc.l + acc.b + element_at(acc.s, $phase)))"
+    val g = t.ticks
+      .withColumn("__rn", row_number().over(trimW(t)))
+      .where(col("__rn") <= window)
+      .groupBy(t.keys.map(col): _*)
+      .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
+        .as("arr"))
+      .where(size(col("arr")) >= 2 * m)
+      .withColumn("n", size(col("arr")))
+      .withColumn("l0", expr(s"aggregate(slice(arr, 1, $m), 0D, (a, x) -> a + x) / $m"))
+      .withColumn("b0",
+        expr(s"(aggregate(slice(arr, ${m + 1}, $m), 0D, (a, x) -> a + x) / $m - l0) / $m"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(arr, ${m + 1}, n - $m),
+           |  named_struct(
+           |    't', $m, 'l', l0, 'b', b0,
+           |    's', transform(sequence(1, $m), i -> element_at(arr, i) - l0),
+           |    'se', 0D, 'nr', 0),
+           |  (acc, y) -> named_struct(
+           |    't', acc.t + 1,
+           |    'l', $newL,
+           |    'b', $be * (($newL) - acc.l) + $be1 * acc.b,
+           |    's', transform(sequence(1, $m), i -> IF(i = $phase,
+           |      $ga * (y - acc.l - acc.b) + $ga1 * element_at(acc.s, i),
+           |      element_at(acc.s, i))),
+           |    'se', acc.se + $resid * $resid,
+           |    'nr', acc.nr + 1))""".stripMargin))
+      .withColumn("sigma", expr("IF(st.nr >= 2, sqrt(st.se / (st.nr - 1)), 0D)"))
+      .withColumn("fc", expr(
+        s"""transform(sequence(1, $horizon), j -> named_struct(
+           |  'step', CAST(j AS BIGINT),
+           |  'f', st.l + j * st.b + element_at(st.s, ((n + j - 1) % $m) + 1)))""".stripMargin))
+    g.select((t.keys.map(col) :+ explode(col("fc")).as("e") :+ col("sigma")): _*)
+      .select((t.keys.map(col) :+ col("e.step").as("step") :+ col("e.f").as("forecast") :+
+        (col("e.f") - lit(1.96) * col("sigma")).as("lo") :+
+        (col("e.f") + lit(1.96) * col("sigma")).as("hi")): _*)
+  }
+
   /** Dynamic-time-warping distance (reference `augurs_dtw`,
     * `augurs.rs:1038`): classic O(|a|·|b|) DP with |x-y| local cost and an
     * optional Sakoe-Chiba band (the scale lever: band r makes each pair

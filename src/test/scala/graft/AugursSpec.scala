@@ -82,6 +82,24 @@ class AugursSpec extends SparkSuite {
     assert(fd == Seq(23.0, 25.0), "last-season value + drift*j: 22+1, 23+2")
   }
 
+  test("forecastEts: a seasonal fixed-point signal forecasts exactly, sigma 0") {
+    // y = 10 + S_p with S mean-zero over the period is an exact fixed
+    // point of the additive HW recurrence under the Hyndman init:
+    // l stays 10, b stays 0, s stays S, every one-step residual is 0 —
+    // so the forecast replays the season verbatim with lo == hi
+    val s7 = Seq(-3.0, 1.0, 5.0, -2.0, 3.0, 0.0, -4.0) // sums to 0
+    val t = series(Seq.fill(4)(s7.map(_ + 10.0)).flatten) // 28 samples
+    val f = Augurs.forecastEts(t, window = 28, season = 7, horizon = 4)
+      .orderBy("step").select("forecast", "lo", "hi")
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(f.map(_._1) == Seq(7.0, 11.0, 15.0, 8.0), s"season must replay, got $f")
+    assert(f.forall(r => r._2 == r._1 && r._3 == r._1), "zero residuals → lo == hi")
+    // constant series: degenerate fixed point (l=c, b=0, s=0)
+    val fc = Augurs.forecastEts(series(Seq.fill(28)(42.0)), 28, 7, 2)
+      .orderBy("step").select("forecast").as[Double].collect().toSeq
+    assert(fc == Seq(42.0, 42.0))
+  }
+
   test("seasonsAutocorr finds the dominant period") {
     val cycle = Seq(1.0, 5.0, 9.0, 2.0, 7.0)
     val vs = Seq.fill(10)(cycle).flatten // period 5, 50 samples

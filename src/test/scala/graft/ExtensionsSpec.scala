@@ -36,12 +36,42 @@ class ExtensionsSpec extends SparkSuite {
   test("extensions injector carries the same registry as live registration") {
     // a session configured with spark.sql.extensions=graft.GraftExtensions
     // receives exactly GraftExtensions.functions; applying the injector to
-    // a fresh SparkSessionExtensions must accept every triple (shape gate —
-    // the full config route needs a brand-new session, which local tests
-    // sharing one context cannot construct)
+    // a fresh SparkSessionExtensions must accept every triple (shape gate)
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.functions.map(_._1.funcName) == Seq("dot_packed"))
+  }
+
+  test("a session built withExtensions(GraftExtensions) resolves dot_packed with no manual registration") {
+    // end-to-end injector route: force the builder's create path (same
+    // SparkContext, fresh sessionState) so GraftExtensions.apply actually
+    // runs — a no-op apply() fails this test at name resolution. (The
+    // spark.sql.extensions CONFIG route reads the static conf of the
+    // SparkContext, which a suite sharing one context cannot set;
+    // withExtensions feeds the identical injector object the config route
+    // instantiates, so the injected registry is the same.)
+    import org.apache.spark.sql.SparkSession
+    val original = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2.ne(original), "builder must have created a fresh session")
+      def hex(v: Array[Double]): String =
+        pack(v).map(b => f"${b & 0xff}%02x").mkString
+      // [1,2,3]·[4,5,6] = 32 — never call s2.stop(): it would stop the
+      // SparkContext shared with every other suite
+      val d = s2.sql(
+        s"SELECT dot_packed(X'${hex(Array(1.0, 2.0, 3.0))}', X'${hex(Array(4.0, 5.0, 6.0))}') AS d")
+        .collect().head.getDouble(0)
+      assert(d == 32.0)
+    } finally {
+      SparkSession.setDefaultSession(original)
+      SparkSession.setActiveSession(original)
+    }
   }
 
   test("dot_packed arity is enforced at plan time") {

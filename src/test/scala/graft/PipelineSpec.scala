@@ -138,6 +138,16 @@ class PipelineSpec extends SparkSuite {
       "(32 subspaces x 64 sample codewords on 500 vectors; measured 0.56 when frozen)")
   }
 
+  test("pqTopK refuses an ADC broadcast table over the row cap") {
+    // 500 queries x m=32 x ksub=4096 = 65.5M rows > the 10M cap — the
+    // guard must fire at plan time, before any codebook collect
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(e, e, 3, m = 32, ksub = 4096, dimHint = 64)
+    }
+    assert(ex.getMessage.contains("broadcast"))
+  }
+
   test("IVF-PQ recall@3 vs exact L2 clears the frozen gate (coverage x quantization)") {
     // end-to-end recall compounds the IVF probe coverage and the PQ
     // ranking quality — the price of the composed architecture's speed
