@@ -117,19 +117,77 @@ object Adapters {
 
   /** kafka adapter (reference `adapters/kafka.rs:233,412`): configuration
     * builders for Spark's kafka connector — `kafka_sub` ≡ readStream
-    * format("kafka"), `kafka_pub` ≡ writeStream format("kafka"). The
-    * connector jar ships with deployments, not this container, so these
-    * return the fully-configured reader/options without connecting. */
+    * format("kafka"), `kafka_pub` ≡ writeStream format("kafka").
+    *
+    * LIVE-LEG STATUS (documented attempt): a sub/pub round-trip needs a
+    * broker and the spark-sql-kafka connector jar; this container has
+    * neither (no broker binary, no connector in /opt/spark/jars, zero
+    * egress to fetch one), so the live leg cannot run here. What CAN be
+    * gated without either is the option schema itself — Spark's kafka
+    * source rejects configs at load() by these same rules (exactly one
+    * subscription strategy; bootstrap servers required; startingOffsets
+    * one of earliest/latest/offset-json), so [[validateSubOptions]] /
+    * [[validatePubOptions]] fail the SAME configs a live load() would,
+    * at build time. In deployment the builders plug straight into the
+    * connector. */
   object Kafka {
+
+    /** The subscription-strategy option names — Spark's kafka source
+      * requires EXACTLY ONE (its `load()`-time check; mirrored here so a
+      * bad config dies in the builder, broker or not). */
+    private val strategies = Seq("subscribe", "subscribePattern", "assign")
+
+    /** Build + validate the full option map for `kafka_sub`. */
+    def subOptions(servers: String, topic: String = null,
+        pattern: String = null, assign: String = null,
+        startingOffsets: String = "earliest"): Map[String, String] = {
+      val m = Map("kafka.bootstrap.servers" -> servers,
+        "startingOffsets" -> startingOffsets) ++
+        Option(topic).map("subscribe" -> _) ++
+        Option(pattern).map("subscribePattern" -> _) ++
+        Option(assign).map("assign" -> _)
+      validateSubOptions(m); m
+    }
+
+    /** The option-schema gate, matching Spark's kafka source `load()`
+      * rules (KafkaSourceProvider.validateGeneralOptions in the public
+      * Spark source): non-empty bootstrap servers, exactly one
+      * subscription strategy with a non-empty value, startingOffsets ∈
+      * {earliest, latest, <offset json>}. */
+    def validateSubOptions(opts: Map[String, String]): Unit = {
+      require(opts.get("kafka.bootstrap.servers").exists(_.trim.nonEmpty),
+        "kafka_sub: kafka.bootstrap.servers is required")
+      val present = strategies.filter(s => opts.get(s).exists(_.trim.nonEmpty))
+      require(present.size == 1,
+        s"kafka_sub: exactly one of ${strategies.mkString("/")} required, got " +
+          (if (present.isEmpty) "none" else present.mkString(", ")))
+      val so = opts.getOrElse("startingOffsets", "earliest").trim
+      require(so == "earliest" || so == "latest" || so.startsWith("{"),
+        s"kafka_sub: startingOffsets must be earliest, latest, or an offset-json map, got '$so'")
+    }
+
     def subReader(spark: SparkSession, servers: String, topic: String,
         startingOffsets: String = "earliest"): DataStreamReader =
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", startingOffsets)
+      subOptions(servers, topic = topic, startingOffsets = startingOffsets)
+        .foldLeft(spark.readStream.format("kafka")) {
+          case (r, (k, v)) => r.option(k, v)
+        }
 
-    def pubOptions(servers: String, topic: String): Map[String, String] =
-      Map("kafka.bootstrap.servers" -> servers, "topic" -> topic)
+    /** `kafka_pub` options, validated by the sink's `load()` rules: a
+      * default topic is required (rows may override via a `topic`
+      * column — then pass `topicColumnOverride = true`). */
+    def pubOptions(servers: String, topic: String,
+        topicColumnOverride: Boolean = false): Map[String, String] = {
+      val m = Map("kafka.bootstrap.servers" -> servers) ++ Option(topic).map("topic" -> _)
+      validatePubOptions(m, topicColumnOverride); m
+    }
+
+    def validatePubOptions(opts: Map[String, String], topicColumnOverride: Boolean = false): Unit = {
+      require(opts.get("kafka.bootstrap.servers").exists(_.trim.nonEmpty),
+        "kafka_pub: kafka.bootstrap.servers is required")
+      require(topicColumnOverride || opts.get("topic").exists(_.trim.nonEmpty),
+        "kafka_pub: a topic is required unless rows carry a topic column")
+    }
   }
 
   /** JDBC adapter (reference `adapters/postgres.rs`). */
@@ -154,11 +212,107 @@ object Adapters {
       * historical read over the time slices. The reference's
       * `postgres_source` mode dispatch (historical read vs LISTEN/NOTIFY
       * live tail) IS our RunMode duality: this is the historical half; the
-      * live half is a streaming source in deployment. Driver jar ships
-      * with deployments. */
+      * live half is [[pollTail]]. Driver jar ships with deployments. */
     def readTimeSliced(spark: SparkSession, url: String, table: String,
         tsCol: String, t0: Long, t1: Long, slices: Int,
         props: java.util.Properties = new java.util.Properties): DataFrame =
       spark.read.jdbc(url, table, timeSlices(tsCol, t0, t1, slices), props)
+
+    /** The two faces of `postgres_source` (reference `postgres.rs:778-800`:
+      * one switch selects the time-sliced historical read or the
+      * LISTEN/NOTIFY live tail). */
+    sealed trait Mode extends Serializable
+    /** Replay history over `[t0, t1)` in `slices` JDBC partitions. */
+    final case class Historical(t0: Long, t1: Long, slices: Int) extends Mode
+    /** Tail the append table live, polling roughly every `pollMs`. */
+    final case class Live(pollMs: Long = 1000L) extends Mode
+
+    /** `postgres_source` (reference `postgres.rs:778-800`): ONE builder,
+      * mode-dispatched — the reference flips between a sliced historical
+      * SELECT and a LISTEN/NOTIFY subscription behind the same source
+      * node; here the same switch yields a batch DataFrame or a streaming
+      * one, both with the Timeline shape `(ts, seq, value)` so the
+      * downstream wiring is mode-agnostic (the RunMode duality,
+      * `runtime/run.rs:16-20`).
+      *
+      * Works against any JDBC database (the contract is SQL + an
+      * append-only table with a monotone ts column, not the Postgres wire
+      * protocol); deployments point it at Postgres, the in-process spec
+      * leg at embedded Derby. */
+    def postgresSource(spark: SparkSession, url: String, table: String,
+        tsCol: String, valCol: String, mode: Mode,
+        props: java.util.Properties = new java.util.Properties): DataFrame = mode match {
+      case Historical(t0, t1, slices) =>
+        // seq: JDBC slice reads carry no per-row order, so read order is
+        // partition-prefixed monotonic ids — slices are time-ranged, so
+        // later slices sort later; ties WITHIN an instant keep read order,
+        // exactly the csv_read contract. Downstream Timeline(df) sorts by
+        // (ts, seq) anyway.
+        readTimeSliced(spark, url, table, tsCol, t0, t1, slices, props)
+          .select(col(tsCol).cast("long").as("ts"),
+            monotonically_increasing_id().as("seq"),
+            col(valCol).cast("string").as("value"))
+      case Live(pollMs) => pollTail(spark, url, table, tsCol, valCol, pollMs, props)
+    }
+
+    /** The live half of [[postgresSource]]: poll-based tail of an
+      * append-only table (the transport-portable stand-in for
+      * LISTEN/NOTIFY — same rows, same order, latency bounded by the poll
+      * period instead of the push). A single-key stateful op carries the
+      * high-water ts and the arrival seq across micro-batches; each
+      * micro-batch runs ONE fetch of `WHERE $tsCol > hwm ORDER BY $tsCol`
+      * inside the executor task.
+      *
+      * Ordered-ts contract: monotone BY CONSTRUCTION across polls (the
+      * `>` high-water predicate never re-delivers) and within a fetch
+      * (ORDER BY) — plus a defensive abort mirroring the reference's
+      * replay abort. Late writes BELOW the high-water mark are therefore
+      * skipped, never delivered out of order: the append contract is the
+      * table's side of the deal (reference postgres.rs's tail assumes the
+      * same). Single-task by design — a tail is a total arrival order,
+      * the same inherent serialization as tail_lines. */
+    def pollTail(spark: SparkSession, url: String, table: String,
+        tsCol: String, valCol: String, pollMs: Long = 1000L,
+        props: java.util.Properties = new java.util.Properties): DataFrame = {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val propPairs = { // Properties is not serializable-friendly; ship pairs
+        val it = props.stringPropertyNames().iterator()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) { val k = it.next(); b += k -> props.getProperty(k) }
+        b.result()
+      }
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", math.max(1L, 1000L / math.max(pollMs, 1L)))
+        .load()
+        .select(col("value")).as[Long]
+        .groupByKey(_ => 0)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, String)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, _, state) =>
+          // one fetch per micro-batch, however many rate ticks arrived
+          var (hwm, seq) = if (state.exists) state.get else (Long.MinValue, 0L)
+          val p = new java.util.Properties
+          propPairs.foreach { case (k, v) => p.setProperty(k, v) }
+          val conn = java.sql.DriverManager.getConnection(url, p)
+          try {
+            val st = conn.prepareStatement(
+              s"SELECT $tsCol, $valCol FROM $table WHERE $tsCol > ? ORDER BY $tsCol")
+            st.setLong(1, hwm)
+            val rs = st.executeQuery()
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+            while (rs.next()) {
+              val ts = rs.getLong(1)
+              if (ts < hwm) throw new IllegalStateException(
+                s"postgres_source tail: out-of-order ts $ts after $hwm — the " +
+                  "ordered-ts replay contract aborts (reference postgres.rs live tail)")
+              hwm = ts
+              out += ((ts, seq, rs.getString(2)))
+              seq += 1
+            }
+            state.update((hwm, seq))
+            out.iterator
+          } finally conn.close()
+        }.toDF("ts", "seq", "value")
+    }
   }
 }
