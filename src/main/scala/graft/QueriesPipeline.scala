@@ -942,27 +942,32 @@ object QueriesPipeline {
              |SELECT qid, nid, adist, rank FROM r WHERE rank <= 3
              |ORDER BY qid, rank""".stripMargin)),
 
-    // embedding-cosine near-dup pairs — the fifth dedup flavor. Candidates
-    // from the multi-table hyperplane LSH (plan-time literal planes, so
-    // the DuckDB oracle replicates candidate generation EXACTLY and the
-    // result is exact-checkable despite LSH being probabilistic); recall
-    // vs brute force is gated separately in PipelineSpec. tau=0.4 suits
-    // the testdata (its max pairwise cosine is ~0.6; real near-dup
+    // embedding-cosine near-dup pairs — the fifth dedup flavor, IVF
+    // cell-bucketed (round 7: the original fixed-plane LSH flavor is
+    // asymptotically n²/2^planes — the 10× scale check measured 17× wall
+    // on 10× rows — so the registry runs the n^1.5 formulation: √n sample
+    // centroids, home-cell × 6-probe candidates, packed-dot verify;
+    // cosineDedupLsh stays in Similarity for bounded corpora). The
+    // quantizer is the √n lowest vec_ids — a pure function of the input,
+    // so the DuckDB oracle replays assignment, probing, and verification
+    // EXACTLY despite the index being approximate; recall vs brute force
+    // is gated separately in PipelineSpec (0.803 ≥ 0.60 frozen). tau=0.4
+    // suits the testdata (its max pairwise cosine is ~0.6; real near-dup
     // corpora run this at 0.95+ unchanged).
     "emb_dedup_cosine" -> Q(
-      (s, d) => Similarity.cosineDedupLsh(emb(s, d), 0.4, 4, dimHint = AnnDim)
+      (s, d) => Similarity.cosineDedupIvf(emb(s, d), 0.4, nProbe = 6, dimHint = AnnDim)
         .orderBy("a", "b"),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |pl AS (SELECT * FROM (VALUES
-              |    $planeRowsSql) AS p(i, w)),
-              |sg AS (SELECT vec_id, i,
-              |    CASE WHEN list_dot_product(v, w) >= 0 THEN '1' ELSE '0' END AS s
-              |  FROM e, pl),
-              |bk AS (SELECT vec_id, i // 4 AS tbl, string_agg(s, '' ORDER BY i) AS bucket
-              |  FROM sg GROUP BY 1,2),
-              |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-              |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
-              |    AND x.vec_id < y.vec_id),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+              |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
+              |af AS (SELECT e.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
+              |rk AS (SELECT id, cid, row_number() OVER
+              |    (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM af),
+              |cells AS (SELECT id AS m, cid AS cell FROM rk WHERE rn = 1),
+              |probes AS (SELECT id AS p, cid AS cell FROM rk WHERE rn <= 6),
+              |cand AS (SELECT DISTINCT least(m, p) AS a, greatest(m, p) AS b
+              |  FROM cells JOIN probes USING (cell) WHERE m <> p),
               |v AS (SELECT a, b, round(1e-9 + list_cosine_similarity(ea.v, eb.v), 4) AS cos
               |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
               |SELECT a, b, cos FROM v WHERE cos >= 0.4 ORDER BY 1,2""".stripMargin)),

@@ -20,6 +20,13 @@ object Similarity {
     * corpus-sized and the broadcast ADC formulation is the wrong plan. */
   val PqAdcBroadcastRowCap: Long = 10L * 1000 * 1000
 
+  /** [[cosineDedupIvf]] broadcasts its packed-vector table into the pair-
+    * verify join while it fits under this cap (candidate pairs outnumber
+    * vectors ~occupancy×nProbe to 1, so per-pair vector shipping is the
+    * dominant shuffle otherwise); larger corpora fall back to the shuffle
+    * join. */
+  val CosineDedupBroadcastBytes: Long = 64L * 1024 * 1024
+
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
@@ -162,6 +169,100 @@ object Similarity {
       .where(col("cos") >= tau)
       .select("a", "b", "cos")
       .dropDuplicates("a", "b")
+  }
+
+  /** IVF cell-bucketed cosine near-dup pairs — the SCALE flavor of
+    * [[cosineDedupLsh]] (which is asymptotically n²/2^nPlanes: fixed
+    * planes mean fixed buckets, so occupancy — and with it candidate
+    * pairs per bucket — grows quadratically with the corpus; raising
+    * planes to compensate collapses recall at low tau because a plane's
+    * collision probability for cos 0.4 is only ~0.63. Measured at the
+    * 10× scale check: 17× wall on 10× rows).
+    *
+    * Here the bucket count GROWS with the corpus: nCent = ⌈√n⌉ sample
+    * centroids (the nCent lowest vec_ids — same pure-function-of-input
+    * quantizer as [[ivfTopK]], so the DuckDB oracle replays assignment
+    * exactly; a trained [[kmeansModel]] drops in unchanged). Every vector
+    * lives in its nearest cell (rounded cosine, ties to the lowest cid)
+    * and probes its `nProbe` nearest; a pair is a candidate when either
+    * side's HOME cell is probed by the other. Verified pairs = rounded
+    * packed-dot cosine ≥ tau, exactly like the LSH flavor.
+    *
+    * Scale shape: assignment is n×√n×dim broadcast-join flops, candidates
+    * ~ n×occupancy×nProbe with occupancy √n — O(n^1.5) total, the
+    * SemDeDup-style subquadratic bound, vs the LSH flavor's n²/2^p. At
+    * 100 TB the sample quantizer upgrades to trained hierarchical k-means
+    * (same frame contract), which tightens cells without changing shape.
+    * Recall is a cluster-coherence bet rather than a random-hyperplane
+    * bet — gated against brute force like every ANN entry. */
+  def cosineDedupIvf(vecs: DataFrame, tau: Double, nProbe: Int = 2,
+      nCent: Int = -1, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+      else vecs.select(size(col("embedding"))).take(1).headOption
+        .map(_.getInt(0)).getOrElse(0)
+    if (dim == 0)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("cos"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"cosineDedupIvf: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    val n = vecs.count()
+    val k = if (nCent > 0) nCent
+      else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // assignment via a plan-time model + ONE JIT'd loop per row — NOT the
+    // [[cellAffinity]] exploded join: √n centroids put n×√n×dim ROWS
+    // through that join (182M at the 10× check, measured 127 s vs ~13 s
+    // for this loop doing the same flops). The model is √n×dim doubles
+    // (73 KB at 20k vectors) serialized into the closure — the same
+    // broadcast-model discipline as [[pqEncoders]]/[[kmeansModel]];
+    // norms precomputed once. Rounded 4dp (shared +1e-9 HALF_UP) BEFORE
+    // the (cs desc, cid) ranking so the oracle replays probe sets
+    // exactly.
+    val model: Array[(Long, Array[Double], Double)] = cv.orderBy("id").limit(k)
+      .collect().map { r =>
+        val w = r.getSeq[Double](1).toArray
+        var nw = 0.0; var i = 0
+        while (i < w.length) { nw += w(i) * w(i); i += 1 }
+        (r.getLong(0), w, math.sqrt(nw))
+      }
+    val nP = nProbe
+    val probeU = udf { (v: Seq[Double]) =>
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val nv = math.sqrt(n2)
+      model.map { case (cid, w, nw) =>
+        var d = 0.0; var j = 0
+        while (j < w.length) { d += v(j) * w(j); j += 1 }
+        val cs = if (nv == 0 || nw == 0) 0.0 else d / (nv * nw)
+        (cid, BigDecimal(cs + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (cid, cs) => (-cs, cid) }.take(nP).map(_._1).toSeq
+    }
+    val ranked = cv.withColumn("pcs", probeU(col("v")))
+    val cells = ranked.select(col("id").as("m"), element_at(col("pcs"), 1).as("cell"))
+    val probes = ranked.select(col("id").as("p"), explode(col("pcs")).as("cell"))
+    val cand = cells.join(probes, "cell").where(col("m") =!= col("p"))
+      .select(least(col("m"), col("p")).as("a"), greatest(col("m"), col("p")).as("b"))
+      .distinct()
+    // verify join: candidate pairs outnumber vectors ~occupancy×nProbe to
+    // 1, so shipping the 8·dim-byte packed vector per PAIR through the
+    // shuffle costs ~GBs where the packed-vector TABLE is ~n×8·dim bytes
+    // (10 MB at 20k×64) — broadcast it when it fits (measured 70 s → 23 s
+    // at the 10× check); above the cap fall back to the shuffle join,
+    // where each vector crosses once per pair side (the partition-
+    // colocated layout a 100 TB run gets from bucketing by id).
+    val cvn = cv.withColumn("vp", packUnit(col("v"))).select("id", "vp")
+    val cvnSized = if (n * dim * 8 <= CosineDedupBroadcastBytes)
+      broadcast(cvn) else cvn
+    cand
+      .join(cvnSized.select(col("id").as("a"), col("vp").as("pa")), "a")
+      .join(cvnSized.select(col("id").as("b"), col("vp").as("pb")), "b")
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("pa"), col("pb")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .select("a", "b", "cos")
   }
 
   /** Unit-normalize a double vector and pack it little-endian into bytes
