@@ -156,7 +156,7 @@ object Similarity {
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"cosineDedupLsh: expected dim $dim, got "),
-          size(vec).cast("string"))))
+          coalesce(size(vec).cast("string"), lit("NULL")))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     // unit-normalize + pack once per bucket row: cosine then = plain dot
     val cvn = cv.withColumn("vp", packUnit(col("v"))).select("id", "vp")
@@ -334,7 +334,7 @@ object Similarity {
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"ivfTopK: expected dim $dim, got "),
-          size(vec).cast("string"))))
+          coalesce(size(vec).cast("string"), lit("NULL")))))
     val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
     val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
     // coarse quantizer: a trained [[kmeansModel]] when provided (nCent is
@@ -394,7 +394,7 @@ object Similarity {
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"annTopK: expected dim $dim, got "),
-          size(vec).cast("string"))))
+          coalesce(size(vec).cast("string"), lit("NULL")))))
     val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
     val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
     // candidate generation runs on BARE ids: the (table, bucket) equi-join
@@ -471,7 +471,7 @@ object Similarity {
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"kmeans: expected dim $dim, got "),
-          size(vec).cast("string"))))
+          coalesce(size(vec).cast("string"), lit("NULL")))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     var model: Seq[(Long, Array[Double])] = cv.orderBy("id").limit(nCent)
       .as[(Long, Array[Double])].collect().toSeq
@@ -648,7 +648,7 @@ object Similarity {
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"ivfPqTopK: expected dim $dim, got "),
-          size(vec).cast("string"))))
+          coalesce(size(vec).cast("string"), lit("NULL")))))
     // cell assignment via a plan-time centroid model + one JIT'd loop per
     // row (same discipline as the PQ encode; the exploded-join
     // cellAffinity shape that ivfTopK keeps measured ~1.5 s more here) —

@@ -214,6 +214,91 @@ object Augurs {
         (col("f") + lit(1.96) * col("sigma")).as("hi")): _*)
   }
 
+  /** MSTL-style multi-seasonal forecast (reference `augurs_forecast`'s
+    * MSTL config, `augurs.rs:248-349`) — classical additive decomposition
+    * standing in for the LOESS smoother: for each period p (ascending),
+    * estimate trend by the centered moving average (the standard 2×p form
+    * for even p), take per-phase means of the detrended series as the
+    * seasonal component (centered to sum 0), and subtract it; after all
+    * periods, the remainder forecasts as level + drift (last value +
+    * (last−first)/(n−1) per step), and each seasonal cycle extrapolates
+    * by phase. ±1.96σ bounds from the remainder's residuals against the
+    * anchored drift line.
+    *
+    * Deterministic loops, one JIT'd pass per key over the O(window)
+    * trimmed array — same scale shape as [[forecastEts]]. Not
+    * SQL-expressible in one oracle query (per-period centered-MA +
+    * phase-mean iteration), so it is golden-gated like [[dtw]]: a pure
+    * trend+season signal must forecast EXACTLY (the centered MA
+    * reproduces a linear trend and annihilates a mean-zero cycle). */
+  def forecastMstl(t: Timeline, window: Int, seasons: Seq[Int],
+      horizon: Int): DataFrame = {
+    require(seasons.nonEmpty && seasons.forall(_ >= 2),
+      s"forecastMstl: seasons must all be >= 2, got $seasons")
+    require(window >= 2 * seasons.max,
+      s"forecastMstl: window ($window) must cover two of the longest season (${2 * seasons.max})")
+    val ps = seasons.sorted
+    val mstlU = udf { (arr: Seq[Double]) =>
+      val n = arr.length
+      val work = arr.toArray
+      val seasonals = ps.map { p =>
+        val trend = new Array[Double](n)
+        val defined = new Array[Boolean](n)
+        val h = p / 2
+        var i = h
+        while (i < n - h) {
+          var s = 0.0
+          if (p % 2 == 1) {
+            var j = i - h
+            while (j <= i + h) { s += work(j); j += 1 }
+          } else { // 2×p MA: half-weight endpoints
+            s = work(i - h) / 2 + work(i + h) / 2
+            var j = i - h + 1
+            while (j <= i + h - 1) { s += work(j); j += 1 }
+          }
+          trend(i) = s / p; defined(i) = true; i += 1
+        }
+        val sums = new Array[Double](p); val cnts = new Array[Int](p)
+        i = 0
+        while (i < n) {
+          if (defined(i)) { sums(i % p) += work(i) - trend(i); cnts(i % p) += 1 }
+          i += 1
+        }
+        val sea = Array.tabulate(p)(j => if (cnts(j) > 0) sums(j) / cnts(j) else 0.0)
+        val mean = sea.sum / p
+        var j = 0
+        while (j < p) { sea(j) -= mean; j += 1 }
+        i = 0
+        while (i < n) { work(i) -= sea(i % p); i += 1 }
+        sea
+      }
+      val drift = if (n > 1) (work(n - 1) - work(0)) / (n - 1) else 0.0
+      var se = 0.0; var i = 0
+      while (i < n) { val r = work(i) - (work(0) + drift * i); se += r * r; i += 1 }
+      val sigma = if (n >= 3) math.sqrt(se / (n - 2)) else 0.0
+      val level = work(n - 1)
+      val fc = (1 to horizon).map { j =>
+        level + drift * j +
+          ps.indices.map(k => seasonals(k)((n - 1 + j) % ps(k))).sum
+      }
+      (fc, sigma)
+    }
+    val g = t.ticks
+      .withColumn("__rn", row_number().over(trimW(t)))
+      .where(col("__rn") <= window)
+      .groupBy(t.keys.map(col): _*)
+      .agg(expr(s"transform(array_sort(collect_list(struct(ts, seq, ${t.valueCol} AS v))), x -> x.v)")
+        .as("arr"))
+      .where(size(col("arr")) >= 2 * ps.max)
+      .withColumn("st", mstlU(col("arr")))
+    g.select((t.keys.map(col) :+ posexplode(col("st._1")) :+ col("st._2").as("sigma")): _*)
+      .withColumnRenamed("pos", "step0").withColumnRenamed("col", "f")
+      .select((t.keys.map(col) :+ (col("step0") + 1).cast("long").as("step") :+
+        col("f").as("forecast") :+
+        (col("f") - lit(1.96) * col("sigma")).as("lo") :+
+        (col("f") + lit(1.96) * col("sigma")).as("hi")): _*)
+  }
+
   /** Dynamic-time-warping distance (reference `augurs_dtw`,
     * `augurs.rs:1038`): classic O(|a|·|b|) DP with |x-y| local cost and an
     * optional Sakoe-Chiba band (the scale lever: band r makes each pair

@@ -100,6 +100,32 @@ class AugursSpec extends SparkSuite {
     assert(fc == Seq(42.0, 42.0))
   }
 
+  test("forecastMstl: trend + season extrapolates exactly; dual season approximates") {
+    // y = 2 + 0.5·i + S7: the centered MA reproduces a linear trend and a
+    // mean-zero cycle averages out over one full period, so decomposition
+    // is exact — forecast = level + drift·j + S7 at the future phase,
+    // with zero remainder residuals (lo == hi)
+    val s7 = Seq(-3.0, 1.0, 5.0, -2.0, 3.0, 0.0, -4.0) // sums to 0
+    val y = (0 until 28).map(i => 2.0 + 0.5 * i + s7(i % 7))
+    val f = Augurs.forecastMstl(series(y), window = 28, seasons = Seq(7), horizon = 3)
+      .orderBy("step").select("forecast", "lo", "hi")
+      .as[(Double, Double, Double)].collect().toSeq
+    val expected = (1 to 3).map(j => 2.0 + 0.5 * 27 + 0.5 * j + s7((27 + j) % 7))
+    f.map(_._1).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-9, s"exact extrapolation: got $got want $want") }
+    assert(f.forall(r => math.abs(r._2 - r._1) < 1e-9), "zero residuals → lo == hi")
+    // two interleaved cycles (7 and 4 over 56 samples): classical
+    // decomposition is approximate — forecasts track the signal within
+    // a fraction of its amplitude and σ stays small
+    val s4 = Seq(2.0, -1.0, 1.0, -2.0)
+    val y2 = (0 until 56).map(i => 10.0 + s7(i % 7) + s4(i % 4))
+    val f2 = Augurs.forecastMstl(series(y2), window = 56, seasons = Seq(4, 7), horizon = 4)
+      .orderBy("step").select("forecast").as[Double].collect().toSeq
+    val want2 = (1 to 4).map(j => 10.0 + s7((55 + j) % 7) + s4((55 + j) % 4))
+    f2.zip(want2).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1.5, s"dual-season tracks within amplitude: $got vs $want") }
+  }
+
   test("seasonsAutocorr finds the dominant period") {
     val cycle = Seq(1.0, 5.0, 9.0, 2.0, 7.0)
     val vs = Seq.fill(10)(cycle).flatten // period 5, 50 samples
