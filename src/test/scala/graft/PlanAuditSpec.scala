@@ -162,6 +162,19 @@ class PlanAuditSpec extends SparkSuite {
       "rank filters no longer push a group limit into the window")
   }
 
+  test("IVF cosine dedup: model-UDF assignment, broadcast verify joins, id-width dedup") {
+    // round-7 shape: assignment is a plan-time-model UDF (no centroid
+    // join), the candidate distinct carries only (a, b) ids, and the
+    // packed-vector verify joins broadcast at this corpus size (the
+    // size-aware CosineDedupBroadcastBytes path). A SortMergeJoin here
+    // means vectors are crossing a shuffle per candidate pair.
+    val p = plan("emb_dedup_cosine")
+    assert(p.contains("BroadcastHashJoin"), "packed-vector verify join lost its broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join at a broadcastable corpus size")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("decontamination: eval hashes broadcast; corpus side never shuffles on h") {
     // filter-first + broadcast(ev): the corpus shingle frame must reach
     // the contamination join without an h-shuffle (the eval suite is the
