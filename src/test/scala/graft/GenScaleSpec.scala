@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The scale-test generator's structural contract (COVERAGE round-7 scale
+  * check): replication must preserve within-replica near-dup/neighbor
+  * structure EXACTLY and create NO cross-replica similarity — otherwise a
+  * 10× run measures replication artifacts, not the algorithms. */
+class GenScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("document replicas are a vocabulary isomorphism: within-Jaccard preserved, cross-Jaccard 0") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps", "en", "s0"),
+      (1L, "the quick brown cat jumps", "en", "s0"), // near-dup of 0
+      (2L, "completely different words here", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val scaled = GenScale.scaleDocuments(docs, 2)
+    assert(scaled.count() == 6 && scaled.select("doc_id").distinct().count() == 6)
+    val toks = scaled.select(col("doc_id"),
+        TextFunctions.distinctTokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    def jac(a: Seq[String], b: Seq[String]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      if ((sa ++ sb).isEmpty) 0.0 else (sa & sb).size.toDouble / (sa ++ sb).size
+    }
+    // token bijection ⇒ within-replica Jaccard is exactly the source's
+    assert(jac(toks(3L), toks(4L)) == jac(toks(0L), toks(1L)),
+      "replica 1 must preserve the near-dup relation of its source pair")
+    // disjoint vocabularies ⇒ every cross-replica Jaccard is 0
+    for (a <- 0L to 2L; b <- 3L to 5L)
+      assert(jac(toks(a), toks(b)) == 0.0, s"cross-replica $a-$b must share no tokens")
+  }
+
+  test("embedding replicas are an isometry: within-cosine preserved, ids disjoint") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.5f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.5f), 0),
+      (2L, Array(0.0f, 1.0f, 0.3f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val scaled = GenScale.scaleEmbeddings(e, 2)
+    assert(scaled.count() == 6 && scaled.select("vec_id").distinct().count() == 6)
+    val vs = scaled.select(col("vec_id"),
+        graft.functions.Similarity.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(vs.values.forall(_.length == 4), "rotation preserves dimension")
+    assert(math.abs(cos(vs(3L), vs(4L)) - cos(vs(0L), vs(1L))) < 1e-12,
+      "a circular rotation is an isometry: within-replica cosines unchanged")
+  }
+}
