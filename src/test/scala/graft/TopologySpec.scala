@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Timeline
-import graft.streaming.{DynamicGroup, Ev, RunMode}
+import graft.streaming.{DynamicGroup, Ev, RunMode, StateProcs}
 import org.apache.spark.sql.functions._
 
 /** dynamic_group lifecycle (§2.11), demux routing, fan/map_n topology
@@ -111,5 +111,42 @@ class TopologySpec extends SparkSuite {
     assert(got == Seq((15L, 1.0), (25L, 2.0)),
       "no duplicate first value at its pre-delay ts")
     assert(Signal.fromRows(spark, Seq(10L -> 1.0)).delay(5L).peekValue().contains(1.0))
+  }
+
+  test("run_dynamic restart-with-new-plan: keyed state survives the swap (interp.rs:3228)") {
+    // the documented Spark form of the reference's mid-run graph surgery:
+    // stop the query, swap the plan AROUND the stateful operator (here a
+    // new downstream ×10 projection), restart on the SAME checkpoint —
+    // offsets resume and the per-key state carries over, so the running
+    // sum continues at 6, not restarts at 3
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("dyn_swap").toString
+    val mem = MemoryStream[Ev]
+    // foreachBatch: the memory sink refuses checkpoint recovery; a
+    // fault-tolerant sink is part of the restart contract anyway
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Double)]())
+    def sink(df: org.apache.spark.sql.Dataset[graft.streaming.Out], id: Long): Unit =
+      df.collect().foreach(o => got.add((o.ts, o.v1)))
+    val q1 = RunMode.streaming(mem.toDS(), StateProcs.cumSum)
+      .writeStream.foreachBatch(sink _).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(Seq(Ev("a", 10L, 0L, 0, 1.0), Ev("a", 20L, 1L, 0, 2.0)))
+    q1.processAllAvailable(); q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == Seq((10L, 1.0), (20L, 3.0)))
+    got.clear()
+    // new plan: same source, same stateful op, new stateless tail
+    val q2 = RunMode.streaming(mem.toDS(), StateProcs.cumSum)
+      .map(o => o.copy(v1 = o.v1 * 10))
+      .writeStream.foreachBatch(sink _).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(Seq(Ev("a", 30L, 2L, 0, 3.0)))
+    q2.processAllAvailable(); q2.stop()
+    val v2 = got.asScala.toSeq
+    assert(v2 == Seq((30L, 60.0)),
+      s"state must continue (1+2+3=6, ×10 by the new plan) across the swap, got $v2")
   }
 }
