@@ -196,7 +196,8 @@ object Similarity {
     * Recall is a cluster-coherence bet rather than a random-hyperplane
     * bet — gated against brute force like every ANN entry. */
   def cosineDedupIvf(vecs: DataFrame, tau: Double, nProbe: Int = 2,
-      nCent: Int = -1, dimHint: Int = -1): DataFrame = {
+      nCent: Int = -1, dimHint: Int = -1,
+      model: Seq[(Long, Array[Double])] = Nil): DataFrame = {
     val dim = if (dimHint > 0) dimHint
       else vecs.select(size(col("embedding"))).take(1).headOption
         .map(_.getInt(0)).getOrElse(0)
@@ -221,19 +222,22 @@ object Similarity {
     // norms precomputed once. Rounded 4dp (shared +1e-9 HALF_UP) BEFORE
     // the (cs desc, cid) ranking so the oracle replays probe sets
     // exactly.
-    val model: Array[(Long, Array[Double], Double)] = cv.orderBy("id").limit(k)
-      .collect().map { r =>
-        val w = r.getSeq[Double](1).toArray
-        var nw = 0.0; var i = 0
-        while (i < w.length) { nw += w(i) * w(i); i += 1 }
-        (r.getLong(0), w, math.sqrt(nw))
-      }
+    def withNorm(cid: Long, w: Array[Double]): (Long, Array[Double], Double) = {
+      var nw = 0.0; var i = 0
+      while (i < w.length) { nw += w(i) * w(i); i += 1 }
+      (cid, w, math.sqrt(nw))
+    }
+    // a trained kmeansModel drops in for the sample quantizer unchanged
+    val cents: Array[(Long, Array[Double], Double)] =
+      if (model.nonEmpty) model.map { case (cid, w) => withNorm(cid, w) }.toArray
+      else cv.orderBy("id").limit(k)
+        .collect().map(r => withNorm(r.getLong(0), r.getSeq[Double](1).toArray))
     val nP = nProbe
     val probeU = udf { (v: Seq[Double]) =>
       var n2 = 0.0; var i = 0
       while (i < v.length) { n2 += v(i) * v(i); i += 1 }
       val nv = math.sqrt(n2)
-      model.map { case (cid, w, nw) =>
+      cents.map { case (cid, w, nw) =>
         var d = 0.0; var j = 0
         while (j < w.length) { d += v(j) * w(j); j += 1 }
         val cs = if (nv == 0 || nw == 0) 0.0 else d / (nv * nw)

@@ -210,6 +210,23 @@ class PipelineSpec extends SparkSuite {
       "(sqrt-n sample centroids, 6 probes at tau=0.4 on 500 vectors; measured 0.803 when frozen)")
   }
 
+  test("IVF cosine dedup accepts a trained quantizer (the kmeansModel drop-in slot)") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val trained = Similarity.kmeansModel(e, nCent = 23, iters = 2, dimHint = 64)
+    val found = Similarity.cosineDedupIvf(e, 0.4, nProbe = 6, dimHint = 64,
+      model = trained).select("a", "b").as[(Long, Long)].collect().toSet
+    // every reported pair is still a true pair (verify is exact regardless
+    // of the quantizer), and a trained quantizer finds a non-trivial set
+    val ev = e.select(col("vec_id").as("a"), Similarity.toDouble(col("embedding")).as("va"))
+    val ev2 = e.select(col("vec_id").as("b"), Similarity.toDouble(col("embedding")).as("vb"))
+    val brute = ev.join(ev2, col("a") < col("b"))
+      .withColumn("c", round(Similarity.cosine(col("va"), col("vb")) + lit(1e-9), 4))
+      .where(col("c") >= 0.4).select("a", "b").as[(Long, Long)].collect().toSet
+    assert((found -- brute).isEmpty, "exact verification holds under a trained quantizer")
+    assert(found.nonEmpty, "trained-quantizer cells must yield candidates on clustered data")
+  }
+
   test("HLL sketch: approx_count_distinct within 5% of exact per source (M6 sketches)") {
     // sketches can't hash-match a cross-engine oracle (implementation-
     // specific registers) — the gate is relative error vs the exact count
