@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-test data generator: replicate an sf directory's documents +
@@ -13,50 +13,94 @@ import org.apache.spark.sql.functions._
   * 10-way duplicate clusters the replication itself created:
   *
   *  - documents: replica r applies a vocabulary ISOMORPHISM — every token
-  *    gets a replica-id suffix. Within a replica, every n-gram relation
-  *    between two docs is exactly the original (the map is a bijection on
-  *    tokens, hence on shingles), so each replica carries precisely the
-  *    source near-dup pair population; across replicas the token sets are
-  *    disjoint, so every cross-replica Jaccard is 0 and no artifact
-  *    10-doc clusters appear. (A naive insert-a-marker-token scheme fails
-  *    this: 2-gram shingles mostly survive the insertions, cross-replica
-  *    Jaccard stays ~0.6, every doc gains 9 near-dup copies, and the
-  *    verified-pair count grows quadratically — measuring the data
-  *    artifact, not the algorithm.)
-  *  - embeddings: replica r circularly rotates the 64 dims by r·7 (mod
-  *    64). Rotation is an isometry — within-replica cosines are EXACTLY
-  *    the originals — while a vector and its rotation are as correlated
-  *    as two random vectors, so no cross-replica ANN neighbors appear.
+  *    gets a `_qr` suffix, where the `_` delimiter is asserted absent
+  *    from the source corpus (one scan, fails fast). `_` is the one
+  *    delimiter that survives BOTH tokenizers in play: it is
+  *    non-whitespace (the `\S+` replacer keeps it inside the token) and a
+  *    word character (TextFunctions.tokens' `\W+` split keeps it inside
+  *    the token too — a punctuation delimiter would be split off,
+  *    silently un-suffixing every token downstream). Within a replica,
+  *    every n-gram relation between two docs is exactly the original (the
+  *    map is a bijection on tokens, hence on shingles); across replicas
+  *    the token sets are GUARANTEED disjoint: a replica token contains
+  *    exactly one `_` (source tokens have none), so `src1_qr1 == src2_qr2`
+  *    forces src1==src2 and r1==r2. (The delimiter matters: a bare `qr`
+  *    suffix collides when the source already contains a token like
+  *    `xq1`; a naive insert-a-marker-token scheme fails even harder —
+  *    2-gram shingles mostly survive insertions, cross-replica Jaccard
+  *    stays ~0.6, and the verified-pair count grows quadratically,
+  *    measuring the data artifact, not the algorithm.)
+  *  - embeddings: replica r composes a circular rotation of the dims by
+  *    r·7 (mod dim) with a sign flip of the coordinate subset given by
+  *    the bits of splitmix64(r / period), period = dim/gcd(7,dim) (the
+  *    rotation cycle length). Both are isometries, so within-replica
+  *    cosines are EXACTLY the originals; the (shift, signs) pair is
+  *    checked pairwise-distinct at build time, so no replica repeats
+  *    another's transform (a pure-rotation scheme aliases at
+  *    factor > period — e.g. r=0 vs r=64 at dim=64 — making every
+  *    aliased pair an artifact ANN neighbor), and a vector stays as
+  *    uncorrelated with its transform as two random vectors.
   *
   * Usage: runMain graft.GenScale <srcSfDir> <outDir> <factor>
   * (also copies region.parquet so Bench's warmup read works). */
 object GenScale {
 
+  /** Token-suffix delimiter: non-whitespace AND a word character (so it
+    * survives both the `\S+` replacer and the `\W+` pipeline tokenizer),
+    * lowercase-stable, and asserted absent from the source corpus. */
+  val TokenDelim = "_"
+
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    require(docs.where(col("text").contains(TokenDelim)).isEmpty,
+      s"scaleDocuments: source corpus contains the '$TokenDelim' delimiter — " +
+        "the cross-replica disjointness proof needs a character absent from the vocabulary")
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
     (0 until factor).map { r =>
       if (r == 0) docs
       else docs.select(
         (col("doc_id") + lit(r * maxId)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1q$r").as("text"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1${TokenDelim}q$r").as("text"),
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars")
     }.reduce(_ unionByName _)
   }
 
+  /** splitmix64 — a bijection on 64-bit ints (distinct q ⇒ distinct
+    * mask); the standard finalizer from Steele et al., JDK SplittableRandom. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame = {
     val maxId = embs.agg(max("vec_id")).head.getLong(0) + 1
-    val dim = embs.select(size(col("embedding"))).head.getInt(0)
-    (0 until factor).map { r =>
+    val dim = embs.select(coalesce(size(col("embedding")), lit(-1))).head.getInt(0)
+    require(dim > 0, "scaleEmbeddings: first row's embedding is NULL or empty")
+    val period = dim / BigInt(7).gcd(BigInt(dim)).toInt
+    // per-replica isometry: shift + sign vector. q==0 keeps the first
+    // rotation cycle flip-free (replica 0 stays the identity).
+    val transforms: Seq[(Int, Array[Float])] = (0 until factor).map { r =>
       val shift = (r * 7) % dim
-      if (shift == 0) embs.select((col("vec_id") + lit(r * maxId)).as("vec_id"),
-        col("embedding"), col("label"))
-      else embs.select(
-        (col("vec_id") + lit(r * maxId)).as("vec_id"),
-        concat(slice(col("embedding"), shift + 1, dim - shift),
-          slice(col("embedding"), 1, shift)).as("embedding"),
-        col("label"))
+      val mask = if (r / period == 0) 0L else splitmix64((r / period).toLong)
+      (shift, Array.tabulate(dim)(i =>
+        if (((mask >>> (i % 64)) & 1L) == 1L) -1.0f else 1.0f))
+    }
+    require(transforms.map { case (s, g) => (s, g.toSeq) }.distinct.size == factor,
+      s"scaleEmbeddings: transform collision at factor=$factor, dim=$dim — " +
+        "two replicas would share an isometry, creating artifact cross-replica neighbors")
+    transforms.zipWithIndex.map { case ((shift, signs), r) =>
+      val rot: Column =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift))
+      val emb: Column =
+        if (signs.forall(_ == 1.0f)) rot
+        else zip_with(rot, typedlit(signs.toSeq), (x, s) => x * s)
+      embs.select((col("vec_id") + lit(r * maxId)).as("vec_id"),
+        emb.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
   }
 

@@ -29,6 +29,21 @@ object Similarity {
 
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
+  /** Probe the vector dimension from the frame's first row, NULL-safely.
+    * An empty frame probes 0 (callers short-circuit to an empty result);
+    * a NULL or empty first `embedding` aborts with a readable message —
+    * `size(NULL)` is null, and reading it unguarded throws a bare
+    * NullPointerException while every downstream `checked` path already
+    * renders NULL sizes readably. */
+  private[graft] def probeDim(df: DataFrame): Int =
+    df.select(coalesce(size(col("embedding")), lit(-1))).take(1).headOption
+      .map(_.getInt(0)) match {
+      case None => 0
+      case Some(d) if d > 0 => d
+      case Some(_) => throw new IllegalArgumentException(
+        "probeDim: first row's embedding is NULL or empty — clean the input or pass dimHint")
+    }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -147,8 +162,7 @@ object Similarity {
   def cosineDedupLsh(vecs: DataFrame, tau: Double, nPlanes: Int,
       nTables: Int = 8, dimHint: Int = -1): DataFrame = {
     val dim = if (dimHint > 0) dimHint
-      else vecs.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(vecs)
     if (dim == 0)
       return vecs.sparkSession.emptyDataFrame
         .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("cos"))
@@ -199,8 +213,7 @@ object Similarity {
       nCent: Int = -1, dimHint: Int = -1,
       model: Seq[(Long, Array[Double])] = Nil): DataFrame = {
     val dim = if (dimHint > 0) dimHint
-      else vecs.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(vecs)
     if (dim == 0)
       return vecs.sparkSession.emptyDataFrame
         .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("cos"))
@@ -329,8 +342,7 @@ object Similarity {
       nProbe: Int, dimHint: Int = -1,
       model: Seq[(Long, Array[Double])] = Nil): DataFrame = {
     val dim = if (dimHint > 0) dimHint
-      else candidates.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(candidates)
     if (dim == 0)
       return candidates.sparkSession.emptyDataFrame
         .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("sim"), lit(0L).as("rank"))
@@ -387,8 +399,7 @@ object Similarity {
     // dim from the caller when known; otherwise inferred from the first
     // candidate (empty input → empty result, not NoSuchElementException)
     val dim = if (dimHint > 0) dimHint
-      else candidates.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(candidates)
     if (dim == 0)
       return candidates.sparkSession.emptyDataFrame
         .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("sim"), lit(0L).as("rank"))
@@ -444,8 +455,7 @@ object Similarity {
       dimHint: Int = -1): DataFrame = {
     require(nCent > 0 && iters > 0, s"kmeansAssign: nCent=$nCent iters=$iters must be positive")
     val dim = if (dimHint > 0) dimHint
-      else vecs.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(vecs)
     if (dim == 0)
       return vecs.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0L).as("cell"), lit(0.0).as("aff"))
@@ -463,8 +473,7 @@ object Similarity {
       dimHint: Int = -1): Seq[(Long, Array[Double])] = {
     require(nCent > 0 && iters > 0, s"kmeansModel: nCent=$nCent iters=$iters must be positive")
     val dim = if (dimHint > 0) dimHint
-      else vecs.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(vecs)
     if (dim == 0) Nil else kmeansLoop(vecs, nCent, iters, dim)._2
   }
 
@@ -555,8 +564,7 @@ object Similarity {
       s"(#queries=$nQueries x m=$m x ksub=$ksub) > cap $PqAdcBroadcastRowCap " +
       "(~40 B/row). Feed a bounded query batch, or shuffle-join instead of broadcasting.")
     val dim = if (dimHint > 0) dimHint
-      else candidates.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(candidates)
     if (dim == 0)
       return candidates.sparkSession.emptyDataFrame
         .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("adist"), lit(0L).as("rank"))
@@ -642,8 +650,7 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nCent: Int, nProbe: Int, m: Int, ksub: Int, dimHint: Int = -1): DataFrame = {
     val dim = if (dimHint > 0) dimHint
-      else candidates.select(size(col("embedding"))).take(1).headOption
-        .map(_.getInt(0)).getOrElse(0)
+      else probeDim(candidates)
     if (dim == 0)
       return candidates.sparkSession.emptyDataFrame
         .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("adist"), lit(0L).as("rank"))

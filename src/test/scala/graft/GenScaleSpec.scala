@@ -34,6 +34,29 @@ class GenScaleSpec extends SparkSuite {
       assert(jac(toks(a), toks(b)) == 0.0, s"cross-replica $a-$b must share no tokens")
   }
 
+  test("suffix delimiter defeats vocabulary aliasing: a source token ending in 'q1' stays disjoint") {
+    // the round-7 scheme suffixed bare "q1": source token "xq1" == replica-1
+    // image of "x", so cross-replica Jaccard > 0. The delimiter ("_",
+    // asserted absent from the corpus) makes the token map injective
+    // ACROSS replicas unconditionally.
+    val docs = Seq(
+      (0L, "x xq1 shared", "en", "s0"),
+      (1L, "y xq1 shared", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val toks = GenScale.scaleDocuments(docs, 2)
+      .select(col("doc_id"), TextFunctions.distinctTokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    for (a <- 0L to 1L; b <- 2L to 3L)
+      assert(toks(a).toSet.intersect(toks(b).toSet).isEmpty,
+        s"cross-replica $a-$b must share no tokens even when the source vocabulary ends in q1")
+    // and a corpus already containing the delimiter is rejected, not silently aliased
+    val dirty = Seq((0L, s"tok${GenScale.TokenDelim}q1", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assertThrows[IllegalArgumentException](GenScale.scaleDocuments(dirty, 2))
+  }
+
   test("embedding replicas are an isometry: within-cosine preserved, ids disjoint") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.5f), 0),
@@ -52,5 +75,33 @@ class GenScaleSpec extends SparkSuite {
     assert(vs.values.forall(_.length == 4), "rotation preserves dimension")
     assert(math.abs(cos(vs(3L), vs(4L)) - cos(vs(0L), vs(1L))) < 1e-12,
       "a circular rotation is an isometry: within-replica cosines unchanged")
+  }
+
+  test("factor beyond the rotation period: sign flips keep transforms distinct, still isometric") {
+    // dim=4, gcd(7,4)=1 ⇒ rotation period 4: under the round-7
+    // pure-rotation scheme replica 4 would repeat replica 0's identity
+    // (shift 28 mod 4 = 0), making every replica-0/4 pair an artifact
+    // ANN neighbor. The sign-flip composition keeps replica 4 distinct.
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.5f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val scaled = GenScale.scaleEmbeddings(e, 6)
+    assert(scaled.count() == 12 && scaled.select("vec_id").distinct().count() == 12)
+    val vs = scaled.select(col("vec_id"),
+        graft.functions.Similarity.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // every replica (including the 5 beyond the period) preserves the
+    // source pair's cosine exactly — sign flips are isometries too
+    for (r <- 0 to 5)
+      assert(math.abs(cos(vs(2L * r), vs(2L * r + 1)) - cos(vs(0L), vs(1L))) < 1e-12,
+        s"replica $r must preserve the within-pair cosine")
+    // replica 4 (shift wraps to 0) must NOT alias replica 0
+    assert(vs(8L) != vs(0L),
+      "replica at factor > period must differ from the identity (rotation-only aliasing)")
   }
 }

@@ -186,10 +186,10 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "corpus shingles must not shuffle on h")
     // round-7 profile close-out: the countDistinct rollup must stay
-    // partition-local on the window's doc_id exchange — exactly 4
-    // hash exchanges total (corpus window, eval window, eval distinct,
-    // final orderBy range sort is separate) and none between the
-    // contamination join and the rollup aggregates
+    // partition-local on the window's doc_id exchange — exactly 3
+    // hash exchanges total (corpus window, eval window, eval distinct;
+    // the final orderBy's range exchange is counted separately) and none
+    // between the contamination join and the rollup aggregates
     val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hash == 3, s"expected 3 hash exchanges (corpus window, eval window, " +
       s"eval distinct) with the rollup riding the first, got $hash:\n$p")
