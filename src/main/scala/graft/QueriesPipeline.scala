@@ -945,23 +945,45 @@ object QueriesPipeline {
     // embedding-cosine near-dup pairs — the fifth dedup flavor, IVF
     // cell-bucketed (round 7: the original fixed-plane LSH flavor is
     // asymptotically n²/2^planes — the 10× scale check measured 17× wall
-    // on 10× rows — so the registry runs the n^1.5 formulation: √n sample
+    // on 10× rows — so the registry runs the n^1.5 formulation: √n
     // centroids, home-cell × 6-probe candidates, packed-dot verify;
-    // cosineDedupLsh stays in Similarity for bounded corpora). The
-    // quantizer is the √n lowest vec_ids — a pure function of the input,
-    // so the DuckDB oracle replays assignment, probing, and verification
-    // EXACTLY despite the index being approximate; recall vs brute force
-    // is gated separately in PipelineSpec (0.803 ≥ 0.60 frozen). tau=0.4
-    // suits the testdata (its max pairwise cosine is ~0.6; real near-dup
-    // corpora run this at 0.95+ unchanged).
+    // cosineDedupLsh stays in Similarity for bounded corpora). Round 8:
+    // the quantizer is TRAINED — kmeansModel runs one Lloyd refinement
+    // (2 passes, JIT'd loop assignment) over the √n-lowest-id init, which
+    // lifted pair recall 0.803 → measured-in-PipelineSpec vs the raw
+    // sample whose id-order bias the round-7 verdict flagged. Everything
+    // stays deterministic (argmax on 4dp-rounded cosine, lowest-cid ties,
+    // empty cells keep their centroid), so the DuckDB oracle replays the
+    // training pass AND the probe/verify EXACTLY despite the index being
+    // approximate. tau=0.4 suits the testdata (max pairwise cosine ~0.6;
+    // real near-dup corpora run this at 0.95+ unchanged).
     "emb_dedup_cosine" -> Q(
-      (s, d) => Similarity.cosineDedupIvf(emb(s, d), 0.4, nProbe = 6, dimHint = AnnDim)
-        .orderBy("a", "b"),
+      (s, d) => {
+        val e = cached(emb(s, d)) // training passes + dedup share one scan
+        val n = e.count()
+        val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val trained = Similarity.kmeansModel(e, nCent = k, iters = 2,
+          dimHint = AnnDim, loopAssign = true)
+        Similarity.cosineDedupIvf(e, 0.4, nProbe = 6, dimHint = AnnDim,
+          model = trained).orderBy("a", "b")
+      },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
               |  LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
+              |aff1 AS (SELECT e.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+              |asg1 AS (SELECT id, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+              |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+              |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+              |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+              |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+              |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+              |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+              |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
               |af AS (SELECT e.vec_id AS id, cid,
-              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
               |rk AS (SELECT id, cid, row_number() OVER
               |    (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM af),
               |cells AS (SELECT id AS m, cid AS cell FROM rk WHERE rn = 1),

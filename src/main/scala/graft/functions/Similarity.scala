@@ -27,6 +27,14 @@ object Similarity {
     * join. */
   val CosineDedupBroadcastBytes: Long = 64L * 1024 * 1024
 
+  /** Cap on the coarse-quantizer model held on the driver (centroids ×
+    * dim doubles — 64 MB as doubles at the cap). [[cosineDedupIvf]]'s √n
+    * sample quantizer stays far under it at tested scales, but √n grows:
+    * at 10^12 vectors × 64 dims the sample is ~0.5 GB, which should fail
+    * loudly and route the caller to a trained hierarchical model with a
+    * smaller k, not silently balloon the driver and every task closure. */
+  val QuantizerModelMaxDoubles: Long = 8L * 1024 * 1024
+
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
   /** Probe the vector dimension from the frame's first row, NULL-safely.
@@ -240,11 +248,20 @@ object Similarity {
       while (i < w.length) { nw += w(i) * w(i); i += 1 }
       (cid, w, math.sqrt(nw))
     }
-    // a trained kmeansModel drops in for the sample quantizer unchanged
+    // a trained kmeansModel drops in for the sample quantizer unchanged.
+    // The sample is SALTED — ordered by hash60(id), not by id — so an id
+    // order that correlates with cluster structure (append-time ordering,
+    // label-sorted exports) cannot skew the centroids toward one region;
+    // the hash tie-breaks to id, keeping the sample a pure, oracle-
+    // replayable function of the input.
     val cents: Array[(Long, Array[Double], Double)] =
       if (model.nonEmpty) model.map { case (cid, w) => withNorm(cid, w) }.toArray
-      else cv.orderBy("id").limit(k)
+      else cv.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id")).limit(k)
         .collect().map(r => withNorm(r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
+      s"cosineDedupIvf: quantizer model ${cents.length} centroids x $dim dims exceeds " +
+        s"the $QuantizerModelMaxDoubles-double driver/closure cap — train a smaller " +
+        "kmeansModel (hierarchical at extreme scale) and pass it via model=")
     val nP = nProbe
     val probeU = udf { (v: Seq[Double]) =>
       var n2 = 0.0; var i = 0
@@ -465,20 +482,29 @@ object Similarity {
   }
 
   /** The trained centroid model alone — (cid, weights) on the driver,
-    * ready to drop into [[ivfTopK]]'s `model` slot as the coarse
-    * quantizer. Runs `iters` Lloyd passes like [[kmeansAssign]] (the
-    * final assignment is discarded; only the update after pass
-    * `iters - 1` matters, so training cost is identical). */
+    * ready to drop into [[ivfTopK]]'s / [[cosineDedupIvf]]'s `model` slot
+    * as the coarse quantizer. Runs `iters` Lloyd passes like
+    * [[kmeansAssign]] (the final assignment is discarded; only the update
+    * after pass `iters - 1` matters, so training cost is identical).
+    *
+    * `loopAssign = true` swaps [[cellAffinity]]'s exploded broadcast-join
+    * assignment for the same plan-time-model JIT'd loop
+    * [[cosineDedupIvf]] probes with: identical rounded values (shared
+    * +1e-9 HALF_UP 4dp, ties to the lowest cid), but the per-pass cost is
+    * one loop per row instead of n×nCent×dim JOIN ROWS — at √n-scale
+    * centroid counts the exploded join is the formulation the 10× check
+    * measured at 127 s vs ~13 s for the loop. Oracles replay either
+    * path unchanged. */
   def kmeansModel(vecs: DataFrame, nCent: Int, iters: Int,
-      dimHint: Int = -1): Seq[(Long, Array[Double])] = {
+      dimHint: Int = -1, loopAssign: Boolean = false): Seq[(Long, Array[Double])] = {
     require(nCent > 0 && iters > 0, s"kmeansModel: nCent=$nCent iters=$iters must be positive")
     val dim = if (dimHint > 0) dimHint
       else probeDim(vecs)
-    if (dim == 0) Nil else kmeansLoop(vecs, nCent, iters, dim)._2
+    if (dim == 0) Nil else kmeansLoop(vecs, nCent, iters, dim, loopAssign)._2
   }
 
   private def kmeansLoop(vecs: DataFrame, nCent: Int, iters: Int,
-      dim: Int): (DataFrame, Seq[(Long, Array[Double])]) = {
+      dim: Int, loopAssign: Boolean = false): (DataFrame, Seq[(Long, Array[Double])]) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     def checked(vec: Column): Column =
@@ -493,9 +519,36 @@ object Similarity {
       .toDF("cid", "i", "w")
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cs").desc, col("cid"))
+    // loopAssign: argmax over the current model inside ONE JIT'd loop per
+    // row — numerically identical to cellAffinity+window (same rounding,
+    // same lowest-cid tie-break), minus the n×nCent×dim exploded join
+    def loopAssigned: DataFrame = {
+      val cents = model.map { case (cid, ws) =>
+        var nw = 0.0; var i = 0
+        while (i < ws.length) { nw += ws(i) * ws(i); i += 1 }
+        (cid, ws, math.sqrt(nw))
+      }.toArray
+      val bestU = udf { (v: Seq[Double]) =>
+        var n2 = 0.0; var i = 0
+        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+        val nv = math.sqrt(n2)
+        var bestCid = Long.MaxValue; var bestCs = Double.NegativeInfinity
+        cents.foreach { case (cid, w, nw) =>
+          var d = 0.0; var j = 0
+          while (j < w.length) { d += v(j) * w(j); j += 1 }
+          val cs = if (nv == 0 || nw == 0) 0.0 else d / (nv * nw)
+          val r = BigDecimal(cs + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (r > bestCs || (r == bestCs && cid < bestCid)) { bestCs = r; bestCid = cid }
+        }
+        (bestCid, bestCs)
+      }
+      cv.withColumn("bc", bestU(col("v")))
+        .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"))
+    }
     var asg: DataFrame = null
     for (pass <- 1 to iters) {
-      asg = cellAffinity(cv, "id", "v", centFrame)
+      asg = if (loopAssign) loopAssigned
+      else cellAffinity(cv, "id", "v", centFrame)
         .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
         .select(col("id"), col("cid").as("cell"), col("cs").as("aff"))
       if (pass < iters) {

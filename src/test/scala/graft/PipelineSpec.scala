@@ -207,24 +207,31 @@ class PipelineSpec extends SparkSuite {
     val recall = (found & brute).size.toDouble / brute.size
     info(f"IVF pair recall = $recall%.3f over ${brute.size} truth pairs")
     assert(recall >= 0.60, f"IVF pair recall $recall%.3f fell below the frozen 0.60 gate " +
-      "(sqrt-n sample centroids, 6 probes at tau=0.4 on 500 vectors; measured 0.803 when frozen)")
+      "(sqrt-n SALTED-sample centroids, 6 probes at tau=0.4 on 500 vectors; " +
+      "measured 0.818 when frozen — the round-7 id-ordered sample measured 0.803)")
   }
 
-  test("IVF cosine dedup accepts a trained quantizer (the kmeansModel drop-in slot)") {
+  test("IVF cosine dedup with the trained quantizer (the registry config) beats the sample") {
+    // exactly the emb_dedup_cosine registry wiring: one Lloyd refinement
+    // (iters=2, loopAssign) over the sqrt-n init, then the 6-probe dedup
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
-    val trained = Similarity.kmeansModel(e, nCent = 23, iters = 2, dimHint = 64)
+    val trained = Similarity.kmeansModel(e, nCent = 23, iters = 2, dimHint = 64,
+      loopAssign = true)
     val found = Similarity.cosineDedupIvf(e, 0.4, nProbe = 6, dimHint = 64,
       model = trained).select("a", "b").as[(Long, Long)].collect().toSet
     // every reported pair is still a true pair (verify is exact regardless
-    // of the quantizer), and a trained quantizer finds a non-trivial set
+    // of the quantizer), and training must not LOSE recall vs the sample
     val ev = e.select(col("vec_id").as("a"), Similarity.toDouble(col("embedding")).as("va"))
     val ev2 = e.select(col("vec_id").as("b"), Similarity.toDouble(col("embedding")).as("vb"))
     val brute = ev.join(ev2, col("a") < col("b"))
       .withColumn("c", round(Similarity.cosine(col("va"), col("vb")) + lit(1e-9), 4))
       .where(col("c") >= 0.4).select("a", "b").as[(Long, Long)].collect().toSet
     assert((found -- brute).isEmpty, "exact verification holds under a trained quantizer")
-    assert(found.nonEmpty, "trained-quantizer cells must yield candidates on clustered data")
+    val recall = (found & brute).size.toDouble / brute.size
+    info(f"trained-quantizer pair recall = $recall%.3f over ${brute.size} truth pairs")
+    assert(recall >= 0.80, f"trained-quantizer pair recall $recall%.3f fell below the " +
+      "frozen 0.80 gate (Lloyd-refined sqrt-n centroids, 6 probes at tau=0.4 on 500 vectors)")
   }
 
   test("HLL sketch: approx_count_distinct within 5% of exact per source (M6 sketches)") {
