@@ -255,13 +255,54 @@ object Adapters {
       case Live(pollMs) => pollTail(spark, url, table, tsCol, valCol, pollMs, props)
     }
 
+    /** Lazy per-JVM (i.e. per-executor) JDBC connection cache for
+      * [[pollTail]], keyed on url: a 1 s poll against a real database
+      * must not open a fresh connection per micro-batch — the reference
+      * holds ONE session for the LISTEN/NOTIFY lifetime
+      * (`postgres.rs:778-800`). Closed/invalid connections are dropped
+      * and reopened; a JVM shutdown hook closes whatever is cached.
+      * Fetches synchronize on the connection (two tails of the same url
+      * share it; JDBC connections are not statement-concurrent). The
+      * `opens`/`fetches` counters are operational observability and the
+      * spec's evidence that consecutive micro-batches share a session. */
+    private[graft] object TailPool {
+      private val conns = new java.util.concurrent.ConcurrentHashMap[String, java.sql.Connection]
+      val opens = new java.util.concurrent.atomic.AtomicLong(0)
+      val fetches = new java.util.concurrent.atomic.AtomicLong(0)
+      locally {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          conns.values.forEach(c => try c.close() catch { case _: Throwable => () })
+          conns.clear()
+        }))
+      }
+      def get(url: String, propPairs: Seq[(String, String)]): java.sql.Connection =
+        conns.compute(url, (_, cached) => {
+          val alive = cached != null &&
+            (try !cached.isClosed && cached.isValid(1) catch { case _: Throwable => false })
+          if (alive) cached
+          else {
+            if (cached != null) { try cached.close() catch { case _: Throwable => () } }
+            val p = new java.util.Properties
+            propPairs.foreach { case (k, v) => p.setProperty(k, v) }
+            opens.incrementAndGet()
+            java.sql.DriverManager.getConnection(url, p)
+          }
+        })
+    }
+
     /** The live half of [[postgresSource]]: poll-based tail of an
       * append-only table (the transport-portable stand-in for
       * LISTEN/NOTIFY — same rows, same order, latency bounded by the poll
       * period instead of the push). A single-key stateful op carries the
-      * high-water ts and the arrival seq across micro-batches; each
-      * micro-batch runs ONE fetch of `WHERE $tsCol > hwm ORDER BY $tsCol`
-      * inside the executor task.
+      * high-water ts, the arrival seq and the last-fetch wall clock
+      * across micro-batches; a micro-batch runs at most ONE fetch of
+      * `WHERE $tsCol > hwm ORDER BY $tsCol` inside the executor task —
+      * and none at all until `pollMs` has elapsed since the previous
+      * fetch, so the poll PERIOD is honored for any pollMs: the rate
+      * source only sets the micro-batch cadence (it floors at one batch
+      * per second — deriving the period from rowsPerSecond alone would
+      * poll a pollMs=5000 tail 5× too often), the elapsed-time gate in
+      * state decides whether a batch actually touches the database.
       *
       * Ordered-ts contract: monotone BY CONSTRUCTION across polls (the
       * `>` high-water predicate never re-delivers) and within a fetch
@@ -287,31 +328,37 @@ object Adapters {
         .load()
         .select(col("value")).as[Long]
         .groupByKey(_ => 0)
-        .flatMapGroupsWithState[(Long, Long), (Long, Long, String)](
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, String)](
           OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, _, state) =>
-          // one fetch per micro-batch, however many rate ticks arrived
-          var (hwm, seq) = if (state.exists) state.get else (Long.MinValue, 0L)
-          val p = new java.util.Properties
-          propPairs.foreach { case (k, v) => p.setProperty(k, v) }
-          val conn = java.sql.DriverManager.getConnection(url, p)
-          try {
-            val st = conn.prepareStatement(
-              s"SELECT $tsCol, $valCol FROM $table WHERE $tsCol > ? ORDER BY $tsCol")
-            st.setLong(1, hwm)
-            val rs = st.executeQuery()
+          // at most one fetch per micro-batch, none before pollMs elapses
+          var (hwm, seq, lastFetchMs) =
+            if (state.exists) state.get else (Long.MinValue, 0L, 0L)
+          val nowMs = System.currentTimeMillis()
+          if (nowMs - lastFetchMs < pollMs) Iterator.empty
+          else {
+            val conn = TailPool.get(url, propPairs)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
-            while (rs.next()) {
-              val ts = rs.getLong(1)
-              if (ts < hwm) throw new IllegalStateException(
-                s"postgres_source tail: out-of-order ts $ts after $hwm — the " +
-                  "ordered-ts replay contract aborts (reference postgres.rs live tail)")
-              hwm = ts
-              out += ((ts, seq, rs.getString(2)))
-              seq += 1
+            conn.synchronized {
+              TailPool.fetches.incrementAndGet()
+              val st = conn.prepareStatement(
+                s"SELECT $tsCol, $valCol FROM $table WHERE $tsCol > ? ORDER BY $tsCol")
+              try {
+                st.setLong(1, hwm)
+                val rs = st.executeQuery()
+                while (rs.next()) {
+                  val ts = rs.getLong(1)
+                  if (ts < hwm) throw new IllegalStateException(
+                    s"postgres_source tail: out-of-order ts $ts after $hwm — the " +
+                      "ordered-ts replay contract aborts (reference postgres.rs live tail)")
+                  hwm = ts
+                  out += ((ts, seq, rs.getString(2)))
+                  seq += 1
+                }
+              } finally st.close()
             }
-            state.update((hwm, seq))
+            state.update((hwm, seq, nowMs))
             out.iterator
-          } finally conn.close()
+          }
         }.toDF("ts", "seq", "value")
     }
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import scala.collection.mutable.ArrayBuffer
 import scala.reflect.ClassTag
@@ -89,5 +89,41 @@ object RunMode {
           gs.update(s)
           out.iterator
       }
+  }
+
+  /** Chain two (or more) stateful processors in STREAMING mode by
+    * materializing the stage boundary through a checkpointed file sink —
+    * the chained-stateful-op pattern (SURVEY §7.4). Structured Streaming
+    * rejects a second arbitrary-state operator
+    * (flatMapGroupsWithState/transformWithState) in the same query plan —
+    * its multi-stateful support covers time-window aggregations, dedup
+    * and stream-stream joins, not user state — so a long chain splits at
+    * stage boundaries: each stage is its OWN query with its own
+    * checkpoint, the intermediate is an exactly-once file sink (the
+    * parquet sink's transaction log dedupes replayed batches), and a
+    * restart resumes every stage from its own offsets independently.
+    * Batch mode needs none of this: [[batch]] composes directly, and
+    * ParitySpec's chained leg gates that the staged streaming chain
+    * reproduces the batch chain row-for-row.
+    *
+    * Returns the running stage-1 query and a streaming `Dataset[Ev]`
+    * reading the staged sink for the next stage (seq = 0: a stateful
+    * stage emits at most one row per (key, ts), so within-burst order is
+    * spent). The downstream stage keeps the ordering contract as long as
+    * it processes each upstream micro-batch before the next arrives
+    * (drive stage queries in order; the file source reads files in
+    * discovery order). */
+  def checkpointStage[S](ds: Dataset[Ev], proc: BurstProc[S], stageDir: String)(
+      implicit ct: ClassTag[S]): (StreamingQuery, Dataset[Ev]) = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val q = streaming(ds, proc).writeStream.format("parquet")
+      .option("path", s"$stageDir/data")
+      .option("checkpointLocation", s"$stageDir/ckpt")
+      .outputMode("append").start()
+    val next = spark.readStream.schema(Encoders.product[Out].schema)
+      .parquet(s"$stageDir/data")
+      .as[Out].map(o => Ev(o.key, o.ts, 0L, 0, o.v1))
+    (q, next)
   }
 }

@@ -148,4 +148,49 @@ class AdaptersSpec extends SparkSuite {
       assert(!got.exists(_._3 == "late"), "a write below the high-water mark is never delivered")
     } finally { q.stop(); conn.close() }
   }
+
+  test("pollTail holds ONE JDBC session across micro-batches and honors pollMs above 1s") {
+    val url = s"jdbc:derby:${tmp("pg_pool")}/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    def exec(sql: String): Unit = { val s = conn.createStatement(); s.execute(sql); s.close() }
+    exec("CREATE TABLE evts (ts BIGINT, v VARCHAR(64))")
+    (1 to 3).foreach(i => exec(s"INSERT INTO evts VALUES (${i * 100L}, 'p$i')"))
+    val opens0 = Jdbc.TailPool.opens.get()
+    val fetches0 = Jdbc.TailPool.fetches.get()
+
+    // leg 1: a fast poll runs many fetches — all through one connection
+    // (round-7 opened a fresh connection per micro-batch; the reference
+    // holds one session for the LISTEN/NOTIFY lifetime, postgres.rs:778)
+    val q1 = Jdbc.postgresSource(spark, url, "evts", "ts", "v", Jdbc.Live(pollMs = 10))
+      .writeStream.format("memory").queryName("pg_pool_mem").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (Jdbc.TailPool.fetches.get() - fetches0 < 3 &&
+        System.currentTimeMillis() < deadline) {
+        q1.processAllAvailable(); Thread.sleep(50)
+      }
+      assert(Jdbc.TailPool.fetches.get() - fetches0 >= 3, "expected >= 3 polls to run")
+    } finally q1.stop()
+    assert(Jdbc.TailPool.opens.get() - opens0 == 1,
+      "consecutive micro-batches must share one pooled connection, not open per batch")
+
+    // leg 2: pollMs far above the rate source's 1-batch/s floor — batches
+    // keep arriving but the elapsed-time gate must keep the database
+    // untouched after the first fetch (round-7 derived the period from
+    // rowsPerSecond, which floors at 1 row/s: a 60 s poll fetched every
+    // second)
+    val fetchesGate = Jdbc.TailPool.fetches.get()
+    val q2 = Jdbc.postgresSource(spark, url, "evts", "ts", "v", Jdbc.Live(pollMs = 60000))
+      .writeStream.format("memory").queryName("pg_gate_mem").outputMode("append").start()
+    try {
+      val until = System.currentTimeMillis() + 2500
+      while (System.currentTimeMillis() < until) {
+        q2.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(Jdbc.TailPool.fetches.get() - fetchesGate <= 1,
+        "a 60 s poll must fetch at most once in 2.5 s of 1 Hz micro-batches")
+    } finally { q2.stop(); conn.close() }
+    assert(Jdbc.TailPool.opens.get() - opens0 == 1,
+      "the gated tail reuses the same pooled connection (same url)")
+  }
 }

@@ -86,6 +86,33 @@ class ParitySpec extends SparkSuite {
     assert(agreed == tlOut(ScanOps.throttleExact(tl(single), 25L).df, "value"))
   }
 
+  test("chained stateful stages: throttle -> sessionize via checkpointStage == batch chain") {
+    // SURVEY §7.4: two arbitrary-state operators cannot share one
+    // streaming query plan, so the chain splits at a checkpointed file
+    // sink — stage 1 (throttle) writes exactly-once parquet, stage 2
+    // (sessionize) streams from it as its own query. The batch chain
+    // composes directly; both must agree row-for-row.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val mem = MemoryStream[Ev]
+    val (q1, staged) = RunMode.checkpointStage(mem.toDS(), P.throttle(25L), dir)
+    val q2 = RunMode.streaming(staged, P.sessionize(30L))
+      .writeStream.format("memory").queryName("par_chain").outputMode("append").start()
+    Seq(single.filter(_.ts <= 20), single.filter(e => e.ts > 20 && e.ts <= 50),
+      single.filter(_.ts > 50)).foreach { b =>
+      mem.addData(b); q1.processAllAvailable(); q2.processAllAvailable()
+    }
+    q1.stop(); q2.stop()
+    val s = norm(spark.table("par_chain").as[Out].collect().toSeq)
+    val b = norm(RunMode.batch(
+      RunMode.batch(spark.createDataset(single), P.throttle(25L))
+        .map(o => Ev(o.key, o.ts, 0L, 0, o.v1)),
+      P.sessionize(30L)).collect().toSeq)
+    assert(b == s, "staged streaming chain must reproduce the batch chain exactly")
+    assert(b.nonEmpty && b.map(_._3).distinct.size > 1,
+      "fixture must exercise >1 session to make the parity non-vacuous")
+  }
+
   test("dropSmallChange: batch == streaming == ScanOps") {
     val agreed = parity("dsc", single, P.dropSmallChange(1.5))
     assert(agreed == tlOut(ScanOps.dropSmallChange(tl(single), 1.5).df, "value"))
