@@ -18,4 +18,18 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.registry.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
+
+  /** Oracle-gated queries excluded from the bench JSON line only (Verify
+    * and the CORRECTNESS gate still run them): the driver records exactly
+    * the last 2000 chars of the bench's stdout, and the line at 93 queries
+    * already projects to ~1978 of the 1985-char budget (BenchSpec's gate)
+    * — one more entry truncates the head of the line (the total) away.
+    * Excluded queries get their sf0.1 timing recorded in COVERAGE.md's
+    * round notes instead. Every name here must exist in [[queries]]
+    * (BenchSpec asserts it). */
+  val nonBenchQueries: Set[String] = Set("aug_mstl")
+
+  /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries -- nonBenchQueries
 }

@@ -46,9 +46,21 @@ class BenchSpec extends SparkSuite {
     // >=10 s prints as an integer (<1000 s — a 1000 s query would have
     // failed the round long before the line length mattered)
     val projected = line.length - entry.get.length +
-      SparkEntry.queries.keys.toSeq.map(n => n.length + 2 + 1 + 3 + 1).sum
+      SparkEntry.benchQueries.keys.toSeq.map(n => n.length + 2 + 1 + 3 + 1).sum
     assert(projected < 1985,
-      s"projected bench line at ${SparkEntry.queries.size} queries = $projected chars; " +
+      s"projected bench line at ${SparkEntry.benchQueries.size} queries = $projected chars; " +
         "must fit the driver's 2000-char visible tail — shorten names or precision")
+  }
+
+  test("nonBenchQueries name real registry queries and stay oracle-gated") {
+    // the exclusion trims the bench LINE only — a name that drifted out of
+    // the registry (or lost its oracle) would silently weaken the
+    // line-budget story AND the correctness gate
+    val ghost = SparkEntry.nonBenchQueries.diff(SparkEntry.queries.keySet)
+    assert(ghost.isEmpty, s"nonBenchQueries not in the registry: $ghost")
+    val ungated = SparkEntry.nonBenchQueries.diff(SparkEntry.oracleSql.keySet)
+    assert(ungated.isEmpty,
+      s"nonBenchQueries without a DuckDB oracle (exclusion must never hide " +
+        s"an unverified query): $ungated")
   }
 }
