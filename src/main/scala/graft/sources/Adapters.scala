@@ -188,6 +188,154 @@ object Adapters {
       require(topicColumnOverride || opts.get("topic").exists(_.trim.nonEmpty),
         "kafka_pub: a topic is required unless rows carry a topic column")
     }
+
+    /** The transport seam: everything above the wire — option validation,
+      * the sink's required projection, the source's wire schema, the
+      * envelope encode/decode — is the builder path both implementations
+      * share. [[ConnectorTransport]] is the deployment leg
+      * (format("kafka"), needs a broker + the spark-sql-kafka jar, neither
+      * in this container); [[MemoryTransport]] is the in-process double
+      * serving/capturing the SAME schemas, so the round-trip spec
+      * exercises the full builder path and only the wire itself is
+      * swapped. */
+    trait Transport {
+      /** Subscribe: yields the kafka SOURCE wire schema (key/value binary,
+        * topic, partition, offset, timestamp, timestampType). `opts` have
+        * passed [[validateSubOptions]]. */
+      def sub(spark: SparkSession, opts: Map[String, String]): DataFrame
+      /** Publish: consumes the kafka SINK projection (`value` required,
+        * `key`/`topic` optional). `opts` have passed
+        * [[validatePubOptions]]. */
+      def pub(df: DataFrame, opts: Map[String, String],
+          queryName: String): org.apache.spark.sql.streaming.StreamingQuery
+    }
+
+    /** The real connector, verbatim option pass-through. Unrunnable in
+      * this container (documented LIVE-LEG STATUS above) but the builder
+      * path it shares with [[MemoryTransport]] is spec-gated. */
+    object ConnectorTransport extends Transport {
+      def sub(spark: SparkSession, opts: Map[String, String]): DataFrame =
+        opts.foldLeft(spark.readStream.format("kafka")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load()
+      def pub(df: DataFrame, opts: Map[String, String],
+          queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+        opts.foldLeft(df.writeStream.format("kafka")) {
+          case (w, (k, v)) => w.option(k, v)
+        }.queryName(queryName).start()
+    }
+
+    /** Timeline → sink projection. The payload ships the tick VERBATIM —
+      * `ts seq value` text, the same envelope discipline as the external
+      * line protocol — so identity and order live in the data, not in
+      * broker metadata (the reference's kafka adapter ships its own
+      * timestamped envelope the same way, `kafka.rs:233`): replaying the
+      * topic from any offset reproduces the exact Timeline. `key` (the
+      * kafka partitioner's input) is the timeline key when given — ticks
+      * of one key land in one partition, preserving their relative order
+      * under the broker's per-partition guarantee. */
+    def encode(df: DataFrame, keyCol: Option[String] = None): DataFrame = {
+      val payload = concat(col("ts").cast("string"), lit(" "),
+        col("seq").cast("string"), lit(" "), col("value").cast("string"))
+      val key = keyCol.map(c => col(c).cast("string").cast("binary"))
+        .getOrElse(lit(null).cast("binary"))
+      df.select(key.as("key"), payload.cast("binary").as("value"))
+    }
+
+    /** Wire → Timeline shape `(key, ts, seq, value)`: parse the envelope
+      * back out of the payload. Fail-fast on a malformed payload (a wiring
+      * error, not data — same loud-abort contract as tail_lines /
+      * csv_read). */
+    def decode(wire: DataFrame): DataFrame = {
+      val parts = split(col("value").cast("string"), " ")
+      wire
+        .withColumn("__p", when(size(parts) === 3, parts).otherwise(
+          raise_error(concat(lit("kafka_sub: malformed envelope (want 'ts seq value'): "),
+            col("value").cast("string")))))
+        .select(col("key").cast("string").as("key"),
+          element_at(col("__p"), 1).cast("long").as("ts"),
+          element_at(col("__p"), 2).cast("long").as("seq"),
+          element_at(col("__p"), 3).as("value"))
+    }
+
+    /** `kafka_sub`, the full builder path: validated options → transport
+      * wire → decoded Timeline shape. */
+    def subscribe(spark: SparkSession, transport: Transport, servers: String,
+        topic: String, startingOffsets: String = "earliest"): DataFrame =
+      decode(transport.sub(spark,
+        subOptions(servers, topic = topic, startingOffsets = startingOffsets)))
+
+    /** `kafka_pub`, the full builder path: validated options → sink
+      * projection → transport. `extraOpts` carries deployment-only sink
+      * options (checkpointLocation etc.) untouched. */
+    def publish(df: DataFrame, transport: Transport, servers: String,
+        topic: String, queryName: String, keyCol: Option[String] = None,
+        extraOpts: Map[String, String] = Map.empty)
+        : org.apache.spark.sql.streaming.StreamingQuery = {
+      val opts = pubOptions(servers, topic)
+      transport.pub(encode(df, keyCol), opts ++ extraOpts, queryName)
+    }
+
+    /** One record on the double's wire — the kafka source's columns with
+      * the timestamp as epoch millis (rendered to TimestampType in sub). */
+    final case class WireRecord(key: Array[Byte], value: Array[Byte],
+      topic: String, partition: Int, offset: Long, timestampMs: Long)
+
+    /** The MemoryStream-backed double: an in-process single-partition
+      * "broker" whose pub side captures the sink projection through
+      * foreachBatch (validating the same frame shape the real sink
+      * requires) and appends to a log, and whose sub side serves the log
+      * as the kafka source's wire schema. Offsets are the append order;
+      * the record timestamp is deterministic (the offset, as millis) so
+      * replays are bit-stable. Both sides RE-validate their option maps —
+      * the double must reject exactly what the connector's own load()
+      * would, even if a caller bypasses the [[subscribe]]/[[publish]]
+      * builders. */
+    final class MemoryTransport(spark: SparkSession) extends Transport {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      private val mem = MemoryStream[WireRecord](
+        org.apache.spark.sql.catalyst.encoders.encoderFor[WireRecord], spark.sqlContext)
+      private val offsets = new java.util.concurrent.atomic.AtomicLong(0)
+      /** The broker log, observable by specs. */
+      val log = new java.util.concurrent.ConcurrentLinkedQueue[WireRecord]
+
+      def sub(spark: SparkSession, opts: Map[String, String]): DataFrame = {
+        validateSubOptions(opts)
+        mem.toDS().select(col("key"), col("value"), col("topic"),
+          col("partition"), col("offset"),
+          timestamp_millis(col("timestampMs")).as("timestamp"),
+          lit(0).as("timestampType"))
+      }
+
+      def pub(df: DataFrame, opts: Map[String, String],
+          queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+        validatePubOptions(opts,
+          topicColumnOverride = df.columns.contains("topic"))
+        val topic = opts.getOrElse("topic", "")
+        df.writeStream.queryName(queryName).foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            // the real sink's frame contract: value required; key/topic
+            // optional; value/key castable to binary
+            require(batch.columns.contains("value"),
+              "kafka_pub: sink frame requires a 'value' column")
+            val rows = batch.select(
+              (if (batch.columns.contains("key")) col("key") else lit(null))
+                .cast("binary").as("key"),
+              col("value").cast("binary").as("value"),
+              (if (batch.columns.contains("topic")) col("topic") else lit(topic))
+                .cast("string").as("topic")).collect()
+            rows.foreach { r =>
+              val off = offsets.getAndIncrement()
+              val rec = WireRecord(r.getAs[Array[Byte]]("key"),
+                r.getAs[Array[Byte]]("value"), r.getAs[String]("topic"),
+                0, off, off)
+              log.add(rec)
+              mem.addData(rec)
+            }
+        }.start()
+      }
+    }
   }
 
   /** JDBC adapter (reference `adapters/postgres.rs`). */

@@ -193,4 +193,53 @@ class AdaptersSpec extends SparkSuite {
     assert(Jdbc.TailPool.opens.get() - opens0 == 1,
       "the gated tail reuses the same pooled connection (same url)")
   }
+
+  test("kafka round-trip through the MemoryStream double: the builder path " +
+    "the connector would use carries (ts, seq, value) exactly") {
+    val transport = new Kafka.MemoryTransport(spark)
+    val ticks = Seq(
+      ("a", 100L, 1L, 1.5), ("b", 100L, 2L, -2.0),
+      ("a", 200L, 3L, 0.25), ("b", 300L, 4L, 7.0))
+
+    // pub leg: a channel-fed streaming Timeline frame through publish()
+    // (validated options -> encode -> transport) — the double's foreachBatch
+    // enforces the real sink's frame contract and appends to the broker log
+    val ch = new graft.streaming.Channel(spark)
+    val pubQ = Kafka.publish(ch.toDS.toDF(), transport, "mem:9092", "ticks",
+      queryName = "kafka_pub_double", keyCol = Some("key"))
+    try {
+      ticks.foreach { case (k, ts, _, v) => ch.sendAt(k, ts, v) }
+      ch.flush(); pubQ.processAllAvailable()
+    } finally pubQ.stop()
+    assert(transport.log.size() == 4, "every tick reached the broker log")
+    import scala.jdk.CollectionConverters._
+    assert(transport.log.asScala.map(_.topic).toSet == Set("ticks"),
+      "the validated default topic rode the option map into each record")
+    assert(transport.log.asScala.map(r => new String(r.key)).toSet == Set("a", "b"),
+      "the timeline key is the kafka partitioner key")
+
+    // sub leg: subscribe() (validated options -> wire -> decode) back to
+    // the Timeline shape; the envelope, not broker metadata, carries
+    // identity — so the round-trip is exact
+    val q = Kafka.subscribe(spark, transport, "mem:9092", "ticks")
+      .writeStream.format("memory").queryName("kafka_sub_double")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.table("kafka_sub_double")
+      .select(col("key"), col("ts"), col("seq"), col("value").cast("double"))
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._3)
+    // seq was assigned by the channel in send order (1..4): compare verbatim
+    assert(back == ticks.map { case (k, ts, _, v) => (k, ts, 0L, v) }
+      .zipWithIndex.map { case ((k, ts, _, v), i) => (k, ts, i + 1L, v) },
+      s"round-trip must reproduce the exact ticks, got $back")
+
+    // the double enforces the SAME option gates the connector's load()
+    // would, even when the builders are bypassed
+    val badSub = intercept[IllegalArgumentException](
+      transport.sub(spark, Map("kafka.bootstrap.servers" -> "mem:9092")))
+    assert(badSub.getMessage.contains("exactly one"))
+    val badPub = intercept[IllegalArgumentException](
+      transport.pub(ch.toDS.toDF(), Map.empty, "bad"))
+    assert(badPub.getMessage.contains("bootstrap.servers"))
+  }
 }
