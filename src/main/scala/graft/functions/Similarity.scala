@@ -20,19 +20,22 @@ object Similarity {
     * corpus-sized and the broadcast ADC formulation is the wrong plan. */
   val PqAdcBroadcastRowCap: Long = 10L * 1000 * 1000
 
-  /** [[cosineDedupIvf]] broadcasts its packed-vector table into the pair-
-    * verify join while it fits under this cap (candidate pairs outnumber
-    * vectors ~occupancy×nProbe to 1, so per-pair vector shipping is the
-    * dominant shuffle otherwise); larger corpora fall back to the shuffle
-    * join. */
-  val CosineDedupBroadcastBytes: Long = 64L * 1024 * 1024
+  /** [[cosineDedupIvf]]'s target vectors-per-cell: the default cell count
+    * is ⌈n / occupancy⌉, so candidate pairs per vector (occupancy ×
+    * nProbe) are CONSTANT and total dedup work is O(n). 64 balances the
+    * two linear terms: smaller cells mean more centroids to score per
+    * vector (assignment, n × nCent × dim) and a bigger plan-time model;
+    * bigger cells mean more pairs through the verify filter (n × occ ×
+    * nProbe). */
+  val DedupCellOccupancy: Int = 64
 
   /** Cap on the coarse-quantizer model held on the driver (centroids ×
-    * dim doubles — 64 MB as doubles at the cap). [[cosineDedupIvf]]'s √n
-    * sample quantizer stays far under it at tested scales, but √n grows:
-    * at 10^12 vectors × 64 dims the sample is ~0.5 GB, which should fail
-    * loudly and route the caller to a trained hierarchical model with a
-    * smaller k, not silently balloon the driver and every task closure. */
+    * dim doubles — 64 MB as doubles at the cap). [[cosineDedupIvf]]'s
+    * n/occupancy flat model stays far under it at tested scales, but it
+    * grows linearly: at dim 64 the cap trips near 8M vectors, which
+    * should fail loudly and route the caller to a coarser or hierarchical
+    * trained model (same frame contract, higher occupancy + more probes),
+    * not silently balloon the driver and every task closure. */
   val QuantizerModelMaxDoubles: Long = 8L * 1024 * 1024
 
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
@@ -51,6 +54,59 @@ object Similarity {
       case Some(_) => throw new IllegalArgumentException(
         "probeDim: first row's embedding is NULL or empty — clean the input or pass dimHint")
     }
+
+  /** Top-`nTop` centroids of `v` by (4dp-rounded cosine DESC, cid ASC) —
+    * the exact ranking every IVF assignment/probe in this file uses (the
+    * rounding makes the DuckDB oracle's replay bit-stable) — computed
+    * WITHOUT paying the exact decimal rounding per centroid. The naive
+    * form (round all k, sort tuples) allocates a BigDecimal + boxed
+    * tuples per (row × centroid): at the 100× scale check that was 625M
+    * BigDecimals per assignment pass and measured 50–145 s/pass where
+    * the raw dot products are ~40 Gflops (~seconds). Here the scoring
+    * loop is allocation-free primitive math, and the exact rounding +
+    * ranking runs only over the centroids that can still reach the
+    * rounded top-nTop: rounded values live on the 1e-4 grid, so any
+    * centroid in the final top-nTop — or tied with one — has a rounded
+    * value ≥ round(t), t the nTop-th RAW score, hence a raw score
+    * ≥ round(t) − 5e-5 ≥ t − 1e-4. The 1.1e-4 margin adds ulp slack.
+    * Output is bit-identical to the naive form — proven by the oracle
+    * hash gate, which replays these probe sets exactly. */
+  private def topByRounded(cents: Array[(Long, Array[Double], Double)],
+      v: Array[Double], nv: Double, nTop: Int): Seq[(Long, Double)] = {
+    val kk = cents.length
+    val raw = new Array[Double](kk)
+    var i = 0
+    while (i < kk) {
+      val c = cents(i)
+      val w = c._2; val nw = c._3
+      var d = 0.0; var j = 0
+      while (j < w.length) { d += v(j) * w(j); j += 1 }
+      raw(i) = if (nv == 0 || nw == 0) 0.0 else d / (nv * nw)
+      i += 1
+    }
+    // nTop-th largest raw score via a small insertion buffer
+    val top = Array.fill(math.min(nTop, kk))(Double.NegativeInfinity)
+    i = 0
+    while (i < kk) {
+      val x = raw(i)
+      if (x > top(top.length - 1)) {
+        var j = top.length - 1
+        while (j > 0 && top(j - 1) < x) { top(j) = top(j - 1); j -= 1 }
+        top(j) = x
+      }
+      i += 1
+    }
+    val thresh = top(top.length - 1) - 1.1e-4
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    i = 0
+    while (i < kk) {
+      if (raw(i) >= thresh)
+        cand += ((cents(i)._1, BigDecimal(raw(i) + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      i += 1
+    }
+    cand.sortBy { case (cid, cs) => (-cs, cid) }.take(nTop).toSeq
+  }
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -201,22 +257,42 @@ object Similarity {
     * collision probability for cos 0.4 is only ~0.63. Measured at the
     * 10× scale check: 17× wall on 10× rows).
     *
-    * Here the bucket count GROWS with the corpus: nCent = ⌈√n⌉ sample
-    * centroids (the nCent lowest vec_ids — same pure-function-of-input
-    * quantizer as [[ivfTopK]], so the DuckDB oracle replays assignment
-    * exactly; a trained [[kmeansModel]] drops in unchanged). Every vector
-    * lives in its nearest cell (rounded cosine, ties to the lowest cid)
-    * and probes its `nProbe` nearest; a pair is a candidate when either
-    * side's HOME cell is probed by the other. Verified pairs = rounded
-    * packed-dot cosine ≥ tau, exactly like the LSH flavor.
+    * Here the bucket count GROWS with the corpus so OCCUPANCY stays
+    * CONSTANT: nCent = ⌈n / [[DedupCellOccupancy]]⌉ sample centroids (the
+    * nCent lowest vec_ids — same pure-function-of-input quantizer as
+    * [[ivfTopK]], so the DuckDB oracle replays assignment exactly; a
+    * trained [[kmeansModel]] drops in unchanged). Every vector lives in
+    * its nearest cell (rounded cosine, ties to the lowest cid) and probes
+    * its `nProbe` nearest; a pair is a candidate when either side's HOME
+    * cell is probed by the other. Verified pairs = rounded packed-dot
+    * cosine ≥ tau, exactly like the LSH flavor.
     *
-    * Scale shape: assignment is n×√n×dim broadcast-join flops, candidates
-    * ~ n×occupancy×nProbe with occupancy √n — O(n^1.5) total, the
-    * SemDeDup-style subquadratic bound, vs the LSH flavor's n²/2^p. At
-    * 100 TB the sample quantizer upgrades to trained hierarchical k-means
-    * (same frame contract), which tightens cells without changing shape.
-    * Recall is a cluster-coherence bet rather than a random-hyperplane
-    * bet — gated against brute force like every ANN entry. */
+    * Scale shape — both halves LINEAR in n (the round-7 √n-centroid
+    * formulation was O(n^1.5) and the round-8 100× check measured it
+    * 54× per decade with an OOM'd verify stage; both lessons are encoded
+    * here):
+    *  - candidates ~ n × occupancy × nProbe with occupancy a CONSTANT —
+    *    the SemDeDup-style bound with k ∝ n rather than k = √n;
+    *  - the verify never ships a vector per PAIR and never materializes
+    *    the candidate-id set: home rows and probe rows each carry their
+    *    packed vector ONCE through the cell-keyed shuffle (n and
+    *    n×nProbe rows — linear), the per-cell pair expansion happens
+    *    INSIDE the join's streamed output straight into the codegen'd
+    *    dot + tau filter, and distinct() runs only over pairs that
+    *    already passed tau (the true near-dups). The round-7 shape
+    *    instead distinct'd ~n×occ×nProbe candidate ids (535M rows at the
+    *    100× check) and re-attached a 8·dim-byte payload per pair
+    *    (~280 GB through the verify join — the measured OOM).
+    * A skewed cell (one giant near-dup cluster) concentrates one task;
+    * AQE skew-join splitting handles it on a real cluster, and the
+    * trained quantizer keeps cells balanced by construction. Cost: the
+    * flat plan-time model is nCent×dim doubles = n/occupancy×dim — under
+    * [[QuantizerModelMaxDoubles]] to ~8M vectors at dim 64; beyond, pass
+    * a coarser trained model (higher occupancy + more probes) or a
+    * hierarchical quantizer with the same frame contract — the loud
+    * `require` routes there. Recall is a cluster-coherence bet rather
+    * than a random-hyperplane bet — gated against brute force like every
+    * ANN entry. */
   def cosineDedupIvf(vecs: DataFrame, tau: Double, nProbe: Int = 2,
       nCent: Int = -1, dimHint: Int = -1,
       model: Seq[(Long, Array[Double])] = Nil): DataFrame = {
@@ -233,13 +309,13 @@ object Similarity {
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     val n = vecs.count()
     val k = if (nCent > 0) nCent
-      else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      else math.max(1, math.ceil(n.toDouble / DedupCellOccupancy).toInt)
     // assignment via a plan-time model + ONE JIT'd loop per row — NOT the
-    // [[cellAffinity]] exploded join: √n centroids put n×√n×dim ROWS
-    // through that join (182M at the 10× check, measured 127 s vs ~13 s
-    // for this loop doing the same flops). The model is √n×dim doubles
-    // (73 KB at 20k vectors) serialized into the closure — the same
-    // broadcast-model discipline as [[pqEncoders]]/[[kmeansModel]];
+    // [[cellAffinity]] exploded join: n/occ centroids put n×nCent×dim
+    // ROWS through that join (182M at the 10× check, measured 127 s vs
+    // ~13 s for this loop doing the same flops). The model is nCent×dim
+    // doubles (25 KB at 20k vectors) serialized into the closure — the
+    // same broadcast-model discipline as [[pqEncoders]]/[[kmeansModel]];
     // norms precomputed once. Rounded 4dp (shared +1e-9 HALF_UP) BEFORE
     // the (cs desc, cid) ranking so the oracle replays probe sets
     // exactly.
@@ -262,41 +338,66 @@ object Similarity {
       s"cosineDedupIvf: quantizer model ${cents.length} centroids x $dim dims exceeds " +
         s"the $QuantizerModelMaxDoubles-double driver/closure cap — train a smaller " +
         "kmeansModel (hierarchical at extreme scale) and pass it via model=")
+    // verify via the cell-keyed self-join, exactly [[cosineDedupLsh]]'s
+    // (table, bucket) shape: each row crosses the shuffle WITH its packed
+    // vector — once on the home side (n rows) and once per probe
+    // (n×nProbe rows), both linear — and the per-cell home×probe pair
+    // expansion only ever exists inside the join's streamed output,
+    // flowing straight into the codegen'd packed-dot + tau filter. The
+    // dedup (same pair via both directions or several shared cells) runs
+    // AFTER the filter, over true near-dup pairs only. dotPacked is
+    // symmetric bit-for-bit (same products, same summation order), so
+    // duplicates agree on cos and dropDuplicates keeps result semantics
+    // exact. Round 7 instead distinct'd the (a,b) candidate-id set
+    // (n×occ×nProbe rows — 535M at the 100× check) and re-attached the
+    // packed payload per PAIR through a second join (~280 GB of shuffle
+    // at 100× — the measured OOM + 54×-per-decade wall).
+    val packed = ivfProbeFrame(cv, cents, nProbe)
+    val homes = packed.select(element_at(col("pcs"), 1).as("cell"),
+      col("id").as("m"), col("vp").as("pm"))
+    val probers = packed.select(explode(col("pcs")).as("cell"),
+      col("id").as("p"), col("vp").as("pp"))
+    homes.join(probers, "cell").where(col("m") =!= col("p"))
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("pm"), col("pp")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .select(least(col("m"), col("p")).as("a"),
+        greatest(col("m"), col("p")).as("b"), col("cos"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** The (id, pcs, vp) probe frame behind [[cosineDedupIvf]]: per row,
+    * the [[topByRounded]] nProbe-cell probe list plus the packed unit
+    * vector. Package-visible so scale probes can time this pass in
+    * isolation. */
+  private[graft] def ivfProbeFrame(cv: DataFrame,
+      cents: Array[(Long, Array[Double], Double)], nProbe: Int): DataFrame = {
     val nP = nProbe
     val probeU = udf { (v: Seq[Double]) =>
+      // one boxed→primitive copy per ROW: the scoring loop then reads a
+      // primitive array, not 64 boxed unboxings per (row × centroid)
+      val va = v.toArray
       var n2 = 0.0; var i = 0
-      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
       val nv = math.sqrt(n2)
-      cents.map { case (cid, w, nw) =>
-        var d = 0.0; var j = 0
-        while (j < w.length) { d += v(j) * w(j); j += 1 }
-        val cs = if (nv == 0 || nw == 0) 0.0 else d / (nv * nw)
-        (cid, BigDecimal(cs + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.sortBy { case (cid, cs) => (-cs, cid) }.take(nP).map(_._1).toSeq
+      topByRounded(cents, va, nv, nP).map(_._1).toSeq
     }
-    val ranked = cv.withColumn("pcs", probeU(col("v")))
-    val cells = ranked.select(col("id").as("m"), element_at(col("pcs"), 1).as("cell"))
-    val probes = ranked.select(col("id").as("p"), explode(col("pcs")).as("cell"))
-    val cand = cells.join(probes, "cell").where(col("m") =!= col("p"))
-      .select(least(col("m"), col("p")).as("a"), greatest(col("m"), col("p")).as("b"))
-      .distinct()
-    // verify join: candidate pairs outnumber vectors ~occupancy×nProbe to
-    // 1, so shipping the 8·dim-byte packed vector per PAIR through the
-    // shuffle costs ~GBs where the packed-vector TABLE is ~n×8·dim bytes
-    // (10 MB at 20k×64) — broadcast it when it fits (measured 70 s → 23 s
-    // at the 10× check); above the cap fall back to the shuffle join,
-    // where each vector crosses once per pair side (the partition-
-    // colocated layout a 100 TB run gets from bucketing by id).
-    val cvn = cv.withColumn("vp", packUnit(col("v"))).select("id", "vp")
-    val cvnSized = if (n * dim * 8 <= CosineDedupBroadcastBytes)
-      broadcast(cvn) else cvn
-    cand
-      .join(cvnSized.select(col("id").as("a"), col("vp").as("pa")), "a")
-      .join(cvnSized.select(col("id").as("b"), col("vp").as("pb")), "b")
-      .withColumn("cos", round(
-        org.apache.spark.sql.GraftColumns.dotPacked(col("pa"), col("pb")) + lit(1e-9), 4))
-      .where(col("cos") >= tau)
-      .select("a", "b", "cos")
+    cv.withColumn("pcs", probeU(col("v")))
+      .withColumn("vp", packUnit(col("v")))
+  }
+
+  /** [[ivfProbeFrame]] from a raw embeddings frame + trained model (the
+    * scale-probe entry point). */
+  private[graft] def probeFrameForTest(vecs: DataFrame,
+      model: Seq[(Long, Array[Double])], nProbe: Int, dimHint: Int): DataFrame = {
+    val cv = vecs.select(col("vec_id").as("id"),
+      toDouble(col("embedding")).as("v"))
+    val cents = model.map { case (cid, w) =>
+      var nw = 0.0; var i = 0
+      while (i < w.length) { nw += w(i) * w(i); i += 1 }
+      (cid, w, math.sqrt(nw))
+    }.toArray
+    ivfProbeFrame(cv, cents, nProbe)
   }
 
   /** Unit-normalize a double vector and pack it little-endian into bytes
@@ -528,19 +629,16 @@ object Similarity {
         while (i < ws.length) { nw += ws(i) * ws(i); i += 1 }
         (cid, ws, math.sqrt(nw))
       }.toArray
+      // argmax via [[topByRounded]]'s primitive scoring loop + exact
+      // rounded ranking over the provably-sufficient candidate set —
+      // identical (cell, aff) to rounding every centroid, minus the
+      // per-(row × centroid) BigDecimal the 100× check measured dominant
       val bestU = udf { (v: Seq[Double]) =>
+        val va = v.toArray
         var n2 = 0.0; var i = 0
-        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-        val nv = math.sqrt(n2)
-        var bestCid = Long.MaxValue; var bestCs = Double.NegativeInfinity
-        cents.foreach { case (cid, w, nw) =>
-          var d = 0.0; var j = 0
-          while (j < w.length) { d += v(j) * w(j); j += 1 }
-          val cs = if (nv == 0 || nw == 0) 0.0 else d / (nv * nw)
-          val r = BigDecimal(cs + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (r > bestCs || (r == bestCs && cid < bestCid)) { bestCs = r; bestCid = cid }
-        }
-        (bestCid, bestCs)
+        while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+        val best = topByRounded(cents, va, math.sqrt(n2), 1).head
+        (best._1, best._2)
       }
       cv.withColumn("bc", bestU(col("v")))
         .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"))

@@ -193,7 +193,7 @@ class PipelineSpec extends SparkSuite {
       "(8 tables x 4 planes at tau=0.4 on 500 vectors; measured 0.758 when frozen)")
   }
 
-  test("IVF cosine near-dup recall vs brute force clears the frozen gate (the n^1.5 scale flavor)") {
+  test("IVF cosine near-dup recall vs brute force clears the frozen gate (the O(n) scale flavor)") {
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
     val found = Similarity.cosineDedupIvf(e, 0.4, nProbe = 6, dimHint = 64)
@@ -207,16 +207,20 @@ class PipelineSpec extends SparkSuite {
     val recall = (found & brute).size.toDouble / brute.size
     info(f"IVF pair recall = $recall%.3f over ${brute.size} truth pairs")
     assert(recall >= 0.60, f"IVF pair recall $recall%.3f fell below the frozen 0.60 gate " +
-      "(sqrt-n SALTED-sample centroids, 6 probes at tau=0.4 on 500 vectors; " +
-      "measured 0.818 when frozen — the round-7 id-ordered sample measured 0.803)")
+      "(n/occupancy SALTED-sample centroids, 6 probes at tau=0.4 on 500 vectors; " +
+      "the round-7 sqrt-n sample measured 0.818, the id-ordered one 0.803)")
   }
 
   test("IVF cosine dedup with the trained quantizer (the registry config) beats the sample") {
     // exactly the emb_dedup_cosine registry wiring: one Lloyd refinement
-    // (iters=2, loopAssign) over the sqrt-n init, then the 6-probe dedup
+    // (iters=2, loopAssign) over the n/occupancy lowest-id init, then the
+    // 6-probe dedup
     val d = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, d)
-    val trained = Similarity.kmeansModel(e, nCent = 23, iters = 2, dimHint = 64,
+    val n = e.count()
+    val k = math.max(1, math.ceil(
+      n.toDouble / Similarity.DedupCellOccupancy).toInt)
+    val trained = Similarity.kmeansModel(e, nCent = k, iters = 2, dimHint = 64,
       loopAssign = true)
     val found = Similarity.cosineDedupIvf(e, 0.4, nProbe = 6, dimHint = 64,
       model = trained).select("a", "b").as[(Long, Long)].collect().toSet
@@ -231,7 +235,8 @@ class PipelineSpec extends SparkSuite {
     val recall = (found & brute).size.toDouble / brute.size
     info(f"trained-quantizer pair recall = $recall%.3f over ${brute.size} truth pairs")
     assert(recall >= 0.80, f"trained-quantizer pair recall $recall%.3f fell below the " +
-      "frozen 0.80 gate (Lloyd-refined sqrt-n centroids, 6 probes at tau=0.4 on 500 vectors)")
+      "frozen 0.80 gate (Lloyd-refined n/occupancy centroids, 6 probes at tau=0.4 " +
+      "on 500 vectors)")
   }
 
   test("HLL sketch: approx_count_distinct within 5% of exact per source (M6 sketches)") {

@@ -162,17 +162,44 @@ class PlanAuditSpec extends SparkSuite {
       "rank filters no longer push a group limit into the window")
   }
 
-  test("IVF cosine dedup: model-UDF assignment, broadcast verify joins, id-width dedup") {
-    // round-7 shape: assignment is a plan-time-model UDF (no centroid
-    // join), the candidate distinct carries only (a, b) ids, and the
-    // packed-vector verify joins broadcast at this corpus size (the
-    // size-aware CosineDedupBroadcastBytes path). A SortMergeJoin here
-    // means vectors are crossing a shuffle per candidate pair.
+  test("IVF cosine dedup: model-UDF assignment, one streamed cell self-join " +
+    "with the verify fused into it") {
+    // round-8 shape (the 100× check's lesson): assignment is a plan-time-
+    // model UDF (no centroid join), and verification is ONE equi-join on
+    // the cell id where each side carries its packed vector ONCE — the
+    // home×probe pair expansion exists only inside the join's streamed
+    // output, and the dot_packed ≥ tau verify is FUSED into the join
+    // condition, so no candidate set is ever materialized or re-shuffled
+    // (the round-7 shape distinct'd ~n×occ×nProbe candidate ids and
+    // re-attached the packed payload per pair — the measured 100× OOM).
+    val joinRe = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
     val p = plan("emb_dedup_cosine")
-    assert(p.contains("BroadcastHashJoin"), "packed-vector verify join lost its broadcast")
-    assert(!p.contains("SortMergeJoin"),
-      "no sort-merge join at a broadcastable corpus size")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(joinRe.findAllIn(p).size == 1,
+      s"expected exactly ONE join (the cell self-join), got:\n$p")
+    assert(p.linesIterator.exists(l => joinRe.findFirstIn(l).isDefined
+        && l.contains("dot_packed")),
+      "the tau verify must be fused into the join condition, not applied " +
+        s"to a materialized candidate set:\n$p")
+    // at-scale shape: with broadcast off (what a corpus-sized build side
+    // looks like to the planner), the join is a shuffle equi-join on cell
+    // and exactly 3 required hash exchanges exist — homes on cell, probes
+    // on cell, pair dedup on (a, b); the final orderBy's range exchange
+    // is separate, and the cached scan's REPARTITION_BY_COL exchanges are
+    // its own. A 4th ENSURE_REQUIREMENTS exchange means a candidate set
+    // is crossing a shuffle again. (At sf0.001 the planner correctly
+    // broadcasts the 500-row side — the default-config leg above — so the
+    // scale shape is pinned with the broadcast path closed off.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val ps = plan("emb_dedup_cosine")
+      assert(ps.contains("SortMergeJoin") || ps.contains("ShuffledHashJoin"),
+        s"cell self-join must be a shuffle equi-join on the cell id:\n$ps")
+      val req = ps.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+      assert(req == 3, s"expected 3 required hash exchanges (homes×cell, " +
+        s"probes×cell, pair dedup), got $req:\n$ps")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("decontamination: eval hashes broadcast; corpus side never shuffles on h") {
