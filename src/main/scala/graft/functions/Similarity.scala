@@ -765,7 +765,11 @@ object Similarity {
     // rounded per-subspace squared L2 — the cross-engine argmin/sum value
     def r4d(x: Double): Double =
       BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def subD(v: Seq[Double], j: Int, c: Int): Double = {
+    // one boxed→primitive copy per ROW (the encode loop otherwise reads
+    // the boxed Seq m×kEff×dsub = dim×kEff times per row — the same
+    // boxing tax the 100× scale check measured dominant in the IVF
+    // dedup's assignment pass)
+    def subD(v: Array[Double], j: Int, c: Int): Double = {
       var ss = 0.0; var i = 0
       while (i < dsub) {
         val dd = v(j * dsub + i) - cb(c)(j * dsub + i); ss += dd * dd; i += 1
@@ -773,16 +777,18 @@ object Similarity {
       r4d(ss)
     }
     val codesU = udf { v: Seq[Double] =>
+      val va = v.toArray
       Array.tabulate(m) { j =>
-        var best = 0; var bd = subD(v, j, 0); var c = 1
+        var best = 0; var bd = subD(va, j, 0); var c = 1
         while (c < kEff) {
-          val dd = subD(v, j, c); if (dd < bd) { bd = dd; best = c }; c += 1
+          val dd = subD(va, j, c); if (dd < bd) { bd = dd; best = c }; c += 1
         }
         best
       }
     }
     val qdU = udf { v: Seq[Double] =>
-      (for { j <- 0 until m; c <- 0 until kEff } yield (j, c, subD(v, j, c))).toArray
+      val va = v.toArray
+      (for { j <- 0 until m; c <- 0 until kEff } yield (j, c, subD(va, j, c))).toArray
     }
     (codesU, qdU)
   }
@@ -819,25 +825,31 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding"))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(cents.nonEmpty, "ivfPqTopK: candidates must be non-empty to build centroids")
-    def r4c(x: Double): Double =
-      BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def cosTo(v: Seq[Double], c: Array[Double]): Double = {
-      var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
-      while (i < dim) { val x = v(i); val y = c(i); d += x * y; nv += x * x; nc += y * y; i += 1 }
-      r4c(if (nv == 0.0 || nc == 0.0) 0.0 else d / (math.sqrt(nv) * math.sqrt(nc)))
+    // assignment/probing via [[topByRounded]]: primitive scoring loop with
+    // precomputed centroid norms and one boxed→array copy per row, exact
+    // rounded ranking only over the reachable candidate set — identical
+    // (rounded argmax, lowest-cid ties) to rounding every cell, minus the
+    // per-(row × centroid) BigDecimal + norm recompute (the boxing tax
+    // the 100× scale check measured dominant in the dedup's twin loop).
+    // cents are cid-ascending (orderBy above), so lowest POSITION on a
+    // tie == lowest cid, matching topByRounded's comparator.
+    val centsN: Array[(Long, Array[Double], Double)] = cents.map { case (cid, w) =>
+      var nw = 0.0; var i = 0
+      while (i < w.length) { nw += w(i) * w(i); i += 1 }
+      (cid, w, math.sqrt(nw))
+    }
+    def vNorm(va: Array[Double]): Double = {
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      math.sqrt(n2)
     }
     val bestCellU = udf { v: Seq[Double] =>
-      var best = 0; var bs = cosTo(v, cents(0)._2); var c = 1
-      while (c < cents.length) {
-        val cs = cosTo(v, cents(c)._2)
-        if (cs > bs) { bs = cs; best = c } // strict > keeps the lowest cid on ties
-        c += 1
-      }
-      cents(best)._1
+      val va = v.toArray
+      topByRounded(centsN, va, vNorm(va), 1).head._1
     }
     val probeCellsU = udf { v: Seq[Double] =>
-      cents.map { case (cid, cw) => (cid, cosTo(v, cw)) }
-        .sortBy { case (cid, cs) => (-cs, cid) }.take(nProbe).map(_._1)
+      val va = v.toArray
+      topByRounded(centsN, va, vNorm(va), nProbe).map(_._1).toArray
     }
     val cells = candidates
       .select(col("vec_id").as("nid"), bestCellU(checked(col("embedding"))).as("cell"))
