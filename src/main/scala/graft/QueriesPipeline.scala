@@ -135,6 +135,22 @@ object QueriesPipeline {
     * persisted frame is #docs × (8 longs + hashed set) — tiny next to
     * the text it derives from; at scale this is the materialized
     * signature table every LSH pipeline keeps. */
+  /** Scale-probe hook: the banded candidate count + mean shingle-set
+    * length behind [[minhashVerifiedPairs]] — the two numbers that size
+    * its verify-join shuffle (candidates × 2 × setLen × 8 bytes). */
+  private[graft] def minhashProbe(s: SparkSession, d: String): (Long, Double) = {
+    val base = cached(
+      minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true))
+    val bands = bandRows(base, Nil)
+    val cand = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct().count()
+    val meanSet = base.select(
+      org.apache.spark.sql.functions.avg(size(col("shh")))).head.getDouble(0)
+    (cand, meanSet)
+  }
+
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val base = cached(
       minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true))

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scale-probe hooks behind the COVERAGE 100× attributions — pinned
+  * at the gate SF so the numbers those attributions rest on (banded
+  * candidate volume, verify-payload size, probe-frame shape) cannot
+  * silently change meaning. */
+class ScaleProbeSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("minhashProbe: banded candidates and set length size the verify join") {
+    val (cand, meanSet) = QueriesPipeline.minhashProbe(spark, d)
+    // candidates exist (the corpus has planted near-dups) and the mean
+    // shingle-set length is small-constant — the verify join's per-pair
+    // payload is 2 × meanSet × 8 bytes, which is why candidate volume,
+    // not corpus size, sizes that shuffle (measured linear at 10×/100×)
+    assert(cand > 0, "banded candidate pairs must exist at the gate SF")
+    assert(meanSet > 0 && meanSet < 1000,
+      s"mean shingle-set length $meanSet outside the small-constant band")
+  }
+
+  test("probeFrameForTest: one row per vector, nProbe cells, packed payload") {
+    val e = Tables.embeddings(spark, d)
+    val n = e.count()
+    val k = math.max(1, math.ceil(
+      n.toDouble / graft.functions.Similarity.DedupCellOccupancy).toInt)
+    val model = graft.functions.Similarity.kmeansModel(e, nCent = k, iters = 2,
+      dimHint = 64, loopAssign = true)
+    val pf = graft.functions.Similarity.probeFrameForTest(e, model, nProbe = 6,
+      dimHint = 64).cache()
+    try {
+      assert(pf.count() == n, "probe frame carries exactly one row per vector")
+      val probeCounts = pf.select(size(col("pcs")).as("s"))
+        .groupBy("s").count().collect().map(r => r.getInt(0)).toSet
+      assert(probeCounts == Set(math.min(6, k)),
+        s"every row probes min(nProbe, k) cells, got sizes $probeCounts")
+      assert(pf.select(min(length(col("vp")))).head.getInt(0) == 64 * 8,
+        "packed payload is dim x 8 bytes")
+    } finally pf.unpersist()
+  }
+}
