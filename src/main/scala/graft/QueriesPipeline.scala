@@ -20,6 +20,9 @@ object QueriesPipeline {
   private val SH2 =
     "list_distinct(list_transform(range(1, greatest(len(toks)-1, 0)+1), i -> toks[i] || ' ' || toks[i+1]))"
   private val H60 = "('0x' || substr(md5(%s),1,15))::BIGINT"
+  /** DuckDB replay of the salted sample-model ordering every ANN entry
+    * uses (Similarity: orderBy(hash60(vec_id), vec_id)). */
+  private val SALT = "('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id"
 
   /** persist + EAGER materialization (one count pass) for frames consumed
     * by multiple plan branches. Lazy persist lets the first action's
@@ -843,17 +846,19 @@ object QueriesPipeline {
       Some(annOracle)),
 
     // IVF-Flat ANN (the coarse-quantizer scale path next to the LSH one):
-    // 16 deterministic sample centroids, each candidate in its single
-    // nearest cell, queries probe their 4 nearest cells and rank exactly
-    // within. Every stage is a pure function of the input, so the oracle
-    // replays assignment, probing, and ranking verbatim.
+    // 16 deterministic SALTED sample centroids (hash60(vec_id) order — id
+    // order correlated with cluster structure cannot skew the quantizer;
+    // round-9/10 verdict item), each candidate in its single nearest
+    // cell, queries probe their 4 nearest cells and rank exactly within.
+    // Every stage is a pure function of the input, so the oracle replays
+    // assignment, probing, and ranking verbatim.
     "emb_ann_ivf" -> Q(
       (s, d) => Similarity.ivfTopK(
         emb(s, d).where(col("vec_id") < 10), emb(s, d), 3,
         nCent = 16, nProbe = 4, dimHint = AnnDim)
         .orderBy("qid", "rank"),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY $SALT LIMIT 16),
              |af AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
              |cells AS (SELECT id AS nid, cid AS cell FROM (
@@ -889,8 +894,8 @@ object QueriesPipeline {
           nCent = 16, nProbe = 4, m = 32, ksub = 64, dimHint = AnnDim)
           .orderBy("qid", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY $SALT LIMIT 16),
              |af AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
              |cells AS (SELECT id AS nid, cid AS cell FROM (
@@ -904,8 +909,8 @@ object QueriesPipeline {
              |  WHERE rn <= 4),
              |pairs AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
              |  WHERE qid <> nid),
-             |cb AS (SELECT v AS cv2, (row_number() OVER (ORDER BY vec_id) - 1) AS c
-             |  FROM e ORDER BY vec_id LIMIT 64),
+             |cb AS (SELECT v AS cv2, (row_number() OVER (ORDER BY $SALT) - 1) AS c
+             |  FROM e ORDER BY $SALT LIMIT 64),
              |dt AS (SELECT e.vec_id AS id, j, c,
              |    round(1e-9 + list_sum(list_transform(range(1, 3),
              |      i -> (v[j*2 + i] - cv2[j*2 + i])^2)), 4) AS d2
@@ -929,7 +934,8 @@ object QueriesPipeline {
     // ANN path (m bytes per indexed vector). Uniform-ish embeddings are
     // PQ's hardest case (distance concentration), so the config is finer
     // than text-embedding deployments would need: measured recall@3 vs
-    // exact L2 = 0.58 at sf0.01 (m=8,ksub=16 scores 0.14). Oracle replays
+    // exact L2 = 0.573 with the round-10 salted codebook (0.58 unsalted;
+    // m=8,ksub=16 scores 0.14). Oracle replays
     // encode (rounded per-subspace L2 argmin) and ADC scoring exactly.
     "emb_pq" -> Q(
       (s, d) => {
@@ -939,9 +945,9 @@ object QueriesPipeline {
           m = 32, ksub = 64, dimHint = AnnDim)
           .orderBy("qid", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cb AS (SELECT v AS cv, (row_number() OVER (ORDER BY vec_id) - 1) AS c
-             |  FROM e ORDER BY vec_id LIMIT 64),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cb AS (SELECT v AS cv, (row_number() OVER (ORDER BY $SALT) - 1) AS c
+             |  FROM e ORDER BY $SALT LIMIT 64),
              |d AS (SELECT e.vec_id AS id, j, c,
              |    round(1e-9 + list_sum(list_transform(range(1, 3),
              |      i -> (v[j*2 + i] - cv[j*2 + i])^2)), 4) AS d2

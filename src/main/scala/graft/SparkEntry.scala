@@ -19,15 +19,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.registry.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
 
-  /** Oracle-gated queries excluded from the bench JSON line only (Verify
-    * and the CORRECTNESS gate still run them): the driver records exactly
-    * the last 2000 chars of the bench's stdout, and the line at 93 queries
-    * already projects to ~1978 of the 1985-char budget (BenchSpec's gate)
-    * — one more entry truncates the head of the line (the total) away.
-    * Excluded queries get their sf0.1 timing recorded in COVERAGE.md's
-    * round notes instead. Every name here must exist in [[queries]]
-    * (BenchSpec asserts it). */
-  val nonBenchQueries: Set[String] = Set("aug_mstl")
+  /** Oracle-gated queries excluded from the bench JSON line only (Verify,
+    * the CORRECTNESS gate, and the bench's BENCH_LOCAL.json full record
+    * still run and time them): the driver records exactly the last 2000
+    * chars of the bench's stdout, and the line at 93 queries measured
+    * ~1967 chars — one more entry truncates the head of the line (the
+    * total) away. Round 10 added the `ctl` noise-probe entries (~24
+    * chars) to the line and moved the two longest-named stable queries
+    * here to pay for them; their timings live in BENCH_LOCAL.json (every
+    * run) and COVERAGE.md's round notes. New registry queries go here by
+    * default — the full per-query record is the file, the line is the
+    * driver-budgeted summary. Every name here must exist in [[queries]]
+    * and carry an oracle (BenchSpec asserts both). */
+  val nonBenchQueries: Set[String] =
+    Set("aug_mstl", "q_top3_parts_per_brand", "doc_sample_stratified")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -295,7 +295,7 @@ object Similarity {
     * ANN entry. */
   def cosineDedupIvf(vecs: DataFrame, tau: Double, nProbe: Int = 2,
       nCent: Int = -1, dimHint: Int = -1,
-      model: Seq[(Long, Array[Double])] = Nil): DataFrame = {
+      model: Seq[(Long, Array[Double])] = Nil, nHint: Long = -1L): DataFrame = {
     val dim = if (dimHint > 0) dimHint
       else probeDim(vecs)
     if (dim == 0)
@@ -307,9 +307,6 @@ object Similarity {
         .otherwise(raise_error(concat(lit(s"cosineDedupIvf: expected dim $dim, got "),
           coalesce(size(vec).cast("string"), lit("NULL")))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
-    val n = vecs.count()
-    val k = if (nCent > 0) nCent
-      else math.max(1, math.ceil(n.toDouble / DedupCellOccupancy).toInt)
     // assignment via a plan-time model + ONE JIT'd loop per row — NOT the
     // [[cellAffinity]] exploded join: n/occ centroids put n×nCent×dim
     // ROWS through that join (182M at the 10× check, measured 127 s vs
@@ -330,10 +327,21 @@ object Similarity {
     // label-sorted exports) cannot skew the centroids toward one region;
     // the hash tie-breaks to id, keeping the sample a pure, oracle-
     // replayable function of the input.
+    // the cell count (and hence the sizing count() when no nCent/nHint is
+    // given) is needed ONLY on the sample path: with a caller-supplied
+    // model this query runs zero extra corpus scans before useful work —
+    // at 100 TB the old unconditional vecs.count() was a full pass spent
+    // computing a number the model branch never read
     val cents: Array[(Long, Array[Double], Double)] =
       if (model.nonEmpty) model.map { case (cid, w) => withNorm(cid, w) }.toArray
-      else cv.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id")).limit(k)
-        .collect().map(r => withNorm(r.getLong(0), r.getSeq[Double](1).toArray))
+      else {
+        val k = if (nCent > 0) nCent else {
+          val n = if (nHint > 0) nHint else vecs.count()
+          math.max(1, math.ceil(n.toDouble / DedupCellOccupancy).toInt)
+        }
+        cv.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id")).limit(k)
+          .collect().map(r => withNorm(r.getLong(0), r.getSeq[Double](1).toArray))
+      }
     require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
       s"cosineDedupIvf: quantizer model ${cents.length} centroids x $dim dims exceeds " +
         s"the $QuantizerModelMaxDoubles-double driver/closure cap — train a smaller " +
@@ -442,11 +450,12 @@ object Similarity {
     * centroid by rounded cosine, ties to the lowest centroid id); a query
     * probes its `nProbe` nearest cells and ranks exactly within them.
     *
-    * Centroids are a deterministic data sample (the `nCent` lowest
-    * vec_ids) — a k-means-style trained quantizer would drop in here
-    * unchanged (swap the centroid frame), but the sample keeps the whole
-    * index a pure function of the input, so the DuckDB oracle replays
-    * assignment, probing, and ranking EXACTLY.
+    * Centroids are a deterministic SALTED data sample (the `nCent`
+    * lowest hash60(vec_id), id tie-break) — a k-means-style trained
+    * quantizer would drop in here unchanged (swap the centroid frame),
+    * but the sample keeps the whole index a pure function of the input,
+    * so the DuckDB oracle replays assignment, probing, and ranking
+    * EXACTLY.
     *
     * Scale shape: assignment is one broadcast equi-join + aggregate (the
     * centroid table is the broadcast model, nCent×dim doubles); the
@@ -472,9 +481,13 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
     val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
     // coarse quantizer: a trained [[kmeansModel]] when provided (nCent is
-    // then the model's size), else the nCent lowest vec_ids — whatever
-    // the id space looks like (sparse or offset ids yield a full
-    // quantizer, not a silently-smaller one); both are small, so the
+    // then the model's size), else a SALTED data sample — the nCent
+    // lowest hash60(vec_id), id tie-break, not the nCent lowest ids: an
+    // id order that correlates with cluster structure (append-time
+    // ordering, label-sorted exports) would otherwise concentrate every
+    // centroid in one region (the same bias [[cosineDedupIvf]]'s sample
+    // path was salted against in round 8). Still a pure function of the
+    // input, so the oracle replays it; both forms are small, so the
     // exploded frame broadcasts
     val centEx = if (model.nonEmpty) {
       val spark = candidates.sparkSession
@@ -482,7 +495,9 @@ object Similarity {
       model.flatMap { case (cid, ws) =>
         ws.iterator.zipWithIndex.map { case (x, i) => (cid, i, x) } }
         .toDF("cid", "i", "w")
-    } else candidates.orderBy("vec_id").limit(nCent)
+    } else candidates
+      .orderBy(TextFunctions.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCent)
       .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
       .toDF("cid", "i", "w")
     val wNear = org.apache.spark.sql.expressions.Window
@@ -672,10 +687,11 @@ object Similarity {
     * join shuffles is m bytes/vector, not dim×8 (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011).
     *
-    * Per-subspace codebooks are a deterministic data sample (the `ksub`
-    * lowest vec_ids' subvectors — the same pure-function-of-input trick as
-    * [[ivfTopK]], so the DuckDB oracle replays encode + scoring exactly;
-    * a trained per-subspace k-means would drop in unchanged). Encoding:
+    * Per-subspace codebooks are a deterministic SALTED data sample (the
+    * `ksub` lowest hash60(vec_id)' subvectors — the same
+    * pure-function-of-input trick as [[ivfTopK]], so the DuckDB oracle
+    * replays encode + scoring exactly; a trained per-subspace k-means
+    * would drop in unchanged). Encoding:
     * argmin of the ROUNDED squared L2 per (vector, subspace), ties to the
     * lowest code. Scoring: ADC — the query precomputes its distance to
     * every (subspace, codeword) once (m×ksub table, broadcast), and a
@@ -755,7 +771,14 @@ object Similarity {
       : (org.apache.spark.sql.expressions.UserDefinedFunction,
          org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val dsub = dim / m
-    val cb: Array[Array[Double]] = candidates.orderBy("vec_id").limit(ksub)
+    // SALTED sample codebook (ksub lowest hash60(vec_id), id tie-break):
+    // code index c = position in the salted order. First-N-by-id would
+    // let an id order correlated with cluster structure pick all
+    // codewords from one region — the round-8 dedup-sample lesson
+    // applied to the PQ codebook.
+    val cb: Array[Array[Double]] = candidates
+      .orderBy(TextFunctions.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(ksub)
       .select(toDouble(col("embedding"))).collect()
       .map(_.getSeq[Double](0).toArray)
     require(cb.nonEmpty, "pqEncoders: candidates must be non-empty to build a codebook")
@@ -820,8 +843,12 @@ object Similarity {
     // cell assignment via a plan-time centroid model + one JIT'd loop per
     // row (same discipline as the PQ encode; the exploded-join
     // cellAffinity shape that ivfTopK keeps measured ~1.5 s more here) —
-    // identical math: rounded cosine argmax, ties to the lowest cid
-    val cents: Array[(Long, Array[Double])] = candidates.orderBy("vec_id").limit(nCent)
+    // identical math: rounded cosine argmax, ties to the lowest cid.
+    // Centroids are the SALTED sample (hash60(vec_id) order, id
+    // tie-break), matching [[ivfTopK]]/[[pqEncoders]].
+    val cents: Array[(Long, Array[Double])] = candidates
+      .orderBy(TextFunctions.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCent)
       .select(col("vec_id"), toDouble(col("embedding"))).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(cents.nonEmpty, "ivfPqTopK: candidates must be non-empty to build centroids")
@@ -831,8 +858,8 @@ object Similarity {
     // (rounded argmax, lowest-cid ties) to rounding every cell, minus the
     // per-(row × centroid) BigDecimal + norm recompute (the boxing tax
     // the 100× scale check measured dominant in the dedup's twin loop).
-    // cents are cid-ascending (orderBy above), so lowest POSITION on a
-    // tie == lowest cid, matching topByRounded's comparator.
+    // topByRounded ranks ties by cid VALUE (not array position), so the
+    // salted — non-cid-ascending — centroid order is tie-safe.
     val centsN: Array[(Long, Array[Double], Double)] = cents.map { case (cid, w) =>
       var nw = 0.0; var i = 0
       while (i < w.length) { nw += w(i) * w(i); i += 1 }

@@ -5,17 +5,35 @@ import org.apache.spark.sql.functions._
 
 /** The bench harness must be honest: a query that throws is recorded in
   * the JSON line and fails the run — never silently timed as ~0 s (a
-  * regression masquerading as a speedup). */
+  * regression masquerading as a speedup); the line certifies its own
+  * noise level via the fixed-cost ctl probe; and the full registry is
+  * recorded to BENCH_LOCAL.json regardless of the line's budget. */
 class BenchSpec extends SparkSuite {
+
+  private def lineFor(qs: Map[String, (SparkSession, String) => DataFrame])
+      : (String, Map[String, String], Seq[Double]) = {
+    val (results, errors, ctl) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    (Bench.formatLine(results, errors, ctl, "/root/testdata/sf0.001"), errors, ctl)
+  }
 
   test("a deliberately-broken query fails the bench loudly, not as a ~0s time") {
     val qs = Map[String, (SparkSession, String) => DataFrame](
       "ok" -> ((s, _) => s.range(3).toDF()),
       "broken" -> ((s, _) => s.range(1).select(raise_error(lit("deliberate")))))
-    val (line, errors) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    val (line, errors, _) = lineFor(qs)
     assert(errors.keySet == Set("broken"), s"exactly the broken query recorded: $errors")
     assert(line.contains("\"errors\":{\"broken\":\""), s"error surfaces in the JSON line: $line")
     assert(line.contains("\"ok\":"), "healthy queries still timed")
+  }
+
+  test("the ctl noise probe brackets every pass and lands in the line") {
+    val (line, _, ctl) = lineFor(Map("t" -> ((s, _) => s.range(3).toDF())))
+    // start + end of each of the 2 default passes
+    assert(ctl.length == 4, s"2 passes bracket to 4 ctl readings: $ctl")
+    assert(ctl.forall(c => c > 0.05 && c < 120),
+      s"ctl readings are a real ~1s fixed-cost measurement: $ctl")
+    assert(line.matches(""".*"ctl":\[[0-9.,]+\],.*"""),
+      s"ctl array emitted in the line: $line")
   }
 
   test("the JSON line fits the driver's 2000-char stdout tail") {
@@ -23,8 +41,7 @@ class BenchSpec extends SparkSuite {
     // (minus sbt's ~75-char [success] trailer): full-precision doubles at
     // 75+ queries overflow that window and truncate the total away, so
     // values are 2-decimal and the empty errors map is omitted
-    val (line, errors) = Bench.run(spark, "/root/testdata/sf0.001",
-      Map("t" -> ((s, _) => s.range(3).toDF())))
+    val (line, errors, _) = lineFor(Map("t" -> ((s, _) => s.range(3).toDF())))
     assert(errors.isEmpty)
     assert(!line.contains("errors"), "empty errors map omitted for budget")
     assert(line.matches(""".*"t":\d+(\.\d)?[,}].*"""),
@@ -50,6 +67,28 @@ class BenchSpec extends SparkSuite {
     assert(projected < 1985,
       s"projected bench line at ${SparkEntry.benchQueries.size} queries = $projected chars; " +
         "must fit the driver's 2000-char visible tail — shorten names or precision")
+  }
+
+  test("BENCH_LOCAL.json records the full query set at 3-decimal precision") {
+    // the driver's run passes no SPARK_GRAFT_ONLY, so the file set must be
+    // the WHOLE registry — including the nonBenchQueries line exclusions
+    assert(Bench.fileQueryNames(Set.empty) == SparkEntry.queries.keySet,
+      "main must time and record every registry query")
+    assert(Bench.fileQueryNames(Set("a")) == Set("a"), "ONLY restricts the file too")
+    val qs = Map[String, (SparkSession, String) => DataFrame](
+      "fast" -> ((s, _) => s.range(3).toDF()),
+      "broken" -> ((s, _) => s.range(1).select(raise_error(lit("deliberate")))))
+    val (results, errors, ctl) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    val path = java.nio.file.Files.createTempFile("bench_local", ".json")
+    Bench.writeLocal(path.toString, results, errors, ctl,
+      "/root/testdata/sf0.001", passes = 2)
+    val json = java.nio.file.Files.readString(path)
+    for (k <- qs.keys)
+      assert(json.contains("\"" + k + "\":"), s"file has every timed query: $json")
+    assert(json.contains("\"passes\":2"), "methodology recorded in the file")
+    assert(json.contains("\"ctl\":["), "noise probe recorded in the file")
+    assert(json.contains("\"errors\":{\"broken\":"), "errors recorded in the file")
+    java.nio.file.Files.delete(path)
   }
 
   test("nonBenchQueries name real registry queries and stay oracle-gated") {

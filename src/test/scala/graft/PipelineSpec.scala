@@ -107,7 +107,9 @@ class PipelineSpec extends SparkSuite {
     val recall = (ivf & brute).size.toDouble / brute.size
     info(f"IVF recall@3 = $recall%.3f over ${brute.size} truth pairs")
     assert(recall >= 0.5, f"IVF recall@3 $recall%.3f fell below the frozen 0.5 gate " +
-      "(16 sample centroids, 4 probes on 500 vectors; measured 0.627 when frozen)")
+      "(16 sample centroids, 4 probes on 500 vectors; measured 0.627 when frozen, " +
+      "0.540 after the round-10 sample salting — a different random-ish 16-subset, " +
+      "same gate)")
   }
 
   test("PQ recall@3 vs exact L2 clears the frozen gate (ADC approximates L2)") {
@@ -287,8 +289,10 @@ class PipelineSpec extends SparkSuite {
     }
     val trained = recallOf(Similarity.kmeansModel(e, nCent = 16, iters = 3, dimHint = 64))
     info(f"IVF recall@3 with trained quantizer = $trained%.3f")
-    // the sample-centroid path froze at 0.627 (its own gate is 0.5);
-    // training the quantizer must not fall below that frozen bar
+    // the (pre-salting) sample-centroid path froze at 0.627 (its own gate
+    // is 0.5; the round-10 salted sample measures 0.540) — the bar stays
+    // at the historical 0.627 because training must beat BOTH sample
+    // flavors, and 0.627 is the stronger of the two (trained = 0.687)
     assert(trained >= 0.627,
       f"trained-quantizer recall $trained%.3f fell below the sample-centroid 0.627 bar")
   }

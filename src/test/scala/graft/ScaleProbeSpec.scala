@@ -40,4 +40,34 @@ class ScaleProbeSpec extends SparkSuite {
         "packed payload is dim x 8 bytes")
     } finally pf.unpersist()
   }
+
+  test("cosineDedupIvf with a supplied model plans with ZERO pre-jobs (no sizing count)") {
+    // round-9 verdict item: the old unconditional vecs.count() was a full
+    // corpus pass spent sizing a cell count the model branch never read —
+    // at 100 TB that is an extra scan before any useful work. With model=
+    // and dimHint= supplied, building the DataFrame must launch no Spark
+    // job at all (the count would show up here as one).
+    val e = Tables.embeddings(spark, d)
+    val model = graft.functions.Similarity.kmeansModel(e, nCent = 8, iters = 1,
+      dimHint = 64, loopAssign = true)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.functions.Similarity.cosineDedupIvf(e, 0.4, nProbe = 2,
+        dimHint = 64, model = model)
+      // a sizing count() inside cosineDedupIvf is a BLOCKING action, so
+      // its job-start event is posted before the call returns; listener
+      // delivery is async, so give the bus a beat to drain (the public
+      // API hides waitUntilEmpty)
+      val deadline = System.nanoTime() + 1000L * 1000 * 1000
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs.get() == 0,
+        s"plan construction launched ${jobs.get()} job(s); the sizing count is back")
+      assert(df.count() > 0, "the planned dedup still executes and finds pairs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
