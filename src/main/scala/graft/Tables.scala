@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
 
-  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark rejects
-    * by default; `nanosAsLong` reads it as LongType ns — exactly our
+  /** Generations of the driver testdata have stored `events.ts` either as
+    * TIMESTAMP(NANOS) parquet — which Spark rejects by default, so
+    * `nanosAsLong` reads it as LongType ns — or as plain µs TIMESTAMP.
+    * Both normalize to BIGINT epoch ns in [[events]]: exactly our
     * engine's authoritative clock (reference `NanoTime`, `time.rs:54`).
     * DuckDB oracle side matches via `epoch_ns(ts)`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -19,15 +21,23 @@ object Tables {
   /** events as a keyed Timeline: key=user_id, clock=ts (ns), seq=event_id
     * (driver data has globally unique event ids → total intra-instant
     * order), value=value. */
-  def events(spark: SparkSession, dir: String): Timeline =
+  def events(spark: SparkSession, dir: String): Timeline = {
+    val raw = load(spark, dir, "events")
+    val tsNs = raw.schema("ts").dataType match {
+      // ns-as-long generation: truncate to µs resolution (kept in ns
+      // units) — DuckDB reads TIMESTAMP(NANOS) parquet at µs precision,
+      // so the oracle clock is µs and both engines must see it.
+      case org.apache.spark.sql.types.LongType => expr("(ts DIV 1000) * 1000")
+      // µs-timestamp generation: epoch µs × 1000 IS the µs-truncated ns
+      // clock. NTZ→TIMESTAMP cast is instant-preserving because every
+      // entrypoint pins spark.sql.session.timeZone=UTC, matching DuckDB's
+      // TZ-less epoch_ns(ts).
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
     Timeline(
-      load(spark, dir, "events")
-        // truncate to µs resolution (kept in ns units): DuckDB 1.0 reads
-        // TIMESTAMP(NANOS) parquet at µs precision, so the oracle clock is
-        // µs — both engines must see the identical clock.
-        .withColumn("ts", expr("(ts DIV 1000) * 1000"))
-        .withColumn("seq", col("event_id")),
+      raw.withColumn("ts", tsNs).withColumn("seq", col("event_id")),
       keys = Seq("user_id"))
+  }
 
   def eventsOf(spark: SparkSession, dir: String, eventType: String): Timeline = {
     val t = events(spark, dir)
