@@ -15,6 +15,12 @@ object Tables {
     * DuckDB oracle side matches via `epoch_ns(ts)`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // µs-timestamp parquet (isAdjustedToUTC=false) loads as TIMESTAMP_NTZ,
+    // and the NTZ→TIMESTAMP cast in [[events]] reads the SESSION timezone —
+    // pinning UTC here (not only in each main's builder) makes the epoch-ns
+    // clock host-timezone-independent for every entrypoint that reads a
+    // table, matching DuckDB's TZ-less epoch_ns(ts).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -29,10 +35,15 @@ object Tables {
       // so the oracle clock is µs and both engines must see it.
       case org.apache.spark.sql.types.LongType => expr("(ts DIV 1000) * 1000")
       // µs-timestamp generation: epoch µs × 1000 IS the µs-truncated ns
-      // clock. NTZ→TIMESTAMP cast is instant-preserving because every
-      // entrypoint pins spark.sql.session.timeZone=UTC, matching DuckDB's
-      // TZ-less epoch_ns(ts).
-      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      // clock. NTZ→TIMESTAMP cast is instant-preserving because [[load]]
+      // pins spark.sql.session.timeZone=UTC, matching DuckDB's TZ-less
+      // epoch_ns(ts).
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      // any third schema generation must fail loudly, not cast to NULLs
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected LongType (nanosAsLong) or Timestamp[NTZ]Type, got $other")
     }
     Timeline(
       raw.withColumn("ts", tsNs).withColumn("seq", col("event_id")),
