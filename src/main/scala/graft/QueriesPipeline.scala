@@ -1021,6 +1021,71 @@ object QueriesPipeline {
               |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
               |SELECT a, b, cos FROM v WHERE cos >= 0.4 ORDER BY 1,2""".stripMargin)),
 
+    // Hierarchical (two-level) IVF cosine dedup — the >8M-vector scale
+    // path: the flat emb_dedup_cosine quantizer walls twice near 8M
+    // vectors at dim 64 (driver model n/64×dim doubles trips
+    // QuantizerModelMaxDoubles; assignment is O(n²·dim/occ) flops). Here
+    // the driver holds only the TRAINED top level (8 centroids, same
+    // seeded 2-pass Lloyd as emb_kmeans), leaf centroids live in a
+    // DISTRIBUTED frame (per-branch salted sample, ⌈branchSize/occ⌉
+    // leaves) that is only ever equi-joined on branch, and a row scores
+    // nTop + probed-branch leaves instead of all k cells — √-growth per
+    // decade instead of linear (ScaleProbeSpec measures it). Every stage
+    // ranks on 4dp-rounded cosines with lowest-cid ties, so the oracle
+    // replays the Lloyd passes, the greedy branch descent, the leaf
+    // sample, and the verify EXACTLY.
+    "emb_dedup_hier" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d)) // training + descent + verify share one scan
+        val hq = Similarity.hierQuantizer(e, nTop = 8, occupancy = 32,
+          iters = 2, dimHint = AnnDim)
+        Similarity.cosineDedupIvfHier(e, 0.4, hq, nProbe = 8, nProbeTop = 4,
+          dimHint = AnnDim).orderBy("a", "b")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |aff1 AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+             |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+             |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |baf AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
+             |brk AS (SELECT id, cid, row_number() OVER
+             |    (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM baf),
+             |probb AS (SELECT id, cid AS branch, rn AS slot FROM brk WHERE rn <= 4),
+             |homeb AS (SELECT id, branch FROM probb WHERE slot = 1),
+             |bcnt AS (SELECT branch, count(*) AS n FROM homeb GROUP BY 1),
+             |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
+             |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
+             |  FROM homeb h),
+             |lv AS (SELECT s.branch, s.id AS cid, e.v AS cw
+             |  FROM samp s JOIN bcnt USING (branch) JOIN e ON e.vec_id = s.id
+             |  WHERE s.rn <= ceil(bcnt.n / 32.0)),
+             |laf AS (SELECT p.id, p.slot, l.cid,
+             |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
+             |  FROM probb p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
+             |home AS (SELECT id AS m, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf WHERE slot = 1)
+             |  WHERE rn = 1),
+             |probes AS (SELECT id AS p, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf)
+             |  WHERE rn <= 8),
+             |cand AS (SELECT DISTINCT least(m, p) AS a, greatest(m, p) AS b
+             |  FROM home JOIN probes USING (cell) WHERE m <> p),
+             |vv AS (SELECT a, b, round(1e-9 + list_cosine_similarity(ea.v, eb.v), 4) AS cos
+             |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
+             |SELECT a, b, cos FROM vv WHERE cos >= 0.4 ORDER BY 1, 2""".stripMargin)),
+
     // cosine of each vector to its label centroid (cluster cohesion).
     "emb_centroid_cos" -> Q(
       (s, d) => {

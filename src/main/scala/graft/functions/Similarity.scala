@@ -345,7 +345,8 @@ object Similarity {
     require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
       s"cosineDedupIvf: quantizer model ${cents.length} centroids x $dim dims exceeds " +
         s"the $QuantizerModelMaxDoubles-double driver/closure cap — train a smaller " +
-        "kmeansModel (hierarchical at extreme scale) and pass it via model=")
+        "kmeansModel, or switch to hierQuantizer + cosineDedupIvfHier (the " +
+        "driver then holds only the top level; leaves stay distributed)")
     // verify via the cell-keyed self-join, exactly [[cosineDedupLsh]]'s
     // (table, bucket) shape: each row crosses the shuffle WITH its packed
     // vector — once on the home side (n rows) and once per probe
@@ -406,6 +407,186 @@ object Similarity {
       (cid, w, math.sqrt(nw))
     }.toArray
     ivfProbeFrame(cv, cents, nProbe)
+  }
+
+  /** Two-level coarse quantizer: the scale path past the flat model's
+    * [[QuantizerModelMaxDoubles]] driver cap. `top` is the TRAINED
+    * top-level model — nTop×dim doubles on the driver/in closures, the
+    * only part that ever leaves the cluster — and `leaves` is a
+    * DISTRIBUTED frame `(branch, cid, cw)` of per-branch leaf centroids
+    * that is only ever equi-joined on `branch`, never collected. The flat
+    * model walls twice near 8M vectors at dim 64 (driver model n/64×dim
+    * doubles trips the cap; assignment is O(n·k·dim) = O(n²·dim/occ)
+    * flops); here the driver holds √k-ish centroids and a vector scores
+    * nTop + Σ|leaves(probed branches)| centroids — √-growth per decade
+    * instead of linear (recursing the same construction over `leaves`
+    * gives log-depth constant work; not needed below ~10^10 vectors). */
+  case class HierQuantizer(top: Seq[(Long, Array[Double])], leaves: DataFrame)
+
+  private def withNorm3(cid: Long, w: Array[Double]): (Long, Array[Double], Double) = {
+    var nw = 0.0; var i = 0
+    while (i < w.length) { nw += w(i) * w(i); i += 1 }
+    (cid, w, math.sqrt(nw))
+  }
+
+  /** Train a [[HierQuantizer]]: top level = the seeded Lloyd trainer
+    * ([[kmeansModel]], JIT'd loop assignment — init is the nTop lowest
+    * vec_ids, so the DuckDB oracle replays every pass); leaf level = a
+    * per-branch SALTED sample, `⌈branchSize / occupancy⌉` leaves per
+    * branch picked by the lowest hash60(vec_id) (id tie-break) WITHIN the
+    * branch — the same id-order-bias defense as the flat sample, and a
+    * pure function of the input.
+    *
+    * Scale shape: the only collect is the top model (nTop×dim doubles).
+    * Branch assignment is one JIT'd loop per row against that model; the
+    * leaf sample is a per-branch window row_number + count — one hash
+    * exchange on `branch`, reused by [[cosineDedupIvfHier]]'s leaf join.
+    * Nothing downstream depends on n through the driver. */
+  def hierQuantizer(vecs: DataFrame, nTop: Int, occupancy: Int, iters: Int,
+      dimHint: Int = -1): HierQuantizer = {
+    require(nTop > 0 && occupancy > 0 && iters > 0,
+      s"hierQuantizer: nTop=$nTop occupancy=$occupancy iters=$iters must be positive")
+    val top = kmeansModel(vecs, nTop, iters, dimHint, loopAssign = true)
+    val dim = if (dimHint > 0) dimHint else probeDim(vecs)
+    if (dim == 0)
+      return HierQuantizer(Nil, vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("branch"), lit(0L).as("cid"),
+          array().cast("array<double>").as("cw")).where(lit(false)))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"hierQuantizer: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    val topArr = top.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    val branchU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(topArr, va, math.sqrt(n2), 1).head._1
+    }
+    val asg = cv.withColumn("branch", branchU(col("v")))
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy("branch")
+    val wSalt = wIn.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id"))
+    val leaves = asg
+      .withColumn("rn", row_number().over(wSalt))
+      .withColumn("n", count(lit(1)).over(wIn))
+      .where(col("rn") <= ceil(col("n") / lit(occupancy.toDouble)))
+      .select(col("branch"), col("id").as("cid"), col("v").as("cw"))
+    HierQuantizer(top, leaves)
+  }
+
+  /** [[cosineDedupIvf]] through a [[HierQuantizer]] — the >8M-vector
+    * dedup path. Per row: ONE JIT'd loop over the driver-held top model
+    * picks the `nProbeTop` best branches (rounded 4dp cosine desc, cid
+    * ties — the greedy IVF tree descent); the row then scores ONLY those
+    * branches' leaves, fetched by a linear equi-join on `branch` against
+    * the distributed leaf frame (grouped once per branch; the leaf model
+    * never enters a closure). Home cell = best leaf of the FIRST (home)
+    * branch; probe cells = global top `nProbe` leaves across the probed
+    * branches (per-branch top-nProbe truncation is lossless for that
+    * ranking). Verify = the same streamed cell-keyed self-join as
+    * [[cosineDedupIvf]]: payloads cross once per row, pairs exist only
+    * inside the join's streamed output, dedup runs after the tau filter.
+    *
+    * All ranking is on 4dp-rounded cosines with lowest-cid ties, and the
+    * leaf sample/trained top are pure functions of the input, so the
+    * DuckDB oracle replays branch descent, leaf probing, and verify
+    * EXACTLY. */
+  def cosineDedupIvfHier(vecs: DataFrame, tau: Double, hq: HierQuantizer,
+      nProbe: Int = 4, nProbeTop: Int = 2, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(vecs)
+    if (dim == 0 || hq.top.isEmpty)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("cos"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"cosineDedupIvfHier: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    val nPT = nProbeTop
+    val branchesU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(topArr, va, math.sqrt(n2), nPT).map(_._1)
+    }
+    val rows = cv.withColumn("pbs", branchesU(col("v")))
+    // slot 0 = the home branch (greedy descent); leaf payloads grouped
+    // ONCE per branch with precomputed norms, then equi-joined — the leaf
+    // model stays distributed and the join shuffle is linear in n×nProbeTop
+    val ex = rows.select(col("id"), col("v"), posexplode(col("pbs")))
+      .toDF("id", "v", "slot", "branch")
+    val leafArr = hq.leaves
+      .withColumn("nw", norm(col("cw")))
+      .groupBy("branch")
+      .agg(collect_list(struct(col("cid"), col("cw"), col("nw"))).as("lc"))
+    val nP = nProbe
+    val scoreU = udf { (v: Seq[Double], lc: Seq[org.apache.spark.sql.Row]) =>
+      // one boxed→primitive conversion per (row, branch), then the same
+      // allocation-free scoring loop every IVF path uses. collect_list's
+      // arrival order is nondeterministic but irrelevant: topByRounded
+      // ranks on (rounded cos desc, cid) — a total order (cids unique) —
+      // so the result is a pure function of the SET, which is what the
+      // oracle replay proves at every SF
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val cents = new Array[(Long, Array[Double], Double)](lc.length)
+      i = 0
+      while (i < lc.length) {
+        val r = lc(i)
+        cents(i) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+        i += 1
+      }
+      topByRounded(cents, va, math.sqrt(n2), nP)
+    }
+    val flat = ex.join(leafArr, "branch")
+      .select(col("id"), col("slot"), explode(scoreU(col("v"), col("lc"))).as("cc"))
+      .select(col("id"), col("slot"), col("cc._1").as("cell"), col("cc._2").as("cs"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cs").desc, col("cell"))
+    val probes = flat.withColumn("rn", row_number().over(wAll)).where(col("rn") <= nProbe)
+      .select(col("id").as("p"), col("cell"))
+    val homes = flat.where(col("slot") === 0)
+      .withColumn("rn", row_number().over(wAll)).where(col("rn") === 1)
+      .select(col("id").as("m"), col("cell"))
+    val packed = cv.select(col("id"), packUnit(col("v")).as("vp"))
+    val hp = homes.join(packed, col("m") === col("id"))
+      .select(col("cell"), col("m"), col("vp").as("pm"))
+    val pp = probes.join(packed, col("p") === col("id"))
+      .select(col("cell"), col("p"), col("vp").as("pp"))
+    hp.join(pp, "cell").where(col("m") =!= col("p"))
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("pm"), col("pp")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .select(least(col("m"), col("p")).as("a"),
+        greatest(col("m"), col("p")).as("b"), col("cos"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** Per-row leaf-centroid scoring count of [[cosineDedupIvfHier]]'s
+    * descent (the scale-probe entry point): a row additionally scores
+    * `hq.top.size` top-level centroids in-closure; this frame counts the
+    * leaf side — (id, scored) with scored = Σ |leaves(probed branches)|.
+    * ScaleProbeSpec measures this across a GenScale decade to pin the
+    * √-growth claim the hierarchical path rests on. */
+  private[graft] def hierScoredLeaves(vecs: DataFrame, hq: HierQuantizer,
+      nProbeTop: Int, dimHint: Int): DataFrame = {
+    val cv = vecs.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+    val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    val nPT = nProbeTop
+    val branchesU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(topArr, va, math.sqrt(n2), nPT).map(_._1)
+    }
+    val ex = cv.withColumn("pbs", branchesU(col("v")))
+      .select(col("id"), explode(col("pbs")).as("branch"))
+    val bc = hq.leaves.groupBy("branch").agg(count(lit(1)).as("nl"))
+    ex.join(bc, "branch").groupBy("id").agg(sum("nl").as("scored"))
   }
 
   /** Unit-normalize a double vector and pack it little-endian into bytes

@@ -345,4 +345,54 @@ class PipelineSpec extends SparkSuite {
     val hinted = Similarity.annTopK(e.where(col("vec_id") < 5), e, 3, 4, dimHint = 64)
     assert(hinted.count() > 0)
   }
+
+  test("hierarchical IVF dedup recall clears the flat path's gate (the >8M-vector flavor)") {
+    // exactly the emb_dedup_hier registry wiring: trained top level (8
+    // centroids, 2 Lloyd passes), per-branch salted leaf sample at
+    // occupancy 32, 4-branch greedy descent, 8 leaf probes (the 500-vector
+    // gate corpus forces coarse fractions; at scale nTop ~ sqrt(k) makes
+    // the same nProbeTop a vanishing fraction of branches)
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val hq = Similarity.hierQuantizer(e, nTop = 8, occupancy = 32, iters = 2,
+      dimHint = 64)
+    val found = Similarity.cosineDedupIvfHier(e, 0.4, hq, nProbe = 8,
+      nProbeTop = 4, dimHint = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val ev = e.select(col("vec_id").as("a"), Similarity.toDouble(col("embedding")).as("va"))
+    val ev2 = e.select(col("vec_id").as("b"), Similarity.toDouble(col("embedding")).as("vb"))
+    val brute = ev.join(ev2, col("a") < col("b"))
+      .withColumn("c", round(Similarity.cosine(col("va"), col("vb")) + lit(1e-9), 4))
+      .where(col("c") >= 0.4).select("a", "b").as[(Long, Long)].collect().toSet
+    assert((found -- brute).isEmpty,
+      "exact verification holds under the hierarchical quantizer")
+    val recall = (found & brute).size.toDouble / brute.size
+    info(f"hierarchical pair recall = $recall%.3f over ${brute.size} truth pairs")
+    assert(recall >= 0.80, f"hierarchical pair recall $recall%.3f fell below the " +
+      "frozen 0.80 gate (the trained flat path's gate; measured 0.848 when frozen)")
+  }
+
+  test("hierQuantizer with nTop=1 reduces EXACTLY to the flat salted-sample dedup") {
+    // one top-level branch makes the per-branch leaf sample the global
+    // salted sample and the descent a plain flat probe — the two paths
+    // must agree bit-for-bit (same rounding, same tie-breaks, same
+    // verify), which pins the hier semantics to the oracle-proven flat
+    // ones everywhere they overlap
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val n = e.count()
+    val k = math.max(1, math.ceil(n.toDouble / 16).toInt)
+    val hq = Similarity.hierQuantizer(e, nTop = 1, occupancy = 16, iters = 1,
+      dimHint = 64)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hier = asSet(Similarity.cosineDedupIvfHier(e, 0.4, hq, nProbe = 4,
+      nProbeTop = 1, dimHint = 64))
+    val flat = asSet(Similarity.cosineDedupIvf(e, 0.4, nProbe = 4, nCent = k,
+      dimHint = 64))
+    assert(hier == flat,
+      s"nTop=1 hier dedup diverged from flat: only-hier=${hier -- flat}, " +
+        s"only-flat=${flat -- hier}")
+    assert(hier.nonEmpty, "the reduction check must not pass vacuously")
+  }
 }

@@ -70,4 +70,39 @@ class ScaleProbeSpec extends SparkSuite {
       assert(df.count() > 0, "the planned dedup still executes and finds pairs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("hierarchical descent: scored centroids per vector grow ~sqrt per decade " +
+      "(the flat model grows linearly and walls at the driver cap)") {
+    // the quantitative claim cosineDedupIvfHier rests on, measured from
+    // the frames (deterministic — no wall-clock noise): a vector scores
+    // nTop top centroids + the probed branches' leaves. With nTop ~ sqrt(k)
+    // that is ~2*sqrt(k) per vector vs the flat path's k; per decade the
+    // hier count grows ~sqrt(10)=3.16x while flat grows 10x, and the
+    // DRIVER model is nTop x dim doubles vs k x dim (the 8M-vector
+    // QuantizerModelMaxDoubles wall the flat require trips).
+    val e = Tables.embeddings(spark, d)
+    def measure(vecs: org.apache.spark.sql.DataFrame): (Long, Double, Double, Int) = {
+      val occ = 16
+      val n = vecs.count()
+      val k = math.max(1, math.ceil(n.toDouble / occ).toInt)
+      val nTop = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+      val hq = graft.functions.Similarity.hierQuantizer(vecs, nTop, occ,
+        iters = 1, dimHint = 64)
+      val leafScored = graft.functions.Similarity
+        .hierScoredLeaves(vecs, hq, nProbeTop = 2, dimHint = 64)
+        .agg(avg("scored")).head.getDouble(0)
+      (n, k.toDouble, nTop + leafScored, nTop)
+    }
+    val (n1, flat1, hier1, t1) = measure(e)
+    val (n10, flat10, hier10, t10) = measure(GenScale.scaleEmbeddings(e, 10))
+    info(f"1x:  n=$n1%d flat=$flat1%.0f hier=$hier1%.1f (nTop=$t1%d) scored/vector")
+    info(f"10x: n=$n10%d flat=$flat10%.0f hier=$hier10%.1f (nTop=$t10%d) scored/vector")
+    assert(flat10 / flat1 >= 9.0,
+      "flat scored-centroids per vector must grow ~linearly per decade (the baseline)")
+    val ratio = hier10 / hier1
+    assert(ratio <= 4.5,
+      f"hier scored-centroids per vector grew $ratio%.2fx per decade; expected ~sqrt(10)=3.16")
+    assert(hier10 < flat10 / 2.0,
+      f"at 10x the descent must score far fewer centroids than flat ($hier10%.1f vs $flat10%.0f)")
+  }
 }
