@@ -1086,6 +1086,69 @@ object QueriesPipeline {
              |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
              |SELECT a, b, cos FROM vv WHERE cos >= 0.4 ORDER BY 1, 2""".stripMargin)),
 
+    // IVF-Flat ANN through the SAME hierarchical quantizer (ivfTopKHier):
+    // candidates land in their greedy-descent home cell, queries probe
+    // the top leaves across their best branches, pairs flow as bare ids
+    // through the cell equi-join. Shares emb_dedup_hier's trained-top +
+    // salted-leaf model construction, so the oracle prelude is identical.
+    "emb_ann_hier" -> Q(
+      (s, d) => {
+        val ec = cached(emb(s, d))
+        val hq = Similarity.hierQuantizer(ec, nTop = 8, occupancy = 32,
+          iters = 2, dimHint = AnnDim)
+        Similarity.ivfTopKHier(ec.where(col("vec_id") < 10), ec, 3, hq,
+          nProbe = 8, nProbeTop = 4, dimHint = AnnDim)
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |aff1 AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+             |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+             |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |baf AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
+             |brk AS (SELECT id, cid, row_number() OVER
+             |    (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM baf),
+             |homeb AS (SELECT id, cid AS branch FROM brk WHERE rn = 1),
+             |bcnt AS (SELECT branch, count(*) AS n FROM homeb GROUP BY 1),
+             |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
+             |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
+             |  FROM homeb h),
+             |lv AS (SELECT s.branch, s.id AS cid, e.v AS cw
+             |  FROM samp s JOIN bcnt USING (branch) JOIN e ON e.vec_id = s.id
+             |  WHERE s.rn <= ceil(bcnt.n / 32.0)),
+             |laf0 AS (SELECT h.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
+             |  FROM homeb h JOIN lv l USING (branch) JOIN e ON e.vec_id = h.id),
+             |cells AS (SELECT id AS nid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf0) WHERE rn = 1),
+             |probq AS (SELECT id, cid AS branch FROM brk WHERE rn <= 4 AND id < 10),
+             |lafq AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
+             |  FROM probq p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
+             |probes AS (SELECT id AS qid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafq) WHERE rn <= 8),
+             |cand AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
+             |  WHERE qid <> nid),
+             |sc AS (SELECT qid, nid,
+             |    round(1e-9 + list_cosine_similarity(eq.v, en.v), 4) AS sim
+             |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid),
+             |r AS (SELECT qid, nid, sim, CAST(row_number() OVER
+             |    (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank FROM sc)
+             |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3
+             |ORDER BY qid, rank""".stripMargin)),
+
     // cosine of each vector to its label centroid (cluster cohesion).
     "emb_centroid_cos" -> Q(
       (s, d) => {

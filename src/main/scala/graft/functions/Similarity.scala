@@ -504,47 +504,7 @@ object Similarity {
         .otherwise(raise_error(concat(lit(s"cosineDedupIvfHier: expected dim $dim, got "),
           coalesce(size(vec).cast("string"), lit("NULL")))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
-    val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
-    val nPT = nProbeTop
-    val branchesU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      topByRounded(topArr, va, math.sqrt(n2), nPT).map(_._1)
-    }
-    val rows = cv.withColumn("pbs", branchesU(col("v")))
-    // slot 0 = the home branch (greedy descent); leaf payloads grouped
-    // ONCE per branch with precomputed norms, then equi-joined — the leaf
-    // model stays distributed and the join shuffle is linear in n×nProbeTop
-    val ex = rows.select(col("id"), col("v"), posexplode(col("pbs")))
-      .toDF("id", "v", "slot", "branch")
-    val leafArr = hq.leaves
-      .withColumn("nw", norm(col("cw")))
-      .groupBy("branch")
-      .agg(collect_list(struct(col("cid"), col("cw"), col("nw"))).as("lc"))
-    val nP = nProbe
-    val scoreU = udf { (v: Seq[Double], lc: Seq[org.apache.spark.sql.Row]) =>
-      // one boxed→primitive conversion per (row, branch), then the same
-      // allocation-free scoring loop every IVF path uses. collect_list's
-      // arrival order is nondeterministic but irrelevant: topByRounded
-      // ranks on (rounded cos desc, cid) — a total order (cids unique) —
-      // so the result is a pure function of the SET, which is what the
-      // oracle replay proves at every SF
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      val cents = new Array[(Long, Array[Double], Double)](lc.length)
-      i = 0
-      while (i < lc.length) {
-        val r = lc(i)
-        cents(i) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-        i += 1
-      }
-      topByRounded(cents, va, math.sqrt(n2), nP)
-    }
-    val flat = ex.join(leafArr, "branch")
-      .select(col("id"), col("slot"), explode(scoreU(col("v"), col("lc"))).as("cc"))
-      .select(col("id"), col("slot"), col("cc._1").as("cell"), col("cc._2").as("cs"))
+    val flat = hierDescent(cv, hq, nProbeTop, nProbe)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cs").desc, col("cell"))
     val probes = flat.withColumn("rn", row_number().over(wAll)).where(col("rn") <= nProbe)
@@ -564,6 +524,103 @@ object Similarity {
       .select(least(col("m"), col("p")).as("a"),
         greatest(col("m"), col("p")).as("b"), col("cos"))
       .dropDuplicates("a", "b")
+  }
+
+  /** The greedy two-level descent shared by [[cosineDedupIvfHier]] and
+    * [[ivfTopKHier]]: for each `(id, v)` row, ONE JIT'd loop over the
+    * driver-held top model picks the `nProbeTop` best branches (slot 0 =
+    * the home branch); the row then scores ONLY those branches' leaves —
+    * fetched by a linear equi-join on `branch` against the distributed
+    * leaf frame, grouped once per branch with precomputed norms — and
+    * keeps the per-branch top `nPerBranch`. Output: (id, slot, cell, cs)
+    * leaf-score rows, every cs 4dp-rounded, ready for the home/probe
+    * window ranks. The leaf model never enters a closure. */
+  private def hierDescent(cv: DataFrame, hq: HierQuantizer, nProbeTop: Int,
+      nPerBranch: Int): DataFrame = {
+    val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    val nPT = nProbeTop
+    val branchesU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(topArr, va, math.sqrt(n2), nPT).map(_._1)
+    }
+    val ex = cv.withColumn("pbs", branchesU(col("v")))
+      .select(col("id"), col("v"), posexplode(col("pbs")))
+      .toDF("id", "v", "slot", "branch")
+    val leafArr = hq.leaves
+      .withColumn("nw", norm(col("cw")))
+      .groupBy("branch")
+      .agg(collect_list(struct(col("cid"), col("cw"), col("nw"))).as("lc"))
+    val nP = nPerBranch
+    val scoreU = udf { (v: Seq[Double], lc: Seq[org.apache.spark.sql.Row]) =>
+      // one boxed→primitive conversion per (row, branch), then the same
+      // allocation-free scoring loop every IVF path uses. collect_list's
+      // arrival order is nondeterministic but irrelevant: topByRounded
+      // ranks on (rounded cos desc, cid) — a total order (cids unique) —
+      // so the result is a pure function of the SET, which is what the
+      // oracle replay proves at every SF. Per-branch top-nPerBranch
+      // truncation is lossless for the global (cs desc, cid) rank.
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val cents = new Array[(Long, Array[Double], Double)](lc.length)
+      i = 0
+      while (i < lc.length) {
+        val r = lc(i)
+        cents(i) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+        i += 1
+      }
+      topByRounded(cents, va, math.sqrt(n2), nP)
+    }
+    ex.join(leafArr, "branch")
+      .select(col("id"), col("slot"), explode(scoreU(col("v"), col("lc"))).as("cc"))
+      .select(col("id"), col("slot"), col("cc._1").as("cell"), col("cc._2").as("cs"))
+  }
+
+  /** IVF-Flat ANN top-k through a [[HierQuantizer]] — [[ivfTopK]] for the
+    * >8M-vector regime, same contract (exact rounded-cosine rank within
+    * the probed cells, ties to the lowest nid): candidates land in their
+    * greedy-descent home cell, queries probe the global top `nProbe`
+    * leaves across their `nProbeTop` best branches, candidate pairs flow
+    * as BARE ids through the cell equi-join, and vectors re-attach to
+    * survivors only. Driver/closure cost is nTop×dim doubles — the leaf
+    * model stays a distributed frame. */
+  def ivfTopKHier(queries: DataFrame, candidates: DataFrame, k: Int,
+      hq: HierQuantizer, nProbe: Int = 4, nProbeTop: Int = 2,
+      dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(candidates)
+    if (dim == 0 || hq.top.isEmpty)
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("sim"), lit(0L).as("rank"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"ivfTopKHier: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
+    val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cs").desc, col("cell"))
+    // candidates descend to their single home cell (slot 0 branch, best
+    // leaf); nPerBranch=1 suffices for a rank-1 pick
+    val cells = hierDescent(cv.select(col("nid").as("id"), col("nv").as("v")),
+        hq, 1, 1)
+      .withColumn("rn", row_number().over(wCell)).where(col("rn") === 1)
+      .select(col("id").as("nid"), col("cell"))
+    val probes = hierDescent(qv.select(col("qid").as("id"), col("qv").as("v")),
+        hq, nProbeTop, nProbe)
+      .withColumn("rn", row_number().over(wCell)).where(col("rn") <= nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val cand = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .join(qv, "qid").join(cv, "nid")
+    val sims = cand.withColumn("sim", cosLoop(col("qv"), col("nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(round(col("sim") + lit(1e-9), 4).desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim") + lit(1e-9), 4).as("sim"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Per-row leaf-centroid scoring count of [[cosineDedupIvfHier]]'s

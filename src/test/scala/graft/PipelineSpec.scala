@@ -372,6 +372,25 @@ class PipelineSpec extends SparkSuite {
       "frozen 0.80 gate (the trained flat path's gate; measured 0.848 when frozen)")
   }
 
+  test("hierarchical IVF ANN recall@3 vs brute force clears the flat IVF gate") {
+    // the emb_ann_hier registry wiring: same trained-top + salted-leaf
+    // model as the hier dedup, 50-query recall vs exact cosine top-3
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val q = e.where(col("vec_id") < 50)
+    val brute = Similarity.bruteTopK(q, e, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val hq = Similarity.hierQuantizer(e, nTop = 8, occupancy = 32, iters = 2,
+      dimHint = 64)
+    val ann = Similarity.ivfTopKHier(q, e, 3, hq, nProbe = 8, nProbeTop = 4,
+      dimHint = 64)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    info(f"hier IVF recall@3 = $recall%.3f over ${brute.size} truth pairs")
+    assert(recall >= 0.5, f"hier IVF recall@3 $recall%.3f fell below the 0.5 gate " +
+      "the flat IVF path is held to")
+  }
+
   test("hierQuantizer with nTop=1 reduces EXACTLY to the flat salted-sample dedup") {
     // one top-level branch makes the per-branch leaf sample the global
     // salted sample and the descent a plain flat probe — the two paths
