@@ -1037,13 +1037,19 @@ object QueriesPipeline {
     "emb_dedup_hier" -> Q(
       (s, d) => {
         val e = cached(emb(s, d)) // training + descent + verify share one scan
-        val hq = Similarity.hierQuantizer(e, nTop = 8, occupancy = 32,
+        // scale-adaptive top level: nTop ~ sqrt(k) keeps the descent at
+        // ~2*sqrt(k) scored centroids/vector at ANY corpus size (the
+        // count hits the eagerly-built cache — no extra scan); floors at
+        // 8 so the gate SFs exercise a real multi-branch tree
+        val nTop = math.max(8, math.round(math.sqrt(e.count() / 32.0)).toInt)
+        val hq = Similarity.hierQuantizer(e, nTop = nTop, occupancy = 32,
           iters = 2, dimHint = AnnDim)
         Similarity.cosineDedupIvfHier(e, 0.4, hq, nProbe = 8, nProbeTop = 4,
           dimHint = AnnDim).orderBy("a", "b")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 32.0)) AS BIGINT)) FROM e)),
              |aff1 AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
              |asg1 AS (SELECT id, cid AS cell FROM (
@@ -1094,14 +1100,17 @@ object QueriesPipeline {
     "emb_ann_hier" -> Q(
       (s, d) => {
         val ec = cached(emb(s, d))
-        val hq = Similarity.hierQuantizer(ec, nTop = 8, occupancy = 32,
+        // same scale-adaptive nTop ~ sqrt(k) as emb_dedup_hier
+        val nTop = math.max(8, math.round(math.sqrt(ec.count() / 32.0)).toInt)
+        val hq = Similarity.hierQuantizer(ec, nTop = nTop, occupancy = 32,
           iters = 2, dimHint = AnnDim)
         Similarity.ivfTopKHier(ec.where(col("vec_id") < 10), ec, 3, hq,
           nProbe = 8, nProbeTop = 4, dimHint = AnnDim)
           .orderBy("qid", "rank")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 32.0)) AS BIGINT)) FROM e)),
              |aff1 AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
              |asg1 AS (SELECT id, cid AS cell FROM (

@@ -507,10 +507,32 @@ object Similarity {
     val flat = hierDescent(cv, hq, nProbeTop, nProbe)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cs").desc, col("cell"))
-    val probes = flat.withColumn("rn", row_number().over(wAll)).where(col("rn") <= nProbe)
+    val wRun = wAll.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    // ONE shared id-partitioned window pass ranks the probe cells AND
+    // flags the home row (the first slot-0 row in the same (cs desc,
+    // cell) order — identical to ranking the slot-0 subset alone): both
+    // consumers then read the SAME exchange, so the descent (branch join
+    // + leaf scoring, the dominant phase) computes ONCE (ReusedExchange),
+    // not once per consumer — filtering slot=0 below a second window
+    // would have re-run it. The running count keeps the window free of
+    // a group-limit, so a home cell outside the global top-nProbe is
+    // still found.
+    val ranked = flat
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("h0", sum(when(col("slot") === 0, 1).otherwise(0)).over(wRun))
+    // each consumer's filter references BOTH window columns (one side via
+    // an always-true guard): column pruning would otherwise drop the
+    // unused column from that branch's Window node, de-canonicalizing the
+    // two subtrees so NO planner could ever share them. With the guards
+    // the static planner's ReuseExchangeAndSubquery computes the descent
+    // ONCE (AQE's runtime stage cache currently misses across
+    // cached-relation-rooted stages — reuse-eligibility is still the
+    // right shape to pin, and PlanAuditSpec gates both properties)
+    val probes = ranked.where(col("rn") <= nProbe && col("h0") >= 0)
       .select(col("id").as("p"), col("cell"))
-    val homes = flat.where(col("slot") === 0)
-      .withColumn("rn", row_number().over(wAll)).where(col("rn") === 1)
+    val homes = ranked.where(col("slot") === 0 && col("h0") === 1 && col("rn") >= 1)
       .select(col("id").as("m"), col("cell"))
     val packed = cv.select(col("id"), packUnit(col("v")).as("vp"))
     val hp = homes.join(packed, col("m") === col("id"))

@@ -202,6 +202,56 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("hier dedup: verify fused into the cell join; descent exchange " +
+    "canonically shared (ReusedExchange under the static planner)") {
+    // the two-level path's scale shape: (a) the tau verify is fused into
+    // the cell self-join condition exactly like the flat path — no
+    // materialized candidate set; (b) the greedy descent (branch join +
+    // leaf scoring, the dominant phase past ~1M vectors) feeds BOTH the
+    // home and probe consumers through ONE shared id-partitioned window
+    // exchange — the always-true filter guards in cosineDedupIvfHier keep
+    // the two window subtrees CANONICALLY IDENTICAL (column pruning would
+    // otherwise drop rn from one branch and h0 from the other,
+    // de-canonicalizing them and silently doubling the descent). The
+    // static planner's ReuseExchangeAndSubquery then computes the descent
+    // once; AQE's runtime stage cache currently misses across
+    // cached-relation-rooted stages, so reuse-ELIGIBILITY (canonical
+    // equality) is the property this gate pins, plus the actual reuse on
+    // the non-AQE plan.
+    val joinRe = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+    val p = plan("emb_dedup_hier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.linesIterator.exists(l => joinRe.findFirstIn(l).isDefined
+        && l.contains("dot_packed")),
+      s"the tau verify must be fused into the cell join condition:\n$p")
+    // (b1) canonical equality of the two descent window exchanges
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = reg("emb_dedup_hier").fn(spark, d)
+    val inner = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val idEx = inner.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("id#") => s
+    }
+    assert(idEx.length == 2,
+      s"expected the descent's two window-exchange consumers, got ${idEx.length}")
+    assert(idEx(0).canonicalized == idEx(1).canonicalized,
+      "the home/probe window exchanges diverged (an always-true guard was " +
+        "dropped?) — the descent now runs once per consumer with no reuse " +
+        "possible")
+    // (b2) the static planner actually reuses it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ps = reg("emb_dedup_hier").fn(spark, d)
+        .queryExecution.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(ps).size >= 1,
+        s"non-AQE plan no longer reuses the descent exchange:\n$ps")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("decontamination: eval hashes broadcast; corpus side never shuffles on h") {
     // filter-first + broadcast(ev): the corpus shingle frame must reach
     // the contamination join without an h-shuffle (the eval suite is the
