@@ -788,6 +788,68 @@ object QueriesPipeline {
               |SELECT source, doc_id, rk FROM r WHERE rk <= 10
               |ORDER BY source, rk""".stripMargin)),
 
+    // Deterministic train/val/test split: bucket = salted-md5(doc_id) mod
+    // 100 → 80/10/10. Doc-keyed (not row- or chunk-keyed) so derived rows
+    // (chunks, shingles, packed sequences) inherit one side only — the
+    // leakage-free form — and hash-derived so any engine or re-run
+    // reproduces it with zero stored state; new docs land in stable
+    // splits without touching old ones. Pure projection: splits at scan
+    // speed, no shuffle at any scale (plan-gated).
+    "doc_split" -> Q(
+      (s, d) => {
+        val b = pmod(TF.hash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+        docs(s, d).select(col("doc_id"), col("source"), b.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    ${H60.format("'split:' || doc_id::VARCHAR")} % 100 AS bucket
+              |  FROM documents)
+              |SELECT doc_id, source, bucket,
+              |  CASE WHEN bucket < 80 THEN 'train'
+              |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+              |FROM b ORDER BY 1""".stripMargin)),
+
+    // Deterministic global shuffle + fixed-size shard packing — the final
+    // pipeline stage: order the corpus by salted hash (a reproducible
+    // "random" permutation) and pack 100-doc shards. The naive form is
+    // row_number() over ONE global ordering — a single-partition window
+    // that serializes the whole corpus through one task at 100 TB. Here
+    // the global rank is computed scale-safely in two phases: rank WITHIN
+    // 64 hash buckets (64-way parallel windows over one exchange), then
+    // add per-bucket offsets (a 64-row running sum, broadcast back). The
+    // bucket is a PREFIX of the sort key (bucket = h % 64 ranks before h
+    // ties only across equal h — resolved by the doc_id tie-break), so
+    // two-phase rank == the oracle's one global row_number exactly.
+    "doc_shard" -> Q(
+      (s, d) => {
+        val h = TF.hash60(concat(lit("shard:"), col("doc_id").cast("string")))
+        val hd = docs(s, d).select(col("doc_id"), h.as("h"),
+          pmod(h, lit(64L)).as("b"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("b").orderBy("h", "doc_id")
+        val ranked = hd.withColumn("rk", row_number().over(wIn).cast("long"))
+        val wOff = org.apache.spark.sql.expressions.Window.orderBy("b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offs = ranked.groupBy("b").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+          .select("b", "off")
+        ranked.join(broadcast(offs), "b")
+          .withColumn("grk", col("off") + col("rk"))
+          .select(col("doc_id"),
+            ((col("grk") - 1) / 100).cast("long").as("shard"),
+            ((col("grk") - 1) % 100).as("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+              |    ${H60.format("'shard:' || doc_id::VARCHAR")} AS h FROM documents),
+              |r AS (SELECT doc_id, CAST(row_number() OVER
+              |    (ORDER BY h % 64, h, doc_id) AS BIGINT) AS grk FROM h)
+              |SELECT doc_id, (grk - 1) // 100 AS shard, (grk - 1) % 100 AS pos
+              |FROM r ORDER BY shard, pos""".stripMargin)),
+
     // Greedy sequence packing — the step after cleaning: assign every doc a
     // (training-sequence id, token offset) under a 128-token budget, per
     // source, in doc_id order (Packing.packGreedy: one shuffle on source,
@@ -1020,6 +1082,58 @@ object QueriesPipeline {
               |v AS (SELECT a, b, round(1e-9 + list_cosine_similarity(ea.v, eb.v), 4) AS cos
               |  FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
               |SELECT a, b, cos FROM v WHERE cos >= 0.4 ORDER BY 1,2""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023) — the cluster-then-prune recipe next
+    // to the pair-enumeration dedups: train the same constant-occupancy
+    // quantizer as emb_dedup_cosine (2-pass seeded Lloyd), then WITHIN
+    // each home cell drop every vector that has a same-cell duplicate
+    // (cos >= tau) closer to... — strictly, one that outranks it on
+    // (centroid-affinity ASC, id ASC): the paper keeps the duplicate
+    // FARTHEST from the cluster core to preserve diversity. Output is a
+    // per-vector KEEP/DROP decision frame — the form a pipeline feeds to
+    // its filter stage — not a pair list. All ranking on 4dp-rounded
+    // cosines, so the oracle replays training + assignment + every
+    // decision. Scale: model is plan-time, assignment one JIT'd loop,
+    // pairwise confined to constant-occupancy cells (O(n·occ) streamed
+    // pairs), decisions ride the cell exchange.
+    "emb_semdedup" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d)) // training + assignment + verify share one scan
+        val n = e.count()
+        val k = math.max(1, math.ceil(
+          n.toDouble / Similarity.DedupCellOccupancy).toInt)
+        val trained = Similarity.kmeansModel(e, nCent = k, iters = 2,
+          dimHint = AnnDim, loopAssign = true)
+        Similarity.semDedup(e, 0.4, trained, dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+              |  LIMIT (SELECT CAST(ceil(count(*) / ${Similarity.DedupCellOccupancy}.0) AS BIGINT) FROM e)),
+              |aff1 AS (SELECT e.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+              |asg1 AS (SELECT id, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+              |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+              |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+              |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+              |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+              |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+              |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+              |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+              |af AS (SELECT e.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
+              |cells AS (SELECT id, cid AS cell, cs AS aff FROM (
+              |    SELECT id, cid, cs, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM af) WHERE rn = 1),
+              |pr AS (SELECT x.id, x.aff, y.id AS oid, y.aff AS oaff,
+              |    round(1e-9 + list_cosine_similarity(ex.v, ey.v), 4) AS cos
+              |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.id <> y.id
+              |  JOIN e ex ON ex.vec_id = x.id JOIN e ey ON ey.vec_id = y.id),
+              |drops AS (SELECT DISTINCT id FROM pr WHERE cos >= 0.4
+              |  AND (oaff < aff OR (oaff = aff AND oid < id)))
+              |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
+              |FROM cells c LEFT JOIN drops d ON d.id = c.id ORDER BY 1""".stripMargin)),
 
     // Hierarchical (two-level) IVF cosine dedup — the >8M-vector scale
     // path: the flat emb_dedup_cosine quantizer walls twice near 8M

@@ -33,7 +33,8 @@ object SparkEntry {
     * and carry an oracle (BenchSpec asserts both). */
   val nonBenchQueries: Set[String] =
     Set("aug_mstl", "q_top3_parts_per_brand", "doc_sample_stratified",
-      "emb_dedup_hier", "emb_ann_hier")
+      "emb_dedup_hier", "emb_ann_hier", "emb_semdedup", "doc_split",
+      "doc_shard")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

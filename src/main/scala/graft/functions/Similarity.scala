@@ -395,6 +395,91 @@ object Similarity {
       .withColumn("vp", packUnit(col("v")))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embeddings with a trained coarse
+    * quantizer, compare pairs ONLY within a cluster, and among semantic
+    * duplicates (rounded cosine ≥ tau) KEEP the example with the LOWEST
+    * cosine to its cluster centroid — the paper's diversity-preserving
+    * keep rule (the member farthest from the cluster core survives; its
+    * redundant near-copies drop). The rule here is the pairwise form — a
+    * row drops iff SOME same-cell duplicate outranks it on
+    * (aff ASC, id ASC) — which needs no transitive closure, so the whole
+    * decision is one self-join plus an aggregation.
+    *
+    * Distinct from [[cosineDedupIvf]]: that op ENUMERATES near-dup pairs
+    * across probed neighbor cells (recall-oriented); this one makes
+    * per-row KEEP/DROP decisions within home cells only (the paper's
+    * formulation — cross-cluster duplicates are the quantizer's job to
+    * co-locate), returning a decision row per input vector.
+    *
+    * Scale shape: the model is plan-time (nCent×dim doubles, capped by
+    * [[QuantizerModelMaxDoubles]] — past it, assign cells with a
+    * [[HierQuantizer]] descent and feed `cellsOverride`); assignment is
+    * one JIT'd loop per row; the pairwise stage is the constant-occupancy
+    * cell-keyed self-join (O(n·occupancy) pairs, vectors packed into the
+    * join rows — no per-pair payload re-attach), and the drop set rides
+    * the same cell exchange. Everything ranks on 4dp-rounded values with
+    * id tie-breaks, so the DuckDB oracle replays training, assignment,
+    * and every keep/drop decision exactly.
+    *
+    * Returns (vec_id, cell, aff, keep) — one row per input vector.
+    * Reference semantics: the reference engine has no embedding ops; this
+    * extends the dedup family per the builder brief (SemDeDup is the
+    * published cluster-then-prune recipe used on LAION/C4-scale corpora). */
+  def semDedup(vecs: DataFrame, tau: Double,
+      model: Seq[(Long, Array[Double])], dimHint: Int = -1): DataFrame = {
+    require(model.nonEmpty, "semDedup: pass a trained quantizer model (kmeansModel)")
+    val dim = if (dimHint > 0) dimHint else probeDim(vecs)
+    if (dim == 0)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"semDedup: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    val cents = model.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
+      s"semDedup: quantizer model ${cents.length} centroids x $dim dims exceeds the " +
+        s"$QuantizerModelMaxDoubles-double driver/closure cap — train a smaller model " +
+        "or assign cells via hierQuantizer descent")
+    // home cell + centroid affinity in ONE JIT'd loop per row (the
+    // kmeansLoop/cosineDedupIvf assignment discipline), packed unit
+    // vector alongside so the pairwise join needs no second payload join
+    val assignU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val best = topByRounded(cents, va, math.sqrt(n2), 1).head
+      (best._1, best._2)
+    }
+    val asg = cv.withColumn("bc", assignU(col("v")))
+      .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"),
+        packUnit(col("v")).as("vp"))
+    // within-cell pairwise: both sides hash-partition on cell (constant
+    // occupancy ⇒ O(n·occ) streamed pairs), cosine scored by the
+    // codegen'd DotPacked inside the join output, the outranking filter
+    // fused before anything materializes. The decision aggregation
+    // (any outranking dup ⇒ drop) groups on id.
+    val mine = asg.select(col("cell"), col("id"), col("aff"), col("vp"))
+    val others = asg.select(col("cell"), col("id").as("oid"),
+      col("aff").as("oaff"), col("vp").as("ovp"))
+    val drops = mine.join(others, "cell").where(col("id") =!= col("oid"))
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("ovp")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .where(col("oaff") < col("aff") ||
+        (col("oaff") === col("aff") && col("oid") < col("id")))
+      .select(col("id")).distinct()
+      .withColumn("dropped", lit(true))
+    asg.select("id", "cell", "aff").join(drops, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"), col("aff"),
+        coalesce(!col("dropped"), lit(true)).as("keep"))
+  }
+
   /** [[ivfProbeFrame]] from a raw embeddings frame + trained model (the
     * scale-probe entry point). */
   private[graft] def probeFrameForTest(vecs: DataFrame,

@@ -414,4 +414,90 @@ class PipelineSpec extends SparkSuite {
         s"only-flat=${flat -- hier}")
     assert(hier.nonEmpty, "the reduction check must not pass vacuously")
   }
+
+  test("semDedup: the paper's keep rule on a constructed two-cluster corpus") {
+    // cell 0 holds a duplicate pair {1, 2}: aff(1)=1.0 > aff(2)≈0.9939, so
+    // the paper's rule keeps the member FARTHEST from the cluster core (2)
+    // and drops 1. vec 4 scores 0.0 against BOTH centroids — the rounded
+    // tie must break to the LOWEST cid (cell 0) — and has no duplicate
+    // there. vec 3 sits alone in cell 1.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val model = Seq(0L -> Array(1.0, 0.0, 0.0, 0.0), 1L -> Array(0.0, 1.0, 0.0, 0.0))
+    val r = Similarity.semDedup(vecs, 0.6, model, dimHint = 4)
+      .orderBy("vec_id").as[(Long, Long, Double, Boolean)].collect()
+    assert(r.map(x => x._1 -> x._4).toMap ==
+      Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+    assert(r.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("semDedup decisions equal an independent Column-API recomputation (registry config)") {
+    // rebuild every keep/drop decision from the decision frame + raw
+    // vectors using the HOF-lambda cosine — a different scoring code path
+    // than the packed-dot the operator runs — and demand exact agreement
+    val d = "/root/testdata/sf0.001"
+    // NOTE: registry frames must not stay cached — suites share one
+    // session, and a lingering InMemoryRelation would swallow the plan
+    // shapes PlanAuditSpec gates (unpersist below)
+    val out = Queries.registry.toMap.apply("emb_semdedup").fn(spark, d).cache()
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val j = out.join(e, "vec_id")
+    val mine = j.select(col("cell"), col("vec_id").as("id"), col("aff"), col("v"))
+    val others = j.select(col("cell"), col("vec_id").as("oid"),
+      col("aff").as("oaff"), col("v").as("ov"))
+    val outranked = mine.join(others, "cell").where(col("id") =!= col("oid"))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("ov")) + lit(1e-9), 4))
+      .where(col("cos") >= 0.4)
+      .where(col("oaff") < col("aff") ||
+        (col("oaff") === col("aff") && col("oid") < col("id")))
+      .select("id").distinct()
+    val dropped = out.where(!col("keep")).select(col("vec_id").as("id"))
+    assert(dropped.count() > 0, "the gate corpus must exercise real drops")
+    assert(out.count() === e.count(), "one decision row per input vector")
+    assert(dropped.exceptAll(outranked).count() == 0 &&
+      outranked.exceptAll(dropped).count() == 0,
+      "keep/drop decisions must equal the independent recomputation")
+    out.unpersist()
+  }
+
+  test("doc_shard: two-phase global rank equals the single global window; shards full") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.registry.toMap.apply("doc_shard").fn(spark, d).cache()
+    val h = TF.hash60(concat(lit("shard:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(pmod(col("h"), lit(64L)), col("h"), col("doc_id"))
+    val direct = Tables.documents(spark, d).select(col("doc_id"), h.as("h"))
+      .withColumn("grk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), ((col("grk") - 1) / 100).cast("long").as("shard"),
+        ((col("grk") - 1) % 100).as("pos"))
+    assert(got.exceptAll(direct).count() == 0 && direct.exceptAll(got).count() == 0,
+      "bucketed two-phase rank must equal the one-window global rank exactly")
+    val sizes = got.groupBy("shard").count().orderBy("shard")
+      .as[(Long, Long)].collect()
+    assert(sizes.dropRight(1).forall(_._2 == 100) && sizes.last._2 <= 100,
+      s"every shard but the last holds exactly 100 docs: ${sizes.mkString(",")}")
+    got.unpersist()
+  }
+
+  test("doc_split: doc-keyed split is total, exact on bucket bounds, ~80/10/10") {
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.registry.toMap.apply("doc_split").fn(spark, d).cache()
+    assert(got.count() == 500)
+    val m = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(m.keySet == Set("train", "val", "test") && m.values.sum == 500)
+    assert(m("train") >= 350 && m("train") <= 450,
+      s"hash-uniformity sanity on the 80% stratum: ${m("train")}/500")
+    assert(got.where(
+      (col("bucket") < 80 && col("split") =!= "train") ||
+        (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "val") ||
+        (col("bucket") >= 90 && col("split") =!= "test")).count() == 0,
+      "split must be a pure function of the bucket")
+    got.unpersist()
+  }
 }

@@ -341,4 +341,43 @@ class PlanAuditSpec extends SparkSuite {
     val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hash <= 2, s"doc_id partitioning must be reused, got $hash hash exchanges")
   }
+
+  test("doc_split: splits at scan speed — no required shuffle") {
+    // the split is a pure projection; the only exchanges allowed are the
+    // loader's small-file spread (REPARTITION_BY_COL, local-mode only)
+    // and the output orderBy's range exchange
+    val p = plan("doc_split")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("ENSURE_REQUIREMENTS")),
+      "doc_split grew a required hash exchange — no longer a pure projection")
+  }
+
+  test("doc_shard: global rank with no global window over the corpus") {
+    // the naive one-window global row_number serializes the corpus through
+    // a single task; the two-phase form allows exactly ONE SinglePartition
+    // exchange — the 64-row bucket-offset ladder — plus 2 required hash
+    // exchanges (big-side bucket window, per-bucket counts agg), with the
+    // offsets broadcast back
+    val p = plan("doc_shard")
+    val single = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(single == 1,
+      s"exactly one SinglePartition exchange (the 64-row offset ladder), got $single")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
+    val ensures = p.linesIterator.count(l =>
+      l.contains("hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(ensures == 2,
+      s"bucket window + counts agg = 2 required hash exchanges, got $ensures")
+  }
+
+  test("emb_semdedup: pairwise stage is a cell equi-join, decisions ride it") {
+    // within-cell pairing must plan as an equi-join on cell (constant
+    // occupancy ⇒ O(n·occ) streamed pairs); an all-pairs/BNLJ shape here
+    // is the 100 TB failure mode (the registry-wide cartesian gate also
+    // covers this — this pins the join keys)
+    val p = plan("emb_semdedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "cell pairing must be an equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "semdedup degenerated to an all-pairs shape")
+  }
 }
