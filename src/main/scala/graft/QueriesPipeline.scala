@@ -1087,9 +1087,9 @@ object QueriesPipeline {
     // to the pair-enumeration dedups: train the same constant-occupancy
     // quantizer as emb_dedup_cosine (2-pass seeded Lloyd), then WITHIN
     // each home cell drop every vector that has a same-cell duplicate
-    // (cos >= tau) closer to... — strictly, one that outranks it on
-    // (centroid-affinity ASC, id ASC): the paper keeps the duplicate
-    // FARTHEST from the cluster core to preserve diversity. Output is a
+    // (cos >= tau) outranking it on (centroid-affinity ASC, id ASC):
+    // the paper keeps the duplicate FARTHEST from the cluster core to
+    // preserve diversity. Output is a
     // per-vector KEEP/DROP decision frame — the form a pipeline feeds to
     // its filter stage — not a pair list. All ranking on 4dp-rounded
     // cosines, so the oracle replays training + assignment + every

@@ -414,8 +414,9 @@ object Similarity {
     * co-locate), returning a decision row per input vector.
     *
     * Scale shape: the model is plan-time (nCent×dim doubles, capped by
-    * [[QuantizerModelMaxDoubles]] — past it, assign cells with a
-    * [[HierQuantizer]] descent and feed `cellsOverride`); assignment is
+    * [[QuantizerModelMaxDoubles]] — past ~8M vectors train a coarser
+    * model, i.e. raise the occupancy, exactly as the require says);
+    * assignment is
     * one JIT'd loop per row; the pairwise stage is the constant-occupancy
     * cell-keyed self-join (O(n·occupancy) pairs, vectors packed into the
     * join rows — no per-pair payload re-attach), and the drop set rides
