@@ -1135,6 +1135,63 @@ object QueriesPipeline {
               |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
               |FROM cells c LEFT JOIN drops d ON d.id = c.id ORDER BY 1""".stripMargin)),
 
+    // SemDeDup through the hierarchical quantizer — the >8M-vector
+    // flavor: the flat emb_semdedup trains an n/64-centroid model
+    // (driver cap ~8M vectors; O(n²·dim/occ) assignment flops); here the
+    // home cell comes from the shared greedy descent (driver holds the
+    // trained √k-ish top level only, leaves stay distributed, ~2√k
+    // scored centroids/vector) and the within-cell prune + keep rule are
+    // identical to the flat path (bit-for-bit at nTop=1, spec-pinned).
+    "emb_semdedup_hier" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d)) // training + descent + prune share one scan
+        val nTop = math.max(8, math.round(math.sqrt(e.count() / 64.0)).toInt)
+        val hq = Similarity.hierQuantizer(e, nTop = nTop, occupancy = 64,
+          iters = 2, dimHint = AnnDim)
+        Similarity.semDedupHier(e, 0.4, hq, dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 64.0)) AS BIGINT)) FROM e)),
+             |aff1 AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+             |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+             |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |baf AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
+             |homeb AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM baf) WHERE rn = 1),
+             |bcnt AS (SELECT branch, count(*) AS n FROM homeb GROUP BY 1),
+             |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
+             |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
+             |  FROM homeb h),
+             |lv AS (SELECT s.branch, s.id AS cid, e.v AS cw
+             |  FROM samp s JOIN bcnt USING (branch) JOIN e ON e.vec_id = s.id
+             |  WHERE s.rn <= ceil(bcnt.n / 64.0)),
+             |laf AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
+             |  FROM homeb p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
+             |cells AS (SELECT id, cid AS cell, cs AS aff FROM (
+             |    SELECT id, cid, cs, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf) WHERE rn = 1),
+             |pr AS (SELECT x.id, x.aff, y.id AS oid, y.aff AS oaff,
+             |    round(1e-9 + list_cosine_similarity(ex.v, ey.v), 4) AS cos
+             |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.id <> y.id
+             |  JOIN e ex ON ex.vec_id = x.id JOIN e ey ON ey.vec_id = y.id),
+             |drops AS (SELECT DISTINCT id FROM pr WHERE cos >= 0.4
+             |  AND (oaff < aff OR (oaff = aff AND oid < id)))
+             |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
+             |FROM cells c LEFT JOIN drops d ON d.id = c.id ORDER BY 1""".stripMargin)),
+
     // Hierarchical (two-level) IVF cosine dedup — the >8M-vector scale
     // path: the flat emb_dedup_cosine quantizer walls twice near 8M
     // vectors at dim 64 (driver model n/64×dim doubles trips

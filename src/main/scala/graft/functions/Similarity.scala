@@ -481,6 +481,56 @@ object Similarity {
         coalesce(!col("dropped"), lit(true)).as("keep"))
   }
 
+  /** [[semDedup]] through a [[HierQuantizer]] — the >8M-vector SemDeDup
+    * path. The flat variant's model is nCent×dim driver-held doubles with
+    * O(n·nCent·dim) assignment flops — at constant occupancy that is
+    * O(n²·dim/occ), the same two walls [[cosineDedupIvf]] hits near 8M
+    * vectors. Here home-cell assignment is the shared greedy descent
+    * ([[hierDescent]] with nProbeTop=1, nPerBranch=1): one JIT'd loop
+    * over the driver-held top model picks the home branch, a linear
+    * equi-join on `branch` scores ONLY that branch's leaves, and the best
+    * leaf is the home cell with its 4dp-rounded cosine as the affinity —
+    * ~2√k scored centroids per vector instead of k, leaves never in a
+    * closure. The within-cell prune and the keep rule are IDENTICAL to
+    * [[semDedup]] (same rounding, same (aff ASC, id ASC) outranking), so
+    * with nTop=1 the two paths agree bit-for-bit (spec-pinned) and the
+    * DuckDB oracle replays every decision.
+    *
+    * Returns (vec_id, cell, aff, keep) — one row per input vector. */
+  def semDedupHier(vecs: DataFrame, tau: Double, hq: HierQuantizer,
+      dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(vecs)
+    if (dim == 0 || hq.top.isEmpty)
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"semDedupHier: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    // home assignment: best leaf of the home branch (slot 0 with
+    // nProbeTop=1), exactly the home rule of [[cosineDedupIvfHier]]
+    val asgFlat = hierDescent(cv, hq, nProbeTop = 1, nPerBranch = 1)
+      .select(col("id"), col("cell"), col("cs").as("aff"))
+    val asg = asgFlat.join(cv.select(col("id"), packUnit(col("v")).as("vp")), "id")
+    val mine = asg.select(col("cell"), col("id"), col("aff"), col("vp"))
+    val others = asg.select(col("cell"), col("id").as("oid"),
+      col("aff").as("oaff"), col("vp").as("ovp"))
+    val drops = mine.join(others, "cell").where(col("id") =!= col("oid"))
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("ovp")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .where(col("oaff") < col("aff") ||
+        (col("oaff") === col("aff") && col("oid") < col("id")))
+      .select(col("id")).distinct()
+      .withColumn("dropped", lit(true))
+    asgFlat.join(drops, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"), col("aff"),
+        coalesce(!col("dropped"), lit(true)).as("keep"))
+  }
+
   /** [[ivfProbeFrame]] from a raw embeddings frame + trained model (the
     * scale-probe entry point). */
   private[graft] def probeFrameForTest(vecs: DataFrame,

@@ -466,6 +466,26 @@ class PipelineSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("semDedupHier with nTop=1 reduces EXACTLY to flat semDedup on the leaf model") {
+    // one top-level branch makes the leaf frame the global salted sample
+    // and the descent a flat argmax over it — the two paths must agree
+    // bit-for-bit (same rounding, tie-breaks, prune, keep rule), pinning
+    // the hier semantics to the oracle-proven flat ones
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val hq = Similarity.hierQuantizer(e, nTop = 1, occupancy = 64, iters = 1,
+      dimHint = 64)
+    val model = hq.leaves.select("cid", "cw").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val hier = asSet(Similarity.semDedupHier(e, 0.4, hq, dimHint = 64))
+    val flat = asSet(Similarity.semDedup(e, 0.4, model, dimHint = 64))
+    assert(hier == flat,
+      s"nTop=1 hier semdedup diverged: only-hier=${hier -- flat}, only-flat=${flat -- hier}")
+    assert(hier.exists(!_._4), "the reduction check must exercise real drops")
+  }
+
   test("doc_shard: two-phase global rank equals the single global window; shards full") {
     val d = "/root/testdata/sf0.001"
     val got = Queries.registry.toMap.apply("doc_shard").fn(spark, d).cache()
