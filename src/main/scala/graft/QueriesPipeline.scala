@@ -761,6 +761,45 @@ object QueriesPipeline {
               |SELECT doc_id, q FROM f JOIN k USING (fp)
               |WHERE doc_id = keep ORDER BY 1""".stripMargin)),
 
+    // Exact duplicated-substring signals (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499 —
+    // their EXACTSUBSTR pass, token-window form): every 16-token window
+    // of every doc is hashed, a window instance is duplicated iff its
+    // hash occurs in >= 2 documents, and each doc reports
+    // (n_spans, n_dup_spans, dup_frac) — the signal the pipeline's
+    // substring-cut stage consumes. Scale shape: window rows ride
+    // ngramRows' one doc_id exchange (15 chained leads share it); the
+    // cross-doc counts are one 8-byte-key shuffle at (doc,h) grain —
+    // never strings — and the flags join back on h riding that same
+    // partitioning; the final doc rollup is the third and last exchange.
+    "doc_dup_spans" -> Q(
+      (s, d) => {
+        val ng = ngramRows(docs(s, d), 16, Nil)
+          .withColumn("h", TF.hash60(col("ng")))
+          .select("doc_id", "h")
+        val perDoc = ng.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+        val docsPerH = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+        perDoc.join(docsPerH, "h")
+          .groupBy("doc_id")
+          .agg(sum("cnt").cast("long").as("n_spans"),
+            sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).cast("long")
+              .as("n_dup_spans"))
+          .withColumn("dup_frac", r4(col("n_dup_spans") / col("n_spans")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |n AS (SELECT doc_id, unnest(list_transform(
+              |    range(1, greatest(len(toks) - 15, 0) + 1),
+              |    i -> array_to_string(toks[i:i+15], ' '))) AS ng FROM t),
+              |h AS (SELECT doc_id, ${H60.format("ng")} AS h FROM n),
+              |pd AS (SELECT doc_id, h, count(*) AS cnt FROM h GROUP BY 1, 2),
+              |dh AS (SELECT h, count(*) AS nd FROM pd GROUP BY 1)
+              |SELECT doc_id, sum(cnt)::BIGINT AS n_spans,
+              |  sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END)::BIGINT AS n_dup_spans,
+              |  round(1e-9 + sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) / sum(cnt), 4)
+              |    AS dup_frac
+              |FROM pd JOIN dh USING (h) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic stratified sampling: the 10 docs per source with the
     // lowest salted-md5 rank — a reproducible per-stratum sample that any
     // re-run (or any other engine, per the oracle) reproduces bit-for-bit
@@ -941,6 +980,65 @@ object QueriesPipeline {
              |    (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank FROM s)
              |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3
              |ORDER BY qid, rank""".stripMargin)),
+
+    // k-NN label classification through the IVF index — the standard
+    // embedding-quality eval (and the label-propagation primitive): every
+    // 10th vector is held out as a query, its 5 approximate nearest
+    // neighbors vote (weight = presence; ties broken by best similarity
+    // DESC then lowest label), and the decision frame records
+    // pred/truth/correct per query. Composes ivfTopK (the O(n) ANN path)
+    // with a vote rollup that rides the qid partitioning — at 100 TB the
+    // vote/aggregate adds one #queries-grain shuffle after the ANN join.
+    // Deterministic end to end (rounded sims, total-order tie-breaks), so
+    // the oracle replays index, vote, and verdicts exactly.
+    "emb_knn_classify" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val nn = Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, 5,
+          nCent = 16, nProbe = 4, dimHint = AnnDim)
+        val lab = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+        val votes = nn.join(lab, "nid")
+          .groupBy("qid", "nlabel")
+          .agg(count(lit(1)).as("votes"), max(col("sim")).as("best"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("votes").desc, col("best").desc, col("nlabel"))
+        val pred = votes.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select(col("qid"), col("nlabel").as("pred"))
+        pred.join(e.select(col("vec_id").as("qid"), col("label").as("truth")), "qid")
+          .select(col("qid"), col("pred"), col("truth"),
+            (col("pred") === col("truth")).as("correct"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY $SALT LIMIT 16),
+              |af AS (SELECT e.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
+              |cells AS (SELECT id AS nid, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM af)
+              |  WHERE rn = 1),
+              |probes AS (SELECT id AS qid, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn
+              |    FROM af WHERE id % 10 = 0)
+              |  WHERE rn <= 4),
+              |cand AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
+              |  WHERE qid <> nid),
+              |sc AS (SELECT qid, nid,
+              |    round(1e-9 + list_cosine_similarity(eq.v, en.v), 4) AS sim
+              |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid),
+              |r AS (SELECT qid, nid, sim, row_number() OVER
+              |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sc),
+              |votes AS (SELECT qid, en.label AS nlabel, count(*) AS votes,
+              |    max(sim) AS best
+              |  FROM r JOIN e en ON en.vec_id = r.nid WHERE rank <= 5 GROUP BY 1, 2),
+              |pred AS (SELECT qid, nlabel AS pred FROM (
+              |    SELECT qid, nlabel, row_number() OVER (PARTITION BY qid
+              |      ORDER BY votes DESC, best DESC, nlabel) AS rn FROM votes)
+              |  WHERE rn = 1)
+              |SELECT p.qid, p.pred, t.label AS truth,
+              |  (p.pred = t.label) AS correct
+              |FROM pred p JOIN e t ON t.vec_id = p.qid ORDER BY 1""".stripMargin)),
 
     // IVF-PQ (Similarity.ivfPqTopK): the composed 100 TB ANN architecture
     // — IVF cells cut the scan to ~nProbe/nCent of the corpus, PQ codes
