@@ -76,6 +76,25 @@ object QueriesPipeline {
       .withColumn("h30", col("h") % M30)
       .select((Seq(col("doc_id")) ++ extra.map(col) :+ col("h") :+ col("h30")): _*)
 
+  /** The `doc_dup_spans` body over any (doc_id, text) frame (the
+    * registry query + the golden-corpus spec hook): per doc, 16-token
+    * window instance counts, instances whose hash occurs in >= 2 docs,
+    * and the duplicated fraction. */
+  private[graft] def dupSpansForTest(g: DataFrame): DataFrame = {
+    val ng = ngramRows(g, 16, Nil)
+      .withColumn("h", TF.hash60(col("ng")))
+      .select("doc_id", "h")
+    val perDoc = ng.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+    val docsPerH = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+    perDoc.join(docsPerH, "h")
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_spans"),
+        sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).cast("long")
+          .as("n_dup_spans"))
+      .withColumn("dup_frac", r4(col("n_dup_spans") / col("n_spans")))
+      .orderBy("doc_id")
+  }
+
   /** (doc, n-gram-string) rows — the un-hashed form of [[hashedShingleRows]]
     * (same posexplode+lead shape, same one doc_id exchange); column `ng`. */
   private def ngramRows(g: DataFrame, n: Int, extra: Seq[String]): DataFrame = {
@@ -773,20 +792,7 @@ object QueriesPipeline {
     // never strings — and the flags join back on h riding that same
     // partitioning; the final doc rollup is the third and last exchange.
     "doc_dup_spans" -> Q(
-      (s, d) => {
-        val ng = ngramRows(docs(s, d), 16, Nil)
-          .withColumn("h", TF.hash60(col("ng")))
-          .select("doc_id", "h")
-        val perDoc = ng.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
-        val docsPerH = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
-        perDoc.join(docsPerH, "h")
-          .groupBy("doc_id")
-          .agg(sum("cnt").cast("long").as("n_spans"),
-            sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).cast("long")
-              .as("n_dup_spans"))
-          .withColumn("dup_frac", r4(col("n_dup_spans") / col("n_spans")))
-          .orderBy("doc_id")
-      },
+      (s, d) => dupSpansForTest(docs(s, d)),
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
               |n AS (SELECT doc_id, unnest(list_transform(
               |    range(1, greatest(len(toks) - 15, 0) + 1),

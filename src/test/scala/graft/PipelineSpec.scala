@@ -505,6 +505,22 @@ class PipelineSpec extends SparkSuite {
     got.unpersist()
   }
 
+  test("doc_dup_spans golden: shared 16-token run is flagged, unique text is not") {
+    // docs 1 and 2 share their first 17 tokens → each has 2 duplicated
+    // 16-token windows; doc 1 has 4 windows total (19 tokens), doc 2 has
+    // 2 (17 tokens, both shared); doc 3 (18 tokens) shares nothing
+    val shared = (1 to 17).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " x1 y1"),
+      (2L, shared),
+      (3L, (1 to 18).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = QueriesPipeline.dupSpansForTest(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 2L, 1.0), (3L, 3L, 0L, 0.0)),
+      s"got $got")
+  }
+
   test("doc_split: doc-keyed split is total, exact on bucket bounds, ~80/10/10") {
     val d = "/root/testdata/sf0.001"
     val got = Queries.registry.toMap.apply("doc_split").fn(spark, d).cache()
