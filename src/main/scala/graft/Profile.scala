@@ -13,9 +13,14 @@ object Profile {
     // rebuild (default off, matching Bench — see its builder comment)
     val forceSkew = sys.env.getOrElse("SPARK_GRAFT_FORCE_SKEW", "false")
     val coalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true")
+    // the scale-probe knob: at the GenScale decades (>=1000x the bench SF)
+    // 32 partitions no longer fit the shingle aggregates in memory — a
+    // real deployment sizes partitions with the data (the Bench builder
+    // stays pinned at 32 for record comparability)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.forceOptimizeSkewedJoin", forceSkew)
