@@ -780,6 +780,54 @@ object QueriesPipeline {
               |SELECT doc_id, q FROM f JOIN k USING (fp)
               |WHERE doc_id = keep ORDER BY 1""".stripMargin)),
 
+    // BM25 retrieval scoring (Robertson-Sparck Jones; the Lucene
+    // ln(1 + (N-df+0.5)/(df+0.5)) idf form, k1=1.2, b=0.75): score a
+    // fixed 3-term query against the corpus, top-20 docs by (4dp-rounded
+    // score DESC, doc_id). Scale shape: token rows filter to the query
+    // terms AT THE EXPLODE (tf/df stats run over matched rows only — a
+    // vanishing fraction of the corpus); doc lengths are a pure
+    // projection; N and Σdl are a 2-double driver collect (integer-valued
+    // doubles, so both engines see bit-identical corpus stats and the
+    // only FP-transcendental is the ln both sides compute from the same
+    // argument — the evt_ewma_hl precedent). The df table (≤3 rows)
+    // broadcasts into the scoring join.
+    "doc_bm25" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "stream", "join")
+        val doc = docs(s, d)
+        val dls = doc.select(col("doc_id"),
+          coalesce(size(TF.tokens(col("text"))), lit(0)).cast("double").as("dl"))
+        val st = dls.agg(count(lit(1)).cast("double"), sum("dl")).head
+        val n = st.getDouble(0); val avgdl = st.getDouble(1) / n
+        val tf = doc.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .where(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
+          .withColumn("contrib",
+            log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+              col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+          .groupBy("doc_id").agg(sum("contrib").as("sc"))
+          .select(col("doc_id"), r4(col("sc")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+              |st AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*)::DOUBLE AS avgdl
+              |  FROM dls),
+              |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+              |  WHERE tok IN ('spark', 'stream', 'join') GROUP BY 1, 2),
+              |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id, sum(
+              |    ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) *
+              |      tf * 2.2 /
+              |      (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st)))) AS s
+              |  FROM tf JOIN dfq USING (tok) JOIN dls USING (doc_id) GROUP BY 1)
+              |SELECT doc_id, round(1e-9 + s, 4) AS score FROM sc
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Exact duplicated-substring signals (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better", arXiv:2107.06499 —
     // their EXACTSUBSTR pass, token-window form): every 16-token window

@@ -369,6 +369,16 @@ class PlanAuditSpec extends SparkSuite {
       s"bucket window + counts agg = 2 required hash exchanges, got $ensures")
   }
 
+  test("doc_bm25: per-partition top-k, broadcast stats joins") {
+    // the top-20 must be TakeOrderedAndProject (a global sort of scored
+    // docs is the 100 TB failure mode) and the tiny df table must
+    // broadcast into the scoring join
+    val p = plan("doc_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition TakeOrderedAndProject")
+    assert(p.contains("BroadcastHashJoin"), "query-term stats must broadcast")
+  }
+
   test("emb_semdedup: pairwise stage is a cell equi-join, decisions ride it") {
     // within-cell pairing must plan as an equi-join on cell (constant
     // occupancy ⇒ O(n·occ) streamed pairs); an all-pairs/BNLJ shape here
