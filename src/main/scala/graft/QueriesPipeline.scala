@@ -81,12 +81,17 @@ object QueriesPipeline {
     * window instance counts, instances whose hash occurs in >= 2 docs,
     * and the duplicated fraction. */
   private[graft] def dupSpansForTest(g: DataFrame): DataFrame = {
-    val ng = ngramRows(g, 16, Nil)
-      .withColumn("h", TF.hash60(col("ng")))
-      .select("doc_id", "h")
+    // windows hashed per doc in one JIT'd loop (TF.ngramHashes) — the
+    // 16-lead window-function form put ~500 B/row of lead strings
+    // through the doc_id sort and hit the spill cliff at the 300× check
+    val ng = g.select(col("doc_id"),
+      explode(TF.ngramHashes(col("text"), 16)).as("h"))
     val perDoc = ng.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
-    val docsPerH = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
-    perDoc.join(docsPerH, "h")
+    // nd = docs containing h: perDoc has ONE row per (doc, h), so a
+    // count over the h partition IS the doc count — a window in place of
+    // the groupBy+join-back (one exchange and two join sorts fewer)
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    perDoc.withColumn("nd", count(lit(1)).over(wH))
       .groupBy("doc_id")
       .agg(sum("cnt").cast("long").as("n_spans"),
         sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).cast("long")
@@ -1043,13 +1048,21 @@ object QueriesPipeline {
     // pred/truth/correct per query. Composes ivfTopK (the O(n) ANN path)
     // with a vote rollup that rides the qid partitioning — at 100 TB the
     // vote/aggregate adds one #queries-grain shuffle after the ANN join.
-    // Deterministic end to end (rounded sims, total-order tie-breaks), so
-    // the oracle replays index, vote, and verdicts exactly.
+    // Because the query set GROWS with the corpus (n/10 held-out rows,
+    // unlike the fixed-batch emb_ann_* entries), the cell count must grow
+    // too: constant occupancy (n/64 salted-sample cells, the dedup-family
+    // rule) keeps candidates at ~queries × nProbe × occupancy = O(n); a
+    // fixed nCent here would be candidates ~n²·nProbe/(10·nCent) — the
+    // scale-killer shape the 100× checks exist to catch. Deterministic
+    // end to end (rounded sims, total-order tie-breaks), so the oracle
+    // replays index, vote, and verdicts exactly.
     "emb_knn_classify" -> Q(
       (s, d) => {
         val e = cached(emb(s, d))
+        val k = math.max(1, math.ceil(
+          e.count().toDouble / Similarity.DedupCellOccupancy).toInt)
         val nn = Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, 5,
-          nCent = 16, nProbe = 4, dimHint = AnnDim)
+          nCent = k, nProbe = 4, dimHint = AnnDim, loopAssign = true)
         val lab = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
         val votes = nn.join(lab, "nid")
           .groupBy("qid", "nlabel")
@@ -1064,7 +1077,8 @@ object QueriesPipeline {
           .orderBy("qid")
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY $SALT LIMIT 16),
+              |cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY $SALT
+              |  LIMIT (SELECT CAST(ceil(count(*) / ${Similarity.DedupCellOccupancy}.0) AS BIGINT) FROM e)),
               |af AS (SELECT e.vec_id AS id, cid,
               |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent),
               |cells AS (SELECT id AS nid, cid AS cell FROM (

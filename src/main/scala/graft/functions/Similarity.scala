@@ -863,7 +863,8 @@ object Similarity {
     * ~nProbe/nCent of the corpus — the IVF-Flat contract. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int, nCent: Int,
       nProbe: Int, dimHint: Int = -1,
-      model: Seq[(Long, Array[Double])] = Nil): DataFrame = {
+      model: Seq[(Long, Array[Double])] = Nil,
+      loopAssign: Boolean = false): DataFrame = {
     val dim = if (dimHint > 0) dimHint
       else probeDim(candidates)
     if (dim == 0)
@@ -884,28 +885,54 @@ object Similarity {
     // centroid in one region (the same bias [[cosineDedupIvf]]'s sample
     // path was salted against in round 8). Still a pure function of the
     // input, so the oracle replays it; both forms are small, so the
-    // exploded frame broadcasts
-    val centEx = if (model.nonEmpty) {
-      val spark = candidates.sparkSession
-      import spark.implicits._
-      model.flatMap { case (cid, ws) =>
-        ws.iterator.zipWithIndex.map { case (x, i) => (cid, i, x) } }
+    // exploded frame broadcasts.
+    //
+    // loopAssign = true swaps the exploded cellAffinity join for the
+    // plan-time-model JIT loop ([[cosineDedupIvf]]'s discipline —
+    // identical rounded values, same lowest-cid ties): REQUIRED once
+    // nCent grows with the corpus (constant-occupancy cell counts), where
+    // the exploded join is n×nCent×dim ROWS — 40G at 200k vectors/3125
+    // cells, measured 615 s vs ~20 s for the loop doing the same flops.
+    // The default exploded join stays for the small-fixed-nCent entries
+    // whose model the driver should not hold.
+    val (cells, probes) = if (loopAssign) {
+      val cents: Array[(Long, Array[Double], Double)] =
+        if (model.nonEmpty) model.map { case (cid, w) => withNorm3(cid, w) }.toArray
+        else cv.orderBy(TextFunctions.hash60(col("nid").cast("string")), col("nid"))
+          .limit(nCent)
+          .collect().map(r => withNorm3(r.getLong(0), r.getSeq[Double](1).toArray))
+      require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
+        s"ivfTopK: quantizer model ${cents.length} centroids x $dim dims exceeds the " +
+          s"$QuantizerModelMaxDoubles-double driver/closure cap — use ivfTopKHier")
+      val cellsF = ivfProbeFrame(cv.toDF("id", "v"), cents, 1)
+        .select(col("id").as("nid"), element_at(col("pcs"), 1).as("cell"))
+      val probesF = ivfProbeFrame(qv.toDF("id", "v"), cents, nProbe)
+        .select(col("id").as("qid"), explode(col("pcs")).as("cell"))
+      (cellsF, probesF)
+    } else {
+      val centEx = if (model.nonEmpty) {
+        val spark = candidates.sparkSession
+        import spark.implicits._
+        model.flatMap { case (cid, ws) =>
+          ws.iterator.zipWithIndex.map { case (x, i) => (cid, i, x) } }
+          .toDF("cid", "i", "w")
+      } else candidates
+        .orderBy(TextFunctions.hash60(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nCent)
+        .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
         .toDF("cid", "i", "w")
-    } else candidates
-      .orderBy(TextFunctions.hash60(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nCent)
-      .select(col("vec_id").as("cid"), posexplode(toDouble(col("embedding"))))
-      .toDF("cid", "i", "w")
-    val wNear = org.apache.spark.sql.expressions.Window
-      .partitionBy("nid").orderBy(col("cs").desc, col("cid"))
-    val cells = cellAffinity(cv, "nid", "nv", centEx)
-      .withColumn("rn", row_number().over(wNear)).where(col("rn") === 1)
-      .select(col("nid"), col("cid").as("cell"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cs").desc, col("cid"))
-    val probes = cellAffinity(qv, "qid", "qv", centEx)
-      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
-      .select(col("qid"), col("cid").as("cell"))
+      val wNear = org.apache.spark.sql.expressions.Window
+        .partitionBy("nid").orderBy(col("cs").desc, col("cid"))
+      val cellsF = cellAffinity(cv, "nid", "nv", centEx)
+        .withColumn("rn", row_number().over(wNear)).where(col("rn") === 1)
+        .select(col("nid"), col("cid").as("cell"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cs").desc, col("cid"))
+      val probesF = cellAffinity(qv, "qid", "qv", centEx)
+        .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+        .select(col("qid"), col("cid").as("cell"))
+      (cellsF, probesF)
+    }
     val cand = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
       .select("qid", "nid")
       .join(qv, "qid").join(cv, "nid")

@@ -4,10 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / dedup primitives for large-scale training-data pipelines.
-  * All pure Column expressions (whole-stage codegen; no UDFs): at 100 TB
-  * these run inside the scan projection, shuffle only at the
-  * group/join steps, and every hash is engine-portable (md5-based), so the
-  * same computation is expressible in the DuckDB oracle. */
+  * Pure Column expressions (whole-stage codegen) except [[ngramHashes]],
+  * a measured primitive-loop exception: at 100 TB these run inside the
+  * scan projection, shuffle only at the group/join steps, and every hash
+  * is engine-portable (md5-based), so the same computation is
+  * expressible in the DuckDB oracle. */
 object TextFunctions {
 
   /** Lowercased word tokens, empty strings filtered. */
@@ -27,6 +28,49 @@ object TextFunctions {
     * (Broder-style canonical form; robust to word order/duplication). */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(distinctTokens(text))))
+
+  /** All n-token window hashes of a doc in ONE primitive-loop UDF:
+    * tokenize, build each window string, hash60 it — per doc, locally.
+    * Bit-identical to `hash60(concat_ws(" ", window tokens))` (same
+    * lower/\W+/filter tokenization, same md5-prefix hash, proven by the
+    * doc_dup_spans oracle at every SF), WITHOUT the posexplode +
+    * (n-1)-chained-lead window the Column form needs: 16 lead STRING
+    * columns materialize ~500 B/row into the doc_id sort — ~30 GB at
+    * 1.5M docs, past the executor sort pool ⇒ disk-spill cliff (measured
+    * 25.8 s → 305 s on 3× data at the 100×→300× check). Here the window
+    * strings exist only inside the loop; the output is ~41 longs per doc
+    * and NOTHING wide ever enters a sort or shuffle — the same
+    * map-parallel shape as doc_chunk. */
+  def ngramHashes(text: Column, n: Int): Column = {
+    val f = org.apache.spark.sql.functions.udf { (t: String) =>
+      if (t == null) Array.empty[Long]
+      else {
+        val toks = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\W+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val sb = new java.lang.StringBuilder
+          Array.tabulate(toks.length - n + 1) { i =>
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j)); j += 1
+            }
+            md.reset()
+            val d = md.digest(sb.toString.getBytes("UTF-8"))
+            // first 15 hex chars = bytes 0-6 + the high nibble of byte 7
+            var v = 0L
+            var b = 0
+            while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+            (v << 4) | ((d(7) & 0xf0L) >> 4)
+          }
+        }
+      }
+    }
+    f(text)
+  }
 
   /** Word n-gram shingles ("a b c" strings). Empty when fewer than n tokens. */
   def ngrams(toks: Column, n: Int): Column =
