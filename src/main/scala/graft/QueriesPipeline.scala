@@ -1108,6 +1108,94 @@ object QueriesPipeline {
               |  (p.pred = t.label) AS correct
               |FROM pred p JOIN e t ON t.vec_id = p.qid ORDER BY 1""".stripMargin)),
 
+    // k-NN label classification through the HIERARCHICAL quantizer — the
+    // >8M-vector twin of emb_knn_classify, completing the flat/hier pair
+    // the dedup and semdedup families already have: the flat entry's
+    // trained n/64-cell model is O(n²·dim/occ) assignment flops and walls
+    // at the driver cap; here home cells and probe cells come from the
+    // shared greedy descent (~2√k scored centroids/vector, leaves never
+    // collected) and the vote tail is identical. Pairs are scored packed
+    // inside the cell join (no per-pair payload re-attach — load-bearing
+    // here because the query set is n/10, not a fixed batch).
+    "emb_knn_hier" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val nTop = math.max(8, math.round(math.sqrt(e.count() / 64.0)).toInt)
+        val hq = Similarity.hierQuantizer(e, nTop = nTop, occupancy = 64,
+          iters = 2, dimHint = AnnDim)
+        val nn = Similarity.ivfTopKHier(e.where(col("vec_id") % 10 === 0), e, 5,
+          hq, nProbe = 4, nProbeTop = 2, dimHint = AnnDim)
+        val lab = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+        val votes = nn.join(lab, "nid")
+          .groupBy("qid", "nlabel")
+          .agg(count(lit(1)).as("votes"), max(col("sim")).as("best"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("votes").desc, col("best").desc, col("nlabel"))
+        val pred = votes.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select(col("qid"), col("nlabel").as("pred"))
+        pred.join(e.select(col("vec_id").as("qid"), col("label").as("truth")), "qid")
+          .select(col("qid"), col("pred"), col("truth"),
+            (col("pred") === col("truth")).as("correct"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 64.0)) AS BIGINT)) FROM e)),
+             |aff1 AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+             |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+             |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |baf AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
+             |brk AS (SELECT id, cid, row_number() OVER
+             |    (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM baf),
+             |homeb AS (SELECT id, cid AS branch FROM brk WHERE rn = 1),
+             |bcnt AS (SELECT branch, count(*) AS n FROM homeb GROUP BY 1),
+             |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
+             |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
+             |  FROM homeb h),
+             |lv AS (SELECT s.branch, s.id AS cid, e.v AS cw
+             |  FROM samp s JOIN bcnt USING (branch) JOIN e ON e.vec_id = s.id
+             |  WHERE s.rn <= ceil(bcnt.n / 64.0)),
+             |laf0 AS (SELECT h.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
+             |  FROM homeb h JOIN lv l USING (branch) JOIN e ON e.vec_id = h.id),
+             |cells AS (SELECT id AS nid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf0) WHERE rn = 1),
+             |probq AS (SELECT id, cid AS branch FROM brk WHERE rn <= 2 AND id % 10 = 0),
+             |lafq AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
+             |  FROM probq p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
+             |probes AS (SELECT id AS qid, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafq) WHERE rn <= 4),
+             |cand AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
+             |  WHERE qid <> nid),
+             |sc AS (SELECT qid, nid,
+             |    round(1e-9 + list_cosine_similarity(eq.v, en.v), 4) AS sim
+             |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid),
+             |r AS (SELECT qid, nid, sim, row_number() OVER
+             |    (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sc),
+             |votes AS (SELECT qid, en.label AS nlabel, count(*) AS votes,
+             |    max(sim) AS best
+             |  FROM r JOIN e en ON en.vec_id = r.nid WHERE rank <= 5 GROUP BY 1, 2),
+             |pred AS (SELECT qid, nlabel AS pred FROM (
+             |    SELECT qid, nlabel, row_number() OVER (PARTITION BY qid
+             |      ORDER BY votes DESC, best DESC, nlabel) AS rn FROM votes)
+             |  WHERE rn = 1)
+             |SELECT p.qid, p.pred, t.label AS truth,
+             |  (p.pred = t.label) AS correct
+             |FROM pred p JOIN e t ON t.vec_id = p.qid ORDER BY 1""".stripMargin)),
+
     // IVF-PQ (Similarity.ivfPqTopK): the composed 100 TB ANN architecture
     // — IVF cells cut the scan to ~nProbe/nCent of the corpus, PQ codes
     // score the survivors from m bytes/vector. Both models are

@@ -35,7 +35,7 @@ object SparkEntry {
     Set("aug_mstl", "q_top3_parts_per_brand", "doc_sample_stratified",
       "emb_dedup_hier", "emb_ann_hier", "emb_semdedup", "doc_split",
       "doc_shard", "emb_semdedup_hier", "emb_knn_classify", "doc_dup_spans",
-      "doc_bm25")
+      "doc_bm25", "emb_knn_hier")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -770,15 +770,19 @@ object Similarity {
         hq, nProbeTop, nProbe)
       .withColumn("rn", row_number().over(wCell)).where(col("rn") <= nProbe)
       .select(col("id").as("qid"), col("cell"))
-    val cand = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
-      .select("qid", "nid")
-      .join(qv, "qid").join(cv, "nid")
-    val sims = cand.withColumn("sim", cosLoop(col("qv"), col("nv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(round(col("sim") + lit(1e-9), 4).desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("sim") + lit(1e-9), 4).as("sim"),
-        col("rank").cast("long").as("rank"))
+    // vectors attach per ROW (packed unit form, one id-join each side),
+    // then pairs are scored by the codegen'd DotPacked inside the cell
+    // join's streamed output — never a per-PAIR payload re-attach (the
+    // round-7 dedup lesson: with a query set that grows with the corpus,
+    // bare-id pairs joined back to the vector tables are candidates ×
+    // dim×8 bytes of join I/O)
+    val sims = probes
+      .join(qv.select(col("qid"), packUnit(col("qv")).as("pq")), "qid")
+      .join(cells.join(cv.select(col("nid"), packUnit(col("nv")).as("pn")), "nid"), "cell")
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim",
+        org.apache.spark.sql.GraftColumns.dotPacked(col("pq"), col("pn")))
+    rankTopK(sims, k)
   }
 
   /** Per-row leaf-centroid scoring count of [[cosineDedupIvfHier]]'s
@@ -904,11 +908,24 @@ object Similarity {
       require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
         s"ivfTopK: quantizer model ${cents.length} centroids x $dim dims exceeds the " +
           s"$QuantizerModelMaxDoubles-double driver/closure cap — use ivfTopKHier")
+      // rows cross the cell shuffle WITH their packed unit vector (the
+      // cosineDedupIvf verify shape): pairs are scored by the codegen'd
+      // DotPacked inside the join's streamed output. The legacy branch's
+      // per-PAIR payload re-attach (bare-id candidates joined back to
+      // both vector tables) is fine for its fixed tiny query batches but
+      // is candidates × dim×8 bytes of join I/O once the query set grows
+      // with the corpus — the round-7 dedup lesson, measured again here
+      // (157 s → 45 s at the 100× check).
       val cellsF = ivfProbeFrame(cv.toDF("id", "v"), cents, 1)
-        .select(col("id").as("nid"), element_at(col("pcs"), 1).as("cell"))
+        .select(element_at(col("pcs"), 1).as("cell"), col("id").as("nid"),
+          col("vp").as("pn"))
       val probesF = ivfProbeFrame(qv.toDF("id", "v"), cents, nProbe)
-        .select(col("id").as("qid"), explode(col("pcs")).as("cell"))
-      (cellsF, probesF)
+        .select(explode(col("pcs")).as("cell"), col("id").as("qid"),
+          col("vp").as("pq"))
+      val sims = probesF.join(cellsF, "cell").where(col("qid") =!= col("nid"))
+        .withColumn("sim",
+          org.apache.spark.sql.GraftColumns.dotPacked(col("pq"), col("pn")))
+      return rankTopK(sims, k)
     } else {
       val centEx = if (model.nonEmpty) {
         val spark = candidates.sparkSession
@@ -936,7 +953,12 @@ object Similarity {
     val cand = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
       .select("qid", "nid")
       .join(qv, "qid").join(cv, "nid")
-    val sims = cand.withColumn("sim", cosLoop(col("qv"), col("nv")))
+    rankTopK(cand.withColumn("sim", cosLoop(col("qv"), col("nv"))), k)
+  }
+
+  /** Shared (qid, nid, sim) → rounded top-k tail of [[ivfTopK]]'s two
+    * assignment branches: rank on (4dp-rounded sim DESC, nid). */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(round(col("sim") + lit(1e-9), 4).desc, col("nid"))
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
