@@ -839,11 +839,13 @@ object QueriesPipeline {
     // of every doc is hashed, a window instance is duplicated iff its
     // hash occurs in >= 2 documents, and each doc reports
     // (n_spans, n_dup_spans, dup_frac) — the signal the pipeline's
-    // substring-cut stage consumes. Scale shape: window rows ride
-    // ngramRows' one doc_id exchange (15 chained leads share it); the
-    // cross-doc counts are one 8-byte-key shuffle at (doc,h) grain —
-    // never strings — and the flags join back on h riding that same
-    // partitioning; the final doc rollup is the third and last exchange.
+    // substring-cut stage consumes. Scale shape: windows are hashed
+    // per doc in ONE primitive-loop UDF (TF.ngramHashes — the 300×
+    // check measured the 15-chained-lead window form spilling its
+    // ~500 B/row sort to disk); after that only (doc_id, h) longs
+    // exist: one (doc,h) aggregate, a count-over-h window for the
+    // cross-doc flags, and the doc rollup — three narrow exchanges,
+    // no strings past the scan projection.
     "doc_dup_spans" -> Q(
       (s, d) => dupSpansForTest(docs(s, d)),
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
