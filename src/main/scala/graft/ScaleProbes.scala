@@ -19,6 +19,21 @@ object ScaleProbes {
     spark.sparkContext.setLogLevel("ERROR")
     val (cand, meanSet) = QueriesPipeline.minhashProbe(spark, sfDir)
     println(f"[probe] $sfDir minhash_banded_candidates=$cand mean_shingle_set=$meanSet%.1f")
+    // hier-descent cost at the registry dedup config (occupancy 64,
+    // nTop ~ sqrt(k)): scored centroids per vector = nTop (in-closure)
+    // + probed branches' leaves — deterministic frame counts, no
+    // wall-clock noise; the flat baseline scores k = n/occ per vector
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val occ = 64
+    val k = math.max(1, math.ceil(n.toDouble / occ).toInt)
+    val nTop = math.max(8, math.round(math.sqrt(k.toDouble)).toInt)
+    val hq = graft.functions.Similarity.hierQuantizer(e, nTop, occ,
+      iters = 2, dimHint = 64)
+    val leafScored = graft.functions.Similarity
+      .hierScoredLeaves(e, hq, nProbeTop = 2, dimHint = 64)
+      .agg(org.apache.spark.sql.functions.avg("scored")).head.getDouble(0)
+    println(f"[probe] $sfDir n=$n flat_scored_per_vec=$k hier_scored_per_vec=${nTop + leafScored}%.1f (nTop=$nTop)")
     spark.stop()
   }
 }
