@@ -76,6 +76,31 @@ object QueriesPipeline {
       .withColumn("h30", col("h") % M30)
       .select((Seq(col("doc_id")) ++ extra.map(col) :+ col("h") :+ col("h30")): _*)
 
+  /** The `doc_shard` body over any frame with a doc_id column (the
+    * registry query + the randomized equality gate's hook): global
+    * salted-hash rank packed into 100-doc shards, computed scale-safely
+    * in two phases — rank within 64 hash buckets, then add broadcast
+    * per-bucket offsets. The bucket is a PREFIX of the sort key, so the
+    * result equals one global row_number exactly. */
+  private[graft] def shardForTest(g: DataFrame): DataFrame = {
+    val h = TF.hash60(concat(lit("shard:"), col("doc_id").cast("string")))
+    val hd = g.select(col("doc_id"), h.as("h"), pmod(h, lit(64L)).as("b"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("h", "doc_id")
+    val ranked = hd.withColumn("rk", row_number().over(wIn).cast("long"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy("b").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("b", "off")
+    ranked.join(broadcast(offs), "b")
+      .withColumn("grk", col("off") + col("rk"))
+      .select(col("doc_id"),
+        ((col("grk") - 1) / 100).cast("long").as("shard"),
+        ((col("grk") - 1) % 100).as("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** The `doc_dup_spans` body over any (doc_id, text) frame (the
     * registry query + the golden-corpus spec hook): per doc, 16-token
     * window instance counts, instances whose hash occurs in >= 2 docs,
@@ -924,25 +949,7 @@ object QueriesPipeline {
     // ties only across equal h — resolved by the doc_id tie-break), so
     // two-phase rank == the oracle's one global row_number exactly.
     "doc_shard" -> Q(
-      (s, d) => {
-        val h = TF.hash60(concat(lit("shard:"), col("doc_id").cast("string")))
-        val hd = docs(s, d).select(col("doc_id"), h.as("h"),
-          pmod(h, lit(64L)).as("b"))
-        val wIn = org.apache.spark.sql.expressions.Window
-          .partitionBy("b").orderBy("h", "doc_id")
-        val ranked = hd.withColumn("rk", row_number().over(wIn).cast("long"))
-        val wOff = org.apache.spark.sql.expressions.Window.orderBy("b")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val offs = ranked.groupBy("b").agg(count(lit(1)).as("n"))
-          .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
-          .select("b", "off")
-        ranked.join(broadcast(offs), "b")
-          .withColumn("grk", col("off") + col("rk"))
-          .select(col("doc_id"),
-            ((col("grk") - 1) / 100).cast("long").as("shard"),
-            ((col("grk") - 1) % 100).as("pos"))
-          .orderBy("shard", "pos")
-      },
+      (s, d) => shardForTest(docs(s, d)),
       Some(s"""WITH h AS (SELECT doc_id,
               |    ${H60.format("'shard:' || doc_id::VARCHAR")} AS h FROM documents),
               |r AS (SELECT doc_id, CAST(row_number() OVER

@@ -521,6 +521,27 @@ class PipelineSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("doc_shard: two-phase rank equals one global window on a pseudo-random id universe") {
+    // the sf0.001 golden uses dense sequential ids; this gate feeds the
+    // same LCG id stream idiom as the union-find gate — 3k sparse 48-bit
+    // ids (hash-adversarial: arbitrary bucket skew, ties impossible) —
+    // and demands exact equality with the naive one-window global rank
+    var st = 98765L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st >>> 16 }
+    val ids = Seq.fill(3000)(nxt()).distinct
+    val g = ids.toDF("doc_id")
+    val got = QueriesPipeline.shardForTest(g)
+    val h = TF.hash60(concat(lit("shard:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(pmod(col("h"), lit(64L)), col("h"), col("doc_id"))
+    val direct = g.select(col("doc_id"), h.as("h"))
+      .withColumn("grk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), ((col("grk") - 1) / 100).cast("long").as("shard"),
+        ((col("grk") - 1) % 100).as("pos"))
+    assert(got.exceptAll(direct).count() == 0 && direct.exceptAll(got).count() == 0,
+      "two-phase rank must equal the one-window rank on arbitrary id universes")
+  }
+
   test("doc_split: doc-keyed split is total, exact on bucket bounds, ~80/10/10") {
     val d = "/root/testdata/sf0.001"
     val got = Queries.registry.toMap.apply("doc_split").fn(spark, d).cache()
