@@ -1071,7 +1071,7 @@ object QueriesPipeline {
         val k = math.max(1, math.ceil(
           e.count().toDouble / Similarity.DedupCellOccupancy).toInt)
         val nn = Similarity.ivfTopK(e.where(col("vec_id") % 10 === 0), e, 5,
-          nCent = k, nProbe = 4, dimHint = AnnDim, loopAssign = true)
+          nCent = k, nProbe = 6, dimHint = AnnDim, loopAssign = true)
         val lab = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
         val votes = nn.join(lab, "nid")
           .groupBy("qid", "nlabel")
@@ -1098,7 +1098,7 @@ object QueriesPipeline {
               |    SELECT id, cid, row_number() OVER
               |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn
               |    FROM af WHERE id % 10 = 0)
-              |  WHERE rn <= 4),
+              |  WHERE rn <= 6),
               |cand AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
               |  WHERE qid <> nid),
               |sc AS (SELECT qid, nid,
@@ -1133,7 +1133,7 @@ object QueriesPipeline {
         val hq = Similarity.hierQuantizer(e, nTop = nTop, occupancy = 64,
           iters = 2, dimHint = AnnDim)
         val nn = Similarity.ivfTopKHier(e.where(col("vec_id") % 10 === 0), e, 5,
-          hq, nProbe = 4, nProbeTop = 2, dimHint = AnnDim)
+          hq, nProbe = 8, nProbeTop = 4, dimHint = AnnDim)
         val lab = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
         val votes = nn.join(lab, "nid")
           .groupBy("qid", "nlabel")
@@ -1180,13 +1180,13 @@ object QueriesPipeline {
              |cells AS (SELECT id AS nid, cid AS cell FROM (
              |    SELECT id, cid, row_number() OVER
              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf0) WHERE rn = 1),
-             |probq AS (SELECT id, cid AS branch FROM brk WHERE rn <= 2 AND id % 10 = 0),
+             |probq AS (SELECT id, cid AS branch FROM brk WHERE rn <= 4 AND id % 10 = 0),
              |lafq AS (SELECT p.id, l.cid,
              |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
              |  FROM probq p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
              |probes AS (SELECT id AS qid, cid AS cell FROM (
              |    SELECT id, cid, row_number() OVER
-             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafq) WHERE rn <= 4),
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafq) WHERE rn <= 8),
              |cand AS (SELECT qid, nid FROM probes JOIN cells USING (cell)
              |  WHERE qid <> nid),
              |sc AS (SELECT qid, nid,

@@ -486,6 +486,44 @@ class PipelineSpec extends SparkSuite {
     assert(hier.exists(!_._4), "the reduction check must exercise real drops")
   }
 
+  test("kNN classify: IVF and hier predictions track the brute-force vote (frozen gates)") {
+    // the classify-op equivalent of the recall gates every ANN entry
+    // carries: run the SAME 5-neighbor vote over exact brute-force
+    // neighbors and demand the approximate flavors agree on most
+    // queries. Gates frozen below first measurement (flat 0.78, hier
+    // 0.60 at sf0.001 — this synthetic corpus's within-label cosine
+    // coherence is weak, so the vote is tie-heavy and agreement tracks
+    // the underlying index recalls, 0.63/0.75) — a quantizer regression
+    // that scrambles neighborhoods fails here even while the oracle
+    // hash stays green (the oracle replays the approximation, it does
+    // not judge it).
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    def vote(nn: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
+      val lab = e.select(col("vec_id").as("nid"), col("label").as("nlabel"))
+      val votes = nn.join(lab, "nid")
+        .groupBy("qid", "nlabel")
+        .agg(count(lit(1)).as("votes"), max(col("sim")).as("best"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+        .orderBy(col("votes").desc, col("best").desc, col("nlabel"))
+      votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("qid"), col("nlabel"))
+        .as[(Long, Int)].collect().toMap
+    }
+    val q = e.where(col("vec_id") % 10 === 0)
+    val exact = vote(Similarity.bruteTopK(q, e, 5))
+    def pred(name: String): Map[Long, Int] =
+      Queries.registry.toMap.apply(name).fn(spark, d)
+        .select(col("qid"), col("pred")).as[(Long, Int)].collect().toMap
+    def agree(p: Map[Long, Int]): Double =
+      exact.count { case (k, v) => p.get(k).contains(v) }.toDouble / exact.size
+    val aFlat = agree(pred("emb_knn_classify"))
+    val aHier = agree(pred("emb_knn_hier"))
+    info(f"vote agreement vs brute force: flat $aFlat%.3f, hier $aHier%.3f over ${exact.size} queries")
+    assert(aFlat >= 0.70, f"flat kNN vote agreement $aFlat%.3f fell below the 0.70 gate")
+    assert(aHier >= 0.50, f"hier kNN vote agreement $aHier%.3f fell below the 0.50 gate")
+  }
+
   test("doc_shard: two-phase global rank equals the single global window; shards full") {
     val d = "/root/testdata/sf0.001"
     val got = Queries.registry.toMap.apply("doc_shard").fn(spark, d).cache()
