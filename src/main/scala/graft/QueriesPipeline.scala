@@ -1148,7 +1148,7 @@ object QueriesPipeline {
           .orderBy("qid")
       },
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT
              |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 64.0)) AS BIGINT)) FROM e)),
              |aff1 AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
@@ -1320,7 +1320,7 @@ object QueriesPipeline {
           model = trained).orderBy("a", "b")
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY $SALT
               |  LIMIT (SELECT CAST(ceil(count(*) / ${Similarity.DedupCellOccupancy}.0) AS BIGINT) FROM e)),
               |aff1 AS (SELECT e.vec_id AS id, cid,
               |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
@@ -1370,7 +1370,7 @@ object QueriesPipeline {
         Similarity.semDedup(e, 0.4, trained, dimHint = AnnDim).orderBy("vec_id")
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY $SALT
               |  LIMIT (SELECT CAST(ceil(count(*) / ${Similarity.DedupCellOccupancy}.0) AS BIGINT) FROM e)),
               |aff1 AS (SELECT e.vec_id AS id, cid,
               |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
@@ -1414,7 +1414,7 @@ object QueriesPipeline {
         Similarity.semDedupHier(e, 0.4, hq, dimHint = AnnDim).orderBy("vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT
              |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 64.0)) AS BIGINT)) FROM e)),
              |aff1 AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
@@ -1482,7 +1482,7 @@ object QueriesPipeline {
           dimHint = AnnDim).orderBy("a", "b")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT
              |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 32.0)) AS BIGINT)) FROM e)),
              |aff1 AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
@@ -1543,7 +1543,7 @@ object QueriesPipeline {
           .orderBy("qid", "rank")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT
              |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 32.0)) AS BIGINT)) FROM e)),
              |aff1 AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
@@ -1630,14 +1630,14 @@ object QueriesPipeline {
     // Lloyd k-means over the embeddings — the TRAINED coarse quantizer
     // (ivfTopK's sample-centroid slot upgraded): 2 assignment passes, one
     // centroid update between them, everything deterministic (init = 8
-    // lowest vec_ids, argmax on 4dp-rounded cosine with lowest-cid ties,
+    // lowest hash60(vec_id)s, argmax on 4dp-rounded cosine with lowest-cid ties,
     // empty cells keep their centroid) so the oracle replays both passes.
     "emb_kmeans" -> Q(
       (s, d) => Similarity.kmeansAssign(emb(s, d), nCent = 8, iters = 2,
         dimHint = AnnDim).orderBy("vec_id"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT 8),
              |aff1 AS (SELECT e.vec_id AS id, cid,
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
              |asg1 AS (SELECT id, cid AS cell FROM (

@@ -19,23 +19,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.registry.collect { case (n, q) if q.oracle.isDefined => n -> q.oracle.get }.toMap
 
-  /** Oracle-gated queries excluded from the bench JSON line only (Verify,
+  /** CHEAP-STABLE queries excluded from the bench JSON line only (Verify,
     * the CORRECTNESS gate, and the bench's BENCH_LOCAL.json full record
     * still run and time them): the driver records exactly the last 2000
-    * chars of the bench's stdout, and the line at 93 queries measured
-    * ~1967 chars — one more entry truncates the head of the line (the
-    * total) away. Round 10 added the `ctl` noise-probe entries (~24
-    * chars) to the line and moved the two longest-named stable queries
-    * here to pay for them; their timings live in BENCH_LOCAL.json (every
-    * run) and COVERAGE.md's round notes. New registry queries go here by
-    * default — the full per-query record is the file, the line is the
-    * driver-budgeted summary. Every name here must exist in [[queries]]
-    * and carry an oracle (BenchSpec asserts both). */
+    * chars of the bench's stdout, and one entry past the budget truncates
+    * the head of the line (the total) away. Membership policy (round 12,
+    * per the round-11 verdict): the LINE must carry every expensive query
+    * — anything whose BENCH_LOCAL time is ≥ ~1.5 s at sf0.1 stays ON the
+    * line (the driver gate must time the registry's heaviest work, or a
+    * regression in exactly the queries most likely to regress is
+    * invisible to the round record) — so the exclusions are the CHEAPEST,
+    * most stable entries (sub-second scans/projections whose plans
+    * haven't changed in rounds), rotated out to pay the line budget for
+    * new heavy queries. NOT new-by-default: a new heavy query displaces
+    * another cheap-stable entry instead of hiding here. Every name here
+    * must exist in [[queries]] and carry an oracle (BenchSpec asserts
+    * both, and that nothing here is expensive). */
   val nonBenchQueries: Set[String] =
     Set("aug_mstl", "q_top3_parts_per_brand", "doc_sample_stratified",
-      "emb_dedup_hier", "emb_ann_hier", "emb_semdedup", "doc_split",
-      "doc_shard", "emb_semdedup_hier", "emb_knn_classify", "doc_dup_spans",
-      "doc_bm25", "emb_knn_hier")
+      "doc_split", "doc_shard", "doc_dup_spans", "doc_bm25",
+      "q06_forecast_revenue", "q_filter_pushdown", "evt_mapfilter",
+      "evt_delay_1h", "q_case_agg", "q_anti_join")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

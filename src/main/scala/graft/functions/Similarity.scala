@@ -259,7 +259,7 @@ object Similarity {
     *
     * Here the bucket count GROWS with the corpus so OCCUPANCY stays
     * CONSTANT: nCent = ⌈n / [[DedupCellOccupancy]]⌉ sample centroids (the
-    * nCent lowest vec_ids — same pure-function-of-input quantizer as
+    * nCent lowest hash60(vec_id)s — same pure-function-of-input quantizer as
     * [[ivfTopK]], so the DuckDB oracle replays assignment exactly; a
     * trained [[kmeansModel]] drops in unchanged). Every vector lives in
     * its nearest cell (rounded cosine, ties to the lowest cid) and probes
@@ -567,7 +567,7 @@ object Similarity {
 
   /** Train a [[HierQuantizer]]: top level = the seeded Lloyd trainer
     * ([[kmeansModel]], JIT'd loop assignment — init is the nTop lowest
-    * vec_ids, so the DuckDB oracle replays every pass); leaf level = a
+    * hash60(vec_id)s, so the DuckDB oracle replays every pass); leaf level = a
     * per-branch SALTED sample, `⌈branchSize / occupancy⌉` leaves per
     * branch picked by the lowest hash60(vec_id) (id tie-break) WITHIN the
     * branch — the same id-order-bias defense as the flat sample, and a
@@ -1073,8 +1073,15 @@ object Similarity {
         .otherwise(raise_error(concat(lit(s"kmeans: expected dim $dim, got "),
           coalesce(size(vec).cast("string"), lit("NULL")))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
-    var model: Seq[(Long, Array[Double])] = cv.orderBy("id").limit(nCent)
-      .as[(Long, Array[Double])].collect().toSeq
+    // Lloyd INIT is SALTED — the nCent lowest hash60(id) vectors, id
+    // tie-break — matching every sample model in the family: id order
+    // correlated with cluster structure (append-time ordering,
+    // label-sorted exports) would seed every centroid in one region, and
+    // two Lloyd passes attenuate but don't erase that skew. Still a pure,
+    // oracle-replayable function of the input.
+    var model: Seq[(Long, Array[Double])] =
+      cv.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id")).limit(nCent)
+        .as[(Long, Array[Double])].collect().toSeq
     def centFrame: DataFrame = model
       .flatMap { case (cid, ws) => ws.iterator.zipWithIndex.map { case (x, i) => (cid, i, x) } }
       .toDF("cid", "i", "w")

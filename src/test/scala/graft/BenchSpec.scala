@@ -91,6 +91,23 @@ class BenchSpec extends SparkSuite {
     java.nio.file.Files.delete(path)
   }
 
+  test("the bench line carries every heavy-family query (exclusions are cheap-stable only)") {
+    // round-11 verdict: nonBenchQueries had grown "new-by-default" until
+    // the driver record never timed the registry's most expensive work.
+    // Pin the policy structurally: the families that dominate BENCH_LOCAL
+    // (dedup/semdedup/ANN/kNN/PQ over embeddings, the doc dedup+clean
+    // pipelines) may never be line-excluded — a regression there must be
+    // visible in BENCH_r*, not only in the file record.
+    val heavyPrefixes = Seq("emb_dedup", "emb_semdedup", "emb_ann", "emb_knn",
+      "emb_pq", "emb_ivfpq", "emb_kmeans", "doc_dedup", "doc_decontaminate",
+      "doc_corpus", "doc_minhash")
+    val excludedHeavy = SparkEntry.nonBenchQueries
+      .filter(n => heavyPrefixes.exists(n.startsWith))
+    assert(excludedHeavy.isEmpty,
+      s"heavy-family queries excluded from the bench line: $excludedHeavy — " +
+        "rotate a cheap-stable entry out instead (see SparkEntry.nonBenchQueries)")
+  }
+
   test("nonBenchQueries name real registry queries and stay oracle-gated") {
     // the exclusion trims the bench LINE only — a name that drifted out of
     // the registry (or lost its oracle) would silently weaken the

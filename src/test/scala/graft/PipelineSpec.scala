@@ -292,7 +292,10 @@ class PipelineSpec extends SparkSuite {
     // the (pre-salting) sample-centroid path froze at 0.627 (its own gate
     // is 0.5; the round-10 salted sample measures 0.540) — the bar stays
     // at the historical 0.627 because training must beat BOTH sample
-    // flavors, and 0.627 is the stronger of the two (trained = 0.687)
+    // flavors, and 0.627 is the stronger of the two (trained = 0.687
+    // with the id-ordered Lloyd init; 0.633 with the round-12 salted
+    // init — the thinner margin is the price of removing the id-order
+    // structural dependence, and the gate still holds)
     assert(trained >= 0.627,
       f"trained-quantizer recall $trained%.3f fell below the sample-centroid 0.627 bar")
   }
@@ -369,7 +372,8 @@ class PipelineSpec extends SparkSuite {
     val recall = (found & brute).size.toDouble / brute.size
     info(f"hierarchical pair recall = $recall%.3f over ${brute.size} truth pairs")
     assert(recall >= 0.80, f"hierarchical pair recall $recall%.3f fell below the " +
-      "frozen 0.80 gate (the trained flat path's gate; measured 0.848 when frozen)")
+      "frozen 0.80 gate (the trained flat path's gate; measured 0.848 when frozen, " +
+      "0.924 after the round-12 salted Lloyd init)")
   }
 
   test("hierarchical IVF ANN recall@3 vs brute force clears the flat IVF gate") {
@@ -491,9 +495,10 @@ class PipelineSpec extends SparkSuite {
     // carries: run the SAME 5-neighbor vote over exact brute-force
     // neighbors and demand the approximate flavors agree on most
     // queries. Gates frozen below first measurement (flat 0.78, hier
-    // 0.60 at sf0.001 — this synthetic corpus's within-label cosine
+    // 0.60 at sf0.001; after the round-12 salted Lloyd init flat 0.78,
+    // hier 0.64 — this synthetic corpus's within-label cosine
     // coherence is weak, so the vote is tie-heavy and agreement tracks
-    // the underlying index recalls, 0.63/0.75) — a quantizer regression
+    // the underlying index recalls) — a quantizer regression
     // that scrambles neighborhoods fails here even while the oracle
     // hash stays green (the oracle replays the approximation, it does
     // not judge it).
