@@ -4,8 +4,33 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-query timing harness (noop-sink, bench-identical execution):
   * `runMain graft.Profile <sfDir> <query...>` — the local feedback loop for
-  * plan iteration between full Bench runs. */
+  * plan iteration between full Bench runs.
+  *
+  * Shuffle-partition policy (the deployment default, round 12): when
+  * `SPARK_GRAFT_SHUFFLE_PARTITIONS` is unset, the partition count SCALES
+  * WITH THE INPUT — ⌈input bytes / 32 MiB⌉ clamped to [32, 1024] — not a
+  * fixed 32. Rationale, measured at the 1000× GenScale decade (6.7M-doc
+  * minhash pipeline, 128 GiB container): 32 partitions put ~40M shingle
+  * rows in each sort/aggregate partition and the run spent 37.5 s in GC
+  * (608 s wall); 256 partitions cut GC to 31.1 s and wall to 569 s —
+  * partitions must grow with the data so each sort fits the executor
+  * memory pool, exactly what `spark.sql.shuffle.partitions` ≈
+  * input/32 MiB gives a 1000-executor cluster at 100 TB. At the bench
+  * SFs (≤ ~1 GiB input) the formula floors at 32, so local records are
+  * unchanged; [[Bench]] itself stays PINNED at 32 for cross-round
+  * comparability (set the env var to A/B other values without a
+  * rebuild). */
 object Profile {
+  /** ⌈bytes/32 MiB⌉ in [32, 1024] over the sfDir's parquet payload. */
+  private[graft] def scaledShufflePartitions(sfDir: String): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(sizeOf).sum
+      else f.length()
+    val root = new java.io.File(sfDir)
+    val bytes = if (root.exists()) sizeOf(root) else 0L
+    math.min(1024L, math.max(32L, (bytes + (32L << 20) - 1) / (32L << 20))).toInt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.tail.toSeq else Queries.registry.map(_._1)
@@ -13,11 +38,9 @@ object Profile {
     // rebuild (default off, matching Bench — see its builder comment)
     val forceSkew = sys.env.getOrElse("SPARK_GRAFT_FORCE_SKEW", "false")
     val coalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true")
-    // the scale-probe knob: at the GenScale decades (>=1000x the bench SF)
-    // 32 partitions no longer fit the shingle aggregates in memory — a
-    // real deployment sizes partitions with the data (the Bench builder
-    // stays pinned at 32 for record comparability)
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    // scaling-with-data default (see the object scaladoc); env overrides
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      scaledShufflePartitions(sfDir).toString)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -828,19 +828,27 @@ object QueriesPipeline {
         val dls = doc.select(col("doc_id"),
           coalesce(size(TF.tokens(col("text"))), lit(0)).cast("double").as("dl"))
         val st = dls.agg(count(lit(1)).cast("double"), sum("dl")).head
-        val n = st.getDouble(0); val avgdl = st.getDouble(1) / n
-        val tf = doc.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-          .where(col("tok").isin(terms: _*))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-        val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-        tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
-          .withColumn("contrib",
-            log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-              col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-          .groupBy("doc_id").agg(sum("contrib").as("sc"))
-          .select(col("doc_id"), r4(col("sc")).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        val n = st.getDouble(0)
+        // empty corpus: sum("dl") is SQL-NULL (getDouble would throw) and
+        // avgdl would be 0/0 — emit the empty frame with the result
+        // schema instead, the Similarity ops' dim==0 discipline
+        if (n == 0)
+          dls.select(col("doc_id"), lit(0.0).as("score")).where(lit(false))
+        else {
+          val avgdl = st.getDouble(1) / n
+          val tf = doc.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+            .where(col("tok").isin(terms: _*))
+            .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+          val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+          tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
+            .withColumn("contrib",
+              log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+                col("tf") * lit(2.2) /
+                (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+            .groupBy("doc_id").agg(sum("contrib").as("sc"))
+            .select(col("doc_id"), r4(col("sc")).as("score"))
+            .orderBy(col("score").desc, col("doc_id")).limit(20)
+        }
       },
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
               |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
@@ -1454,6 +1462,85 @@ object QueriesPipeline {
              |  AND (oaff < aff OR (oaff = aff AND oid < id)))
              |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
              |FROM cells c LEFT JOIN drops d ON d.id = c.id ORDER BY 1""".stripMargin)),
+
+    // Incremental SemDeDup — the daily-batch form a production pipeline
+    // actually runs (round-11 verdict item 6): the corpus (vec_id%5<>0
+    // here) was deduplicated once and its cells + decisions are stored;
+    // the day's batch (vec_id%5=0) is assigned through the FROZEN
+    // quantizer (one plan-time-model loop per new row, zero corpus
+    // flops) and judged against (a) the kept corpus — any same-cell kept
+    // vector at cos>=tau drops the arrival: committed rows always
+    // outrank — and (b) its own batch under exactly emb_semdedup's
+    // (aff ASC, id ASC) rule. The corpus is touched ONCE, as a
+    // cell-keyed (cell, packed-unit) projection feeding the equi-join —
+    // no re-assignment, no corpus-wide window, no old×old pairs
+    // (plan-gated); the day's cost is O(|batch|·occ) regardless of
+    // corpus size. The oracle replays the frozen model's Lloyd passes,
+    // the prior run's decisions, and both drop legs exactly.
+    "emb_semdedup_inc" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val old = e.where(col("vec_id") % 5 =!= 0)
+        val batch = e.where(col("vec_id") % 5 === 0)
+        val k = math.max(1, math.ceil(
+          old.count().toDouble / Similarity.DedupCellOccupancy).toInt)
+        val trained = Similarity.kmeansModel(old, nCent = k, iters = 2,
+          dimHint = AnnDim, loopAssign = true)
+        // the stored state a production run reads back: kept rows with
+        // their prior-run cell assignments and vectors
+        val kept = Similarity.semDedup(old, 0.4, trained, dimHint = AnnDim)
+          .where(col("keep")).select(col("vec_id"), col("cell"))
+          .join(old.select(col("vec_id"), col("embedding")), "vec_id")
+        Similarity.semDedupIncremental(kept, batch, 0.4, trained,
+          dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |eo AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+              |en AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY $SALT
+              |  LIMIT (SELECT CAST(ceil(count(*) / ${Similarity.DedupCellOccupancy}.0) AS BIGINT) FROM eo)),
+              |aff1 AS (SELECT eo.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent0),
+              |asg1 AS (SELECT id, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+              |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM eo LIMIT 1)),
+              |flat1 AS (SELECT a.cell, d.i, eo.v[d.i] AS w
+              |  FROM asg1 a JOIN eo ON eo.vec_id = a.id CROSS JOIN dims d),
+              |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+              |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+              |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+              |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+              |afo AS (SELECT eo.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent1),
+              |cellso AS (SELECT id, cid AS cell, cs AS aff FROM (
+              |    SELECT id, cid, cs, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM afo) WHERE rn = 1),
+              |pro AS (SELECT x.id, x.aff, y.id AS oid, y.aff AS oaff,
+              |    round(1e-9 + list_cosine_similarity(ex.v, ey.v), 4) AS cos
+              |  FROM cellso x JOIN cellso y ON x.cell = y.cell AND x.id <> y.id
+              |  JOIN eo ex ON ex.vec_id = x.id JOIN eo ey ON ey.vec_id = y.id),
+              |dropso AS (SELECT DISTINCT id FROM pro WHERE cos >= 0.4
+              |  AND (oaff < aff OR (oaff = aff AND oid < id))),
+              |kept AS (SELECT c.id, c.cell FROM cellso c
+              |  LEFT JOIN dropso d ON d.id = c.id WHERE d.id IS NULL),
+              |afn AS (SELECT en.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM en, cent1),
+              |cellsn AS (SELECT id, cid AS cell, cs AS aff FROM (
+              |    SELECT id, cid, cs, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM afn) WHERE rn = 1),
+              |xdrop AS (SELECT DISTINCT n.id FROM cellsn n JOIN kept k ON k.cell = n.cell
+              |  JOIN en ON en.vec_id = n.id JOIN eo ON eo.vec_id = k.id
+              |  WHERE round(1e-9 + list_cosine_similarity(en.v, eo.v), 4) >= 0.4),
+              |prn AS (SELECT x.id, x.aff, y.id AS oid, y.aff AS oaff,
+              |    round(1e-9 + list_cosine_similarity(ex.v, ey.v), 4) AS cos
+              |  FROM cellsn x JOIN cellsn y ON x.cell = y.cell AND x.id <> y.id
+              |  JOIN en ex ON ex.vec_id = x.id JOIN en ey ON ey.vec_id = y.id),
+              |dropsn AS (SELECT DISTINCT id FROM prn WHERE cos >= 0.4
+              |  AND (oaff < aff OR (oaff = aff AND oid < id))),
+              |alldrops AS (SELECT id FROM dropsn UNION SELECT id FROM xdrop)
+              |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
+              |FROM cellsn c LEFT JOIN alldrops d ON d.id = c.id ORDER BY 1""".stripMargin)),
 
     // Hierarchical (two-level) IVF cosine dedup — the >8M-vector scale
     // path: the flat emb_dedup_cosine quantizer walls twice near 8M

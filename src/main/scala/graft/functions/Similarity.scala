@@ -460,26 +460,46 @@ object Similarity {
     val asg = cv.withColumn("bc", assignU(col("v")))
       .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"),
         packUnit(col("v")).as("vp"))
-    // within-cell pairwise: both sides hash-partition on cell (constant
-    // occupancy ⇒ O(n·occ) streamed pairs), cosine scored by the
-    // codegen'd DotPacked inside the join output, the outranking filter
-    // fused before anything materializes. The decision aggregation
-    // (any outranking dup ⇒ drop) groups on id.
+    semDedupPrune(asg, asg.select("id", "cell", "aff"), tau)
+  }
+
+  /** The SemDeDup within-cell pairwise prune + keep rule, shared verbatim
+    * by [[semDedup]] and [[semDedupHier]] so the decision semantics
+    * cannot drift between the flat and hier paths (the nTop=1
+    * flat≡hier spec pins only one config; the shared code pins all).
+    *
+    * `asg` is (id, cell, aff, vp): both sides hash-partition on cell
+    * (constant occupancy ⇒ O(n·occ) streamed pairs), cosine scored by the
+    * codegen'd DotPacked inside the join output, the outranking filter
+    * ((aff ASC, id ASC) — any outranking dup ⇒ drop) fused before
+    * anything materializes. `decisions` is the (id, cell, aff) frame the
+    * keep flag lands on — passed separately so the hier caller can hand
+    * its pre-vp-join assignment and keep the final leg free of the
+    * payload join. Returns (vec_id, cell, aff, keep). */
+  private def semDedupPrune(asg: DataFrame, decisions: DataFrame,
+      tau: Double): DataFrame =
+    attachKeep(decisions, semDedupDrops(asg, tau))
+
+  /** The drop set of the within-cell pairwise prune: distinct ids with an
+    * outranking same-cell duplicate. */
+  private def semDedupDrops(asg: DataFrame, tau: Double): DataFrame = {
     val mine = asg.select(col("cell"), col("id"), col("aff"), col("vp"))
     val others = asg.select(col("cell"), col("id").as("oid"),
       col("aff").as("oaff"), col("vp").as("ovp"))
-    val drops = mine.join(others, "cell").where(col("id") =!= col("oid"))
+    mine.join(others, "cell").where(col("id") =!= col("oid"))
       .withColumn("cos", round(
         org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("ovp")) + lit(1e-9), 4))
       .where(col("cos") >= tau)
       .where(col("oaff") < col("aff") ||
         (col("oaff") === col("aff") && col("oid") < col("id")))
       .select(col("id")).distinct()
-      .withColumn("dropped", lit(true))
-    asg.select("id", "cell", "aff").join(drops, Seq("id"), "left")
+  }
+
+  /** keep = id ∉ drops, attached to the (id, cell, aff) decision frame. */
+  private def attachKeep(decisions: DataFrame, drops: DataFrame): DataFrame =
+    decisions.join(drops.withColumn("dropped", lit(true)), Seq("id"), "left")
       .select(col("id").as("vec_id"), col("cell"), col("aff"),
         coalesce(!col("dropped"), lit(true)).as("keep"))
-  }
 
   /** [[semDedup]] through a [[HierQuantizer]] — the >8M-vector SemDeDup
     * path. The flat variant's model is nCent×dim driver-held doubles with
@@ -515,20 +535,81 @@ object Similarity {
     val asgFlat = hierDescent(cv, hq, nProbeTop = 1, nPerBranch = 1)
       .select(col("id"), col("cell"), col("cs").as("aff"))
     val asg = asgFlat.join(cv.select(col("id"), packUnit(col("v")).as("vp")), "id")
-    val mine = asg.select(col("cell"), col("id"), col("aff"), col("vp"))
-    val others = asg.select(col("cell"), col("id").as("oid"),
-      col("aff").as("oaff"), col("vp").as("ovp"))
-    val drops = mine.join(others, "cell").where(col("id") =!= col("oid"))
+    semDedupPrune(asg, asgFlat, tau)
+  }
+
+  /** Incremental (daily-batch) [[semDedup]] — the form a production
+    * pipeline actually runs: the corpus was deduplicated once, its
+    * decisions and cell assignments are STORED, and each day only the new
+    * batch is judged against the frozen quantizer and the kept corpus.
+    * Nothing about the existing corpus is recomputed: `existing` is the
+    * stored kept frame `(vec_id, cell, embedding)` (cells from the prior
+    * run), touched exactly once as a cell-keyed projection feeding the
+    * batch-cell equi-join — no re-assignment pass, no corpus-wide window,
+    * no old×old pairs.
+    *
+    * Keep rule (documented extension of Abbas et al. 2023 to the
+    * incremental setting): a batch vector is dropped iff (a) ANY kept
+    * corpus vector in its home cell has cosine ≥ tau — committed corpus
+    * rows always outrank arrivals, or (b) an outranking batch vector in
+    * its home cell has cosine ≥ tau, under exactly [[semDedup]]'s
+    * (aff ASC, id ASC) rule — so with an EMPTY corpus the op reduces
+    * bit-for-bit to [[semDedup]] on the batch (spec-pinned). Everything
+    * rides 4dp-rounded cosines, so the DuckDB oracle replays the frozen
+    * model, both drop legs, and every decision.
+    *
+    * Scale shape: batch assignment is one plan-time-model JIT loop per
+    * NEW row (zero corpus flops); both drop legs hash-partition on cell —
+    * the corpus side ships only (cell, packed-unit) at constant
+    * occupancy, so the day's cost is O(|batch|·occ), independent of
+    * corpus size except for the one stored-frame scan.
+    *
+    * Returns (vec_id, cell, aff, keep) — one row per BATCH vector. */
+  def semDedupIncremental(existing: DataFrame, batch: DataFrame, tau: Double,
+      model: Seq[(Long, Array[Double])], dimHint: Int = -1): DataFrame = {
+    require(model.nonEmpty,
+      "semDedupIncremental: pass the frozen quantizer model (kmeansModel)")
+    val dim = if (dimHint > 0) dimHint else probeDim(batch)
+    if (dim == 0)
+      return batch.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(op: String)(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"$op: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = batch.select(col("vec_id").as("id"),
+      checked("semDedupIncremental")(col("embedding")).as("v"))
+    val cents = model.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
+      s"semDedupIncremental: quantizer model ${cents.length} centroids x $dim dims " +
+        s"exceeds the $QuantizerModelMaxDoubles-double driver/closure cap — train a " +
+        "smaller model or assign cells via hierQuantizer descent")
+    val assignU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val best = topByRounded(cents, va, math.sqrt(n2), 1).head
+      (best._1, best._2)
+    }
+    val asg = cv.withColumn("bc", assignU(col("v")))
+      .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"),
+        packUnit(col("v")).as("vp"))
+    // leg (a): the ONE touch of the corpus — (cell, packed-unit)
+    // projection equi-joined to the batch's cells
+    val ex = existing.select(col("cell"),
+      checked("semDedupIncremental.existing")(col("embedding")).as("ov"))
+      .select(col("cell"), packUnit(col("ov")).as("ovp"))
+    val corpusDrops = asg.select(col("cell"), col("id"), col("vp"))
+      .join(ex, "cell")
       .withColumn("cos", round(
         org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("ovp")) + lit(1e-9), 4))
       .where(col("cos") >= tau)
-      .where(col("oaff") < col("aff") ||
-        (col("oaff") === col("aff") && col("oid") < col("id")))
       .select(col("id")).distinct()
-      .withColumn("dropped", lit(true))
-    asgFlat.join(drops, Seq("id"), "left")
-      .select(col("id").as("vec_id"), col("cell"), col("aff"),
-        coalesce(!col("dropped"), lit(true)).as("keep"))
+    // leg (b): the standard within-cell prune over the batch alone
+    val drops = semDedupDrops(asg, tau).union(corpusDrops).distinct()
+    attachKeep(asg.select("id", "cell", "aff"), drops)
   }
 
   /** [[ivfProbeFrame]] from a raw embeddings frame + trained model (the
@@ -899,7 +980,12 @@ object Similarity {
     // cells, measured 615 s vs ~20 s for the loop doing the same flops.
     // The default exploded join stays for the small-fixed-nCent entries
     // whose model the driver should not hold.
-    val (cells, probes) = if (loopAssign) {
+    //
+    // The two assignment strategies are separate complete pipelines each
+    // ending in [[rankTopK]] — a plain if/else dispatch, not a shared
+    // (cells, probes) binding (the loop branch scores pairs packed inside
+    // the cell join and never produces bare cell frames).
+    def loopAssignedTopK(): DataFrame = {
       val cents: Array[(Long, Array[Double], Double)] =
         if (model.nonEmpty) model.map { case (cid, w) => withNorm3(cid, w) }.toArray
         else cv.orderBy(TextFunctions.hash60(col("nid").cast("string")), col("nid"))
@@ -925,8 +1011,9 @@ object Similarity {
       val sims = probesF.join(cellsF, "cell").where(col("qid") =!= col("nid"))
         .withColumn("sim",
           org.apache.spark.sql.GraftColumns.dotPacked(col("pq"), col("pn")))
-      return rankTopK(sims, k)
-    } else {
+      rankTopK(sims, k)
+    }
+    def explodedTopK(): DataFrame = {
       val centEx = if (model.nonEmpty) {
         val spark = candidates.sparkSession
         import spark.implicits._
@@ -948,12 +1035,12 @@ object Similarity {
       val probesF = cellAffinity(qv, "qid", "qv", centEx)
         .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
         .select(col("qid"), col("cid").as("cell"))
-      (cellsF, probesF)
+      val cand = probesF.join(cellsF, "cell").where(col("qid") =!= col("nid"))
+        .select("qid", "nid")
+        .join(qv, "qid").join(cv, "nid")
+      rankTopK(cand.withColumn("sim", cosLoop(col("qv"), col("nv"))), k)
     }
-    val cand = probes.join(cells, "cell").where(col("qid") =!= col("nid"))
-      .select("qid", "nid")
-      .join(qv, "qid").join(cv, "nid")
-    rankTopK(cand.withColumn("sim", cosLoop(col("qv"), col("nv"))), k)
+    if (loopAssign) loopAssignedTopK() else explodedTopK()
   }
 
   /** Shared (qid, nid, sim) → rounded top-k tail of [[ivfTopK]]'s two

@@ -22,6 +22,38 @@ class PipelineSpec extends SparkSuite {
     assert(fp(1L) != fp(3L) && fp(1L) != fp(4L))
   }
 
+  test("ngramHashes UDF is bit-identical to the Column-form tokens/ngrams/hash60 chain") {
+    // the primitive-loop UDF re-implements tokens() (lower + \W+ split +
+    // filter) and hash60 (md5 60-bit prefix) in JVM code for the
+    // spill-free doc_dup_spans path; this pins the two implementations
+    // together DIRECTLY (the oracle pins them only through one query) on
+    // adversarial inputs: unicode words+punctuation, punctuation runs,
+    // fewer-than-n tokens, empty, null, repeated windows, mixed case
+    val adversarial = Seq(
+      (1L, "Héllo wörld — naïve café, крем& tokyo東京 mix"),
+      (2L, "!!! ??? ... --- ***"),                        // punct runs only
+      (3L, "one two"),                                    // < n tokens
+      (4L, ""),                                           // empty
+      (5L, null.asInstanceOf[String]),                    // null
+      (6L, "a a a a a a"),                                // repeated windows
+      (7L, "MiXeD CaSe WORDS lower UPPER MiXeD CaSe WORDS"),
+      (8L, "tab\tnewline\nreturn\rspace  double"),
+      (9L, "ends with punct!"), (10L, "!starts with punct")
+    ).toDF("doc_id", "text")
+    val n = 3
+    val colForm = when(col("text").isNull, array().cast("array<bigint>"))
+      .otherwise(transform(TF.ngrams(TF.tokens(col("text")), n), g => TF.hash60(g)))
+    val rows = adversarial
+      .select(col("doc_id"), TF.ngramHashes(col("text"), n).as("udf"),
+        colForm.as("col"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, u, c) =>
+      assert(u == c, s"doc $id: UDF $u != Column form $c")
+    }
+    assert(rows.exists(_._2.nonEmpty), "equivalence must exercise real windows")
+    assert(rows.exists(_._2.isEmpty), "and the empty/short paths")
+  }
+
   test("tokens / ngrams / jaccard") {
     val r = docs.where(col("doc_id") === 1)
       .select(
@@ -468,6 +500,32 @@ class PipelineSpec extends SparkSuite {
       outranked.exceptAll(dropped).count() == 0,
       "keep/drop decisions must equal the independent recomputation")
     out.unpersist()
+  }
+
+  test("semDedupIncremental: corpus outranks arrivals, batch prunes itself, empty corpus = flat") {
+    // unit-vector golden, frozen 2-centroid model: batch vector 10 is an
+    // exact dup of kept corpus row 1 (dropped by the corpus leg), 11 is
+    // orthogonal to everything (kept), 12/13 are identical twins far from
+    // the corpus (12 outranks 13 by the (aff ASC, id ASC) rule)
+    def unit(i: Int): Seq[Double] = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    val model = Seq(1L -> unit(0).toArray, 2L -> unit(1).toArray)
+    val existing = Seq((1L, 1L, unit(0)), (2L, 2L, unit(1)))
+      .toDF("vec_id", "cell", "embedding")
+    val batch = Seq((10L, unit(0)), (11L, unit(2)), (12L, unit(3)), (13L, unit(3)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupIncremental(existing, batch, 0.4, model, dimHint = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(10L) == (1L, false), "exact corpus dup must be dropped by the corpus leg")
+    assert(out(11L)._2, "orthogonal arrival is kept")
+    assert(out(12L) == (1L, true) && out(13L) == (1L, false),
+      "within-batch twins: lower id outranks at equal affinity")
+    // empty corpus ⇒ bit-for-bit the flat semDedup decisions on the batch
+    val none = Seq.empty[(Long, Long, Seq[Double])].toDF("vec_id", "cell", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(asSet(Similarity.semDedupIncremental(none, batch, 0.4, model, dimHint = 4)) ==
+      asSet(Similarity.semDedup(batch, 0.4, model, dimHint = 4)),
+      "with no corpus the incremental op must reduce exactly to flat semDedup")
   }
 
   test("semDedupHier with nTop=1 reduces EXACTLY to flat semDedup on the leaf model") {

@@ -379,6 +379,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "query-term stats must broadcast")
   }
 
+  test("semDedupIncremental: stored corpus is scanned ONCE, via the cell equi-join") {
+    // the op's 100 TB contract: the existing (kept) corpus feeds exactly
+    // one scan — the (cell, packed-unit) projection into the batch-cell
+    // equi-join — no re-assignment pass, no corpus window, no old×old
+    // pairing. Written to its own parquet path so the scan count is
+    // unambiguous in the plan text.
+    val e = Tables.embeddings(spark, d)
+    val model = graft.functions.Similarity.kmeansModel(e, nCent = 4, iters = 1,
+      dimHint = 64, loopAssign = true)
+    val dir = java.nio.file.Files.createTempDirectory("sdinc").toString
+    e.select(col("vec_id"), (col("vec_id") % 4).as("cell"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val existing = spark.read.parquet(s"$dir/corpus")
+    val batch = e.where(col("vec_id") % 5 === 0)
+    val p = graft.functions.Similarity
+      .semDedupIncremental(existing, batch, 0.4, model, dimHint = 64)
+      .queryExecution.executedPlan.toString
+    val corpusScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("sdinc"))
+    assert(corpusScans == 1, s"stored corpus must feed exactly 1 scan, got $corpusScans")
+    assert(!p.contains("Window"),
+      "batch assignment must be the plan-time-model loop, not a window rank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "incremental semdedup degenerated to an all-pairs shape")
+  }
+
+  test("emb_semdedup_inc: equi-join pairing, frozen-model loop assignment") {
+    val p = plan("emb_semdedup_inc")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "cell pairing must be an equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "incremental semdedup degenerated to an all-pairs shape")
+    assert(!p.contains("Window"),
+      "no window ranks anywhere: assignment is the JIT loop on both legs")
+  }
+
   test("emb_semdedup: pairwise stage is a cell equi-join, decisions ride it") {
     // within-cell pairing must plan as an equi-join on cell (constant
     // occupancy ⇒ O(n·occ) streamed pairs); an all-pairs/BNLJ shape here
