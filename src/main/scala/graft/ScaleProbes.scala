@@ -34,6 +34,16 @@ object ScaleProbes {
       .hierScoredLeaves(e, hq, nProbeTop = 2, dimHint = 64)
       .agg(org.apache.spark.sql.functions.avg("scored")).head.getDouble(0)
     println(f"[probe] $sfDir n=$n flat_scored_per_vec=$k hier_scored_per_vec=${nTop + leafScored}%.1f (nTop=$nTop)")
+    // 3-level deep-descent cost at the same occupancy-64 cell scale:
+    // top = cbrt(k) trained centroids, mids at 64·c, leaves at 64 —
+    // scored/vector on the width-1 home chain should track k^(1/3)
+    // per decade where the 2-level number tracks √k
+    val c3 = math.max(4, math.round(math.cbrt(k.toDouble)).toInt)
+    val dq = graft.functions.Similarity.deepQuantizer(e, c3,
+      Seq(64 * c3, 64), iters = 2, dimHint = 64)
+    val deepScored = graft.functions.Similarity.deepScoredHome(e, dq, 64)
+      .agg(org.apache.spark.sql.functions.avg("scored")).head.getDouble(0)
+    println(f"[probe] $sfDir deep3_scored_per_vec=$deepScored%.1f (nTop=$c3)")
     spark.stop()
   }
 }

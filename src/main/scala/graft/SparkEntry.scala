@@ -39,7 +39,8 @@ object SparkEntry {
     Set("aug_mstl", "q_top3_parts_per_brand", "doc_sample_stratified",
       "doc_split", "doc_shard", "doc_dup_spans", "doc_bm25",
       "q06_forecast_revenue", "q_filter_pushdown", "evt_mapfilter",
-      "evt_delay_1h", "q_case_agg", "q_anti_join", "evt_limit3")
+      "evt_delay_1h", "q_case_agg", "q_anti_join", "evt_limit3",
+      "doc_fingerprint")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

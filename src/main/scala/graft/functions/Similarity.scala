@@ -889,6 +889,221 @@ object Similarity {
     ex.join(bc, "branch").groupBy("id").agg(sum("nl").as("scored"))
   }
 
+  /** Recursive (L-level) coarse quantizer — [[HierQuantizer]] generalized
+    * past two levels (the log-depth construction its scaladoc describes):
+    * `top` is the TRAINED Lloyd model (the only driver/closure-held
+    * part), and `levels(i)` is a DISTRIBUTED frame `(parent, cid, cw)` of
+    * per-parent salted-sample centroids — level 0's parents are top cids,
+    * level i's parents are level i-1's cids, and the LAST level's cids
+    * are the cells. Each level is only ever equi-joined on `parent`,
+    * never collected.
+    *
+    * Why recurse: the two-level descent scores ~2√k centroids/vector —
+    * measured √n per decade across three decades (ScaleProbeSpec) — so
+    * total descent work still grows n^1.5 per decade; at L balanced
+    * levels a vector scores ~L·k^(1/L), turning the per-vector term into
+    * k^(1/3) at three levels (and log k as L grows — constant work per
+    * decade at log-depth). Below ~10^10 vectors two levels suffice
+    * (HierQuantizer stays the shipped default); this is the documented
+    * scale path past that. */
+  case class DeepQuantizer(top: Seq[(Long, Array[Double])], levels: Seq[DataFrame])
+
+  /** Train a [[DeepQuantizer]]: top = the seeded Lloyd trainer (salted
+    * init, JIT'd loop assignment — the oracle replays every pass); then
+    * per entry `occupancies(i)`, a per-parent SALTED sample of
+    * `⌈parentSize / occupancies(i)⌉` children (lowest hash60(vec_id), id
+    * tie-break, WITHIN the parent — the same id-order-bias defense as
+    * every sample model), after which every vector re-homes to its best
+    * sampled child (one per-parent scoring join; rounded-cosine argmax,
+    * lowest-cid ties) to parent the NEXT level's sample. With
+    * `occupancies = Seq(occ)` this is BIT-FOR-BIT [[hierQuantizer]]
+    * (spec-pinned): same top, same window sample, no re-home needed.
+    *
+    * Scale shape: the only collect is the top model; each level adds one
+    * `parent` hash exchange (window sample) and, between levels, one
+    * scoring join that reuses it. Nothing downstream depends on n
+    * through the driver. */
+  def deepQuantizer(vecs: DataFrame, nTop: Int, occupancies: Seq[Int],
+      iters: Int, dimHint: Int = -1): DeepQuantizer = {
+    require(nTop > 0 && iters > 0 && occupancies.nonEmpty && occupancies.forall(_ > 0),
+      s"deepQuantizer: nTop=$nTop iters=$iters occupancies=$occupancies must be positive")
+    val top = kmeansModel(vecs, nTop, iters, dimHint, loopAssign = true)
+    val dim = if (dimHint > 0) dimHint else probeDim(vecs)
+    def emptyLvl = vecs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("parent"), lit(0L).as("cid"),
+        array().cast("array<double>").as("cw")).where(lit(false))
+    if (dim == 0) return DeepQuantizer(Nil, occupancies.map(_ => emptyLvl))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"deepQuantizer: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    val topArr = top.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    val branchU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(topArr, va, math.sqrt(n2), 1).head._1
+    }
+    var asg = cv.withColumn("parent", branchU(col("v")))
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy("parent")
+    val wSalt = wIn.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id"))
+    val built = occupancies.zipWithIndex.map { case (occ, li) =>
+      val lvl = asg
+        .withColumn("rn", row_number().over(wSalt))
+        .withColumn("n", count(lit(1)).over(wIn))
+        .where(col("rn") <= ceil(col("n") / lit(occ.toDouble)))
+        .select(col("parent"), col("id").as("cid"), col("v").as("cw"))
+      if (li < occupancies.length - 1)
+        // re-home: each vector has exactly ONE parent here, so the
+        // per-parent top-1 IS the per-id argmax — no window needed
+        asg = scoreChildren(asg, lvl, 1)
+          .select(col("id"), col("v"), col("cell").as("parent"))
+      lvl
+    }
+    DeepQuantizer(top, built)
+  }
+
+  /** Score each `(id, v, parent)` row against its parent's children
+    * (grouped once per parent with precomputed norms — the
+    * [[hierDescent]] leaf-join discipline; children never enter a
+    * closure), keeping the per-parent top `keep` by (4dp-rounded cosine
+    * DESC, cid). Output `(id, v, cell, cs)`. */
+  private def scoreChildren(rows: DataFrame, children: DataFrame,
+      keep: Int): DataFrame = {
+    val grouped = children.withColumn("nw", norm(col("cw")))
+      .groupBy("parent")
+      .agg(collect_list(struct(col("cid"), col("cw"), col("nw"))).as("lc"))
+    val kp = keep
+    val scoreU = udf { (v: Seq[Double], lc: Seq[org.apache.spark.sql.Row]) =>
+      // set-not-order function of lc: topByRounded ranks on a total order
+      // (rounded cos desc, cid unique) — collect_list nondeterminism is
+      // irrelevant, which is what the oracle replay proves
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val cents = new Array[(Long, Array[Double], Double)](lc.length)
+      i = 0
+      while (i < lc.length) {
+        val r = lc(i)
+        cents(i) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+        i += 1
+      }
+      topByRounded(cents, va, math.sqrt(n2), kp)
+    }
+    rows.join(grouped, "parent")
+      .select(col("id"), col("v"), explode(scoreU(col("v"), col("lc"))).as("cc"))
+      .select(col("id"), col("v"), col("cc._1").as("cell"), col("cc._2").as("cs"))
+  }
+
+  /** Generic greedy descent over a [[DeepQuantizer]]: `widths(0)` best
+    * branches from one JIT'd loop over the top model, then per level the
+    * global top `widths(i+1)` children per id (per-parent truncation to
+    * `widths(i+1)` first — lossless for that rank, same argument as
+    * [[hierDescent]]'s nPerBranch). Middle-level ranks drop the vector
+    * before their id-window (narrow (id, cell, cs) rows cross the
+    * exchange) and re-attach it by id join for the next level's scoring.
+    * Output: the FINAL level's scored `(id, cell, cs)` rows; callers
+    * rank. With one distributed level this is [[hierDescent]] minus the
+    * slot column. */
+  private def deepDescent(cv: DataFrame, dq: DeepQuantizer,
+      widths: Seq[Int]): DataFrame = {
+    require(widths.length == dq.levels.length + 1 && widths.forall(_ > 0),
+      s"deepDescent: need ${dq.levels.length + 1} positive widths, got $widths")
+    val topArr = dq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    val w0 = widths.head
+    val branchesU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(topArr, va, math.sqrt(n2), w0).map(_._1)
+    }
+    val init = cv.withColumn("pbs", branchesU(col("v")))
+      .select(col("id"), col("v"), explode(col("pbs")).as("parent"))
+    val last = dq.levels.length - 1
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cs").desc, col("cell"))
+    dq.levels.zip(widths.tail).zipWithIndex.foldLeft(init) {
+      case (cur, ((lvl, wNext), li)) =>
+        val scored = scoreChildren(cur, lvl, wNext)
+        if (li == last) scored.select("id", "cell", "cs")
+        else scored.select("id", "cell", "cs")
+          .withColumn("rn", row_number().over(wId)).where(col("rn") <= wNext)
+          .select(col("id"), col("cell").as("parent"))
+          .join(cv, "id")
+          .select(col("id"), col("v"), col("parent"))
+    }
+  }
+
+  /** Per-vector scored-centroid count of the [[DeepQuantizer]] width-1
+    * home chain (the scale-probe entry point, [[hierScoredLeaves]]'
+    * L-level analogue): (id, scored) with scored = nTop + Σ per level
+    * |children(home parent)| — a pure frame count, zero wall-clock
+    * noise. ScaleProbes prints it next to the flat k and the 2-level
+    * number so COVERAGE can pin the √n → k^(1/3) descent-cost claim. */
+  private[graft] def deepScoredHome(vecs: DataFrame, dq: DeepQuantizer,
+      dimHint: Int): DataFrame = {
+    val cv = vecs.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+    val topArr = dq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    val branchU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(topArr, va, math.sqrt(n2), 1).head._1
+    }
+    var cur = cv.withColumn("parent", branchU(col("v")))
+    var acc = cur.select(col("id"), lit(dq.top.size.toLong).as("scored"))
+    dq.levels.zipWithIndex.foreach { case (lvl, li) =>
+      val cnt = lvl.groupBy("parent").agg(count(lit(1)).as("nc"))
+      acc = acc.join(cur.select("id", "parent"), "id").join(cnt, "parent")
+        .select(col("id"), (col("scored") + col("nc")).as("scored"))
+      if (li < dq.levels.length - 1)
+        cur = scoreChildren(cur, lvl, 1)
+          .select(col("id"), col("v"), col("cell").as("parent"))
+    }
+    acc
+  }
+
+  /** IVF-Flat ANN top-k through a [[DeepQuantizer]] — [[ivfTopKHier]]
+    * generalized to L levels, same contract (exact rounded-cosine rank
+    * within the probed cells, ties to the lowest nid): candidates descend
+    * the width-1 home chain to their single home cell, queries descend
+    * with `widths` (per-level probe fan), candidate pairs flow as BARE
+    * ids through the cell equi-join with packed-unit payloads attached
+    * per ROW, and [[rankTopK]] finishes. Driver/closure cost is nTop×dim
+    * doubles; every level stays a distributed frame. */
+  def ivfTopKDeep(queries: DataFrame, candidates: DataFrame, k: Int,
+      dq: DeepQuantizer, widths: Seq[Int], dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(candidates)
+    if (dim == 0 || dq.top.isEmpty)
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("nid"), lit(0.0).as("sim"), lit(0L).as("rank"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"ivfTopKDeep: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val qv = queries.select(col("vec_id").as("qid"), checked(col("embedding")).as("qv"))
+    val cv = candidates.select(col("vec_id").as("nid"), checked(col("embedding")).as("nv"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cs").desc, col("cell"))
+    val cells = deepDescent(cv.select(col("nid").as("id"), col("nv").as("v")),
+        dq, Seq.fill(dq.levels.length + 1)(1))
+      .withColumn("rn", row_number().over(wCell)).where(col("rn") === 1)
+      .select(col("id").as("nid"), col("cell"))
+    val probes = deepDescent(qv.select(col("qid").as("id"), col("qv").as("v")),
+        dq, widths)
+      .withColumn("rn", row_number().over(wCell)).where(col("rn") <= widths.last)
+      .select(col("id").as("qid"), col("cell"))
+    val sims = probes
+      .join(qv.select(col("qid"), packUnit(col("qv")).as("pq")), "qid")
+      .join(cells.join(cv.select(col("nid"), packUnit(col("nv")).as("pn")), "nid"), "cell")
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim",
+        org.apache.spark.sql.GraftColumns.dotPacked(col("pq"), col("pn")))
+    rankTopK(sims, k)
+  }
+
   /** Unit-normalize a double vector and pack it little-endian into bytes
     * (zero vector → zero vector, matching [[cosLoop]]'s 0-cosine
     * convention). Runs once per bucket row — off the hot path; the hot

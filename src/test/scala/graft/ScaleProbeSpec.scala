@@ -29,6 +29,24 @@ class ScaleProbeSpec extends SparkSuite {
     f.listFiles().foreach(_.delete()); f.delete()
   }
 
+  test("deepScoredHome: one row per vector, bounded by the level sizes") {
+    // pins the 3-level probe hook the COVERAGE descent-cost table reads:
+    // scored = nTop + |mids(home branch)| + |leaves(home mid)| per vector
+    val e = Tables.embeddings(spark, d)
+    val n = e.count()
+    val dq = graft.functions.Similarity.deepQuantizer(e, nTop = 4,
+      occupancies = Seq(256, 64), iters = 2, dimHint = 64)
+    val mids = dq.levels(0).count(); val leaves = dq.levels(1).count()
+    val sc = graft.functions.Similarity.deepScoredHome(e, dq, 64)
+    assert(sc.count() == n, "one scored-count row per vector")
+    val mm = sc.agg(min(col("scored")), max(col("scored"))).head
+    assert(mm.getLong(0) >= 4 + 2,
+      s"every vector scores the top + >=1 mid + >=1 leaf: min=${mm.getLong(0)}")
+    assert(mm.getLong(1) <= 4 + mids + leaves,
+      s"no vector scores more than every existing centroid: max=${mm.getLong(1)} " +
+        s"vs 4+$mids+$leaves")
+  }
+
   test("minhashProbe: banded candidates and set length size the verify join") {
     val (cand, meanSet) = QueriesPipeline.minhashProbe(spark, d)
     // candidates exist (the corpus has planted near-dups) and the mean
