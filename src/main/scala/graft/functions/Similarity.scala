@@ -949,11 +949,22 @@ object Similarity {
     val wIn = org.apache.spark.sql.expressions.Window.partitionBy("parent")
     val wSalt = wIn.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id"))
     val built = occupancies.zipWithIndex.map { case (occ, li) =>
+      // each level frame is PERSISTED and eagerly materialized: it is the
+      // distributed half of the MODEL (1/occ-th of its parent population
+      // — k^(i/L)-ish rows, not the corpus), and its consumers — the next
+      // level's re-home plus both of [[ivfTopKDeep]]'s descents — would
+      // otherwise each recompute the whole Lloyd + sample + re-home
+      // lineage (the unpersisted form measured ~5 recomputes and 50
+      // window nodes in one emb_ann_deep plan). Bench/Verify clear the
+      // cache per query; long-lived apps treat the levels like any stored
+      // index and unpersist when done with the quantizer.
       val lvl = asg
         .withColumn("rn", row_number().over(wSalt))
         .withColumn("n", count(lit(1)).over(wIn))
         .where(col("rn") <= ceil(col("n") / lit(occ.toDouble)))
         .select(col("parent"), col("id").as("cid"), col("v").as("cw"))
+        .persist()
+      lvl.count()
       if (li < occupancies.length - 1)
         // re-home: each vector has exactly ONE parent here, so the
         // per-parent top-1 IS the per-id argmax — no window needed
