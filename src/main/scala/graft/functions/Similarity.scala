@@ -586,21 +586,11 @@ object Similarity {
       s"semDedupIncremental: quantizer model ${cents.length} centroids x $dim dims " +
         s"exceeds the $QuantizerModelMaxDoubles-double driver/closure cap — train a " +
         "smaller model or assign cells via hierQuantizer descent")
-    val assignU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      val best = topByRounded(cents, va, math.sqrt(n2), 1).head
-      (best._1, best._2)
-    }
-    val asg = cv.withColumn("bc", assignU(col("v")))
-      .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"),
-        packUnit(col("v")).as("vp"))
+    val asg = incrementalAssign(cv, cents)
     // leg (a): the ONE touch of the corpus — (cell, packed-unit)
     // projection equi-joined to the batch's cells
-    val ex = existing.select(col("cell"),
-      checked("semDedupIncremental.existing")(col("embedding")).as("ov"))
-      .select(col("cell"), packUnit(col("ov")).as("ovp"))
+    val ex = incrementalCorpus(existing,
+      checked("semDedupIncremental.existing"))
     val corpusDrops = asg.select(col("cell"), col("id"), col("vp"))
       .join(ex, "cell")
       .withColumn("cos", round(
@@ -610,6 +600,45 @@ object Similarity {
     // leg (b): the standard within-cell prune over the batch alone
     val drops = semDedupDrops(asg, tau).union(corpusDrops).distinct()
     attachKeep(asg.select("id", "cell", "aff"), drops)
+  }
+
+  /** [[semDedupIncremental]]'s batch-assignment frame — (id, cell, aff,
+    * vp) via the frozen-model JIT loop + packed unit vector. Shared with
+    * the streaming twin ([[graft.streaming.SemDeDupStream]]) so both
+    * execution modes assign identically. */
+  private[graft] def incrementalAssign(cv: DataFrame,
+      cents: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val assignU = udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val best = topByRounded(cents, va, math.sqrt(n2), 1).head
+      (best._1, best._2)
+    }
+    cv.withColumn("bc", assignU(col("v")))
+      .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"),
+        packUnit(col("v")).as("vp"))
+  }
+
+  /** The stored corpus as its (cell, packed-unit) projection — the one
+    * touch [[semDedupIncremental]] makes, also the streaming twin's
+    * initial per-cell state. */
+  private[graft] def incrementalCorpus(existing: DataFrame,
+      check: Column => Column): DataFrame =
+    existing.select(col("cell"), check(col("embedding")).as("ov"))
+      .select(col("cell"), packUnit(col("ov")).as("ovp"))
+
+  /** Public helpers for the streaming twin's spec/driver glue: build the
+    * frozen-model closure array and the assignment frame from raw
+    * (vec_id, embedding) rows. */
+  private[graft] def incrementalAssignFrame(batch: DataFrame,
+      model: Seq[(Long, Array[Double])], dim: Int): DataFrame = {
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"incrementalAssignFrame: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = batch.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    incrementalAssign(cv, model.map { case (cid, w) => withNorm3(cid, w) }.toArray)
   }
 
   /** [[ivfProbeFrame]] from a raw embeddings frame + trained model (the

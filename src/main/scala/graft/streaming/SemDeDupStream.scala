@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One assigned arrival: a new vector already put through the FROZEN
+  * quantizer's JIT assignment loop ([[graft.functions.Similarity
+  * .incrementalAssignFrame]]) — home cell, 4dp-rounded centroid affinity,
+  * unit-normalized little-endian packed vector. Assignment is stateless,
+  * so it runs in the streaming query's map stage; only the keep/drop
+  * decision needs state. */
+final case class VecArrival(id: Long, cell: Long, aff: Double, vp: Array[Byte])
+
+/** One keep/drop decision row — the same schema the batch
+  * `semDedupIncremental` emits. */
+final case class VecDecision(vec_id: Long, cell: Long, aff: Double, keep: Boolean)
+
+/** Per-cell state: the packed unit vectors of every KEPT vector homed in
+  * this cell (corpus + previously-kept arrivals). Bounded by the
+  * quantizer's constant occupancy — the whole point of deciding inside
+  * cells. */
+final case class CellKept(vps: Seq[Array[Byte]])
+
+/** Streaming twin of [[graft.functions.Similarity.semDedupIncremental]] —
+  * the live form of the daily-batch SemDeDup: arrivals stream in, state
+  * holds each cell's kept corpus, and every micro-batch applies EXACTLY
+  * the batch op's two-leg rule (same +1e-9 HALF_UP 4dp rounding, same
+  * outranking):
+  *
+  *  - leg (a): any kept vector already in the cell at cos ≥ tau drops the
+  *    arrival — committed rows always outrank arrivals;
+  *  - leg (b): within the micro-batch, the flat (aff ASC, id ASC)
+  *    outranking rule, independent of leg-(a) drops (the flat-semDedup
+  *    discipline).
+  *
+  * Kept arrivals join the cell state, so the NEXT micro-batch's arrivals
+  * are judged against them as corpus — the incremental evolution the
+  * daily batch op produces when re-run with yesterday's output. With all
+  * arrivals in ONE micro-batch and initial state = the stored corpus, the
+  * decisions equal the oracle-gated batch op row-for-row (ParitySpec).
+  *
+  * Order-dependence note (inherent to INCREMENTAL semantics, both modes):
+  * a later arrival that would have outranked an earlier-committed near-dup
+  * under the full-batch rule is dropped instead — commitment is
+  * irrevocable. The parity leg therefore feeds micro-batches in the same
+  * grouping the batch op was given.
+  *
+  * Scale shape: groupByKey on cell is the same hash exchange the batch
+  * op's equi-join rides; per-cell work is O(|arrivals|·(occ + |arrivals|))
+  * at constant occupancy; state is occ packed vectors per cell. */
+object SemDeDupStream {
+
+  private def round4(x: Double): Double =
+    BigDecimal(x + 1e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Packed-unit dot = cosine (vectors are unit-normalized at pack). */
+  private def dotP(a: Array[Byte], b: Array[Byte]): Double = {
+    val ba = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length) / 8
+    while (i < n) { d += ba.getDouble(i * 8) * bb.getDouble(i * 8); i += 1 }
+    d
+  }
+
+  /** One cell's micro-batch step — the single definition both the
+    * streaming runner and the spec's replay use. */
+  private[graft] def step(kept: Seq[Array[Byte]], arrivals: Seq[VecArrival],
+      tau: Double): (Seq[Array[Byte]], Seq[VecDecision]) = {
+    val arr = arrivals.sortBy(a => a.id)
+    val decisions = arr.map { x =>
+      val corpusDrop = kept.exists(k => round4(dotP(k, x.vp)) >= tau)
+      val batchDrop = arr.exists(o => o.id != x.id &&
+        round4(dotP(o.vp, x.vp)) >= tau &&
+        (o.aff < x.aff || (o.aff == x.aff && o.id < x.id)))
+      VecDecision(x.id, x.cell, x.aff, !(corpusDrop || batchDrop))
+    }
+    val newKept = kept ++ arr.zip(decisions).collect { case (a, d) if d.keep => a.vp }
+    (newKept, decisions)
+  }
+
+  /** The streaming query leg: arrivals grouped on cell,
+    * flatMapGroupsWithState with the stored corpus as INITIAL state. */
+  def decisions(arrivals: Dataset[VecArrival], tau: Double,
+      initial: Dataset[(Long, CellKept)]): Dataset[VecDecision] = {
+    val spark = arrivals.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[CellKept] = Encoders.kryo[CellKept]
+    val init = initial.groupByKey(_._1).mapValues(_._2)
+    arrivals.groupByKey(_.cell)
+      .flatMapGroupsWithState[CellKept, VecDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init) {
+        (_: Long, rows: Iterator[VecArrival], gs) =>
+          val kept = if (gs.exists) gs.get.vps else Seq.empty
+          val (newKept, out) = step(kept, rows.toSeq, tau)
+          gs.update(CellKept(newKept))
+          out.iterator
+      }
+  }
+}

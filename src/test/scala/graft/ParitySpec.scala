@@ -371,4 +371,69 @@ class ParitySpec extends SparkSuite {
     assert(agreed == Seq(("a", 10L, 4.0, 0.0), ("a", 20L, 6.0, 0.0), ("a", 30L, 4.0, 0.0)),
       "cycle n sees cycle n-1's OUTPUT, not its input")
   }
+
+  test("incremental SemDeDup: streaming (corpus as initial state) == oracle-gated batch op") {
+    // the embedding family's first streaming leg: the SAME registry
+    // config as emb_semdedup_inc (frozen trained quantizer, kept corpus,
+    // %5-batch), all arrivals in one micro-batch with the stored corpus
+    // as flatMapGroupsWithState INITIAL state — decisions must equal the
+    // DuckDB-oracle-gated batch op row-for-row
+    import graft.functions.Similarity
+    import graft.streaming.{CellKept, SemDeDupStream, VecArrival}
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val old = e.where(col("vec_id") % 5 =!= 0)
+    val batch = e.where(col("vec_id") % 5 === 0)
+    val k = math.max(1, math.ceil(old.count() / 64.0).toInt)
+    val model = Similarity.kmeansModel(old, k, iters = 2, dimHint = 64, loopAssign = true)
+    val kept = Similarity.semDedup(old, 0.4, model, dimHint = 64)
+      .where(col("keep")).select(col("vec_id"), col("cell"))
+      .join(old.select(col("vec_id"), col("embedding")), "vec_id")
+    val batchDec = Similarity.semDedupIncremental(kept, batch, 0.4, model, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val init: Seq[(Long, CellKept)] = Similarity
+      .incrementalCorpus(kept, Similarity.toDouble)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .groupBy(_._1).map { case (c, vs) => (c, CellKept(vs.map(_._2).toSeq)) }.toSeq
+    val arrivals = Similarity.incrementalAssignFrame(batch, model, 64)
+      .as[VecArrival].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[VecArrival]
+    val q = SemDeDupStream.decisions(mem.toDS(), 0.4, spark.createDataset(init))
+      .writeStream.format("memory").queryName("sdinc_par").outputMode("append").start()
+    mem.addData(arrivals); q.processAllAvailable(); q.stop()
+    val streamDec = spark.table("sdinc_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(batchDec.exists(!_._4), "the parity corpus must exercise real drops")
+    assert(streamDec == batchDec,
+      s"streaming != batch: only-stream=${streamDec -- batchDec}, only-batch=${batchDec -- streamDec}")
+  }
+
+  test("incremental SemDeDup streaming: kept arrivals become corpus for the next micro-batch") {
+    // the evolution leg the one-batch parity can't see: a batch-2 dup of a
+    // KEPT batch-1 arrival is dropped by the corpus rule (commitment is
+    // irrevocable), a fresh orthogonal arrival is kept
+    import graft.functions.Similarity
+    import graft.streaming.{CellKept, SemDeDupStream, VecArrival}
+    def unit(i: Int): Seq[Double] = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    val model = Seq(1L -> unit(0).toArray, 2L -> unit(1).toArray)
+    def arrivalsOf(rows: Seq[(Long, Seq[Double])]): Seq[VecArrival] = {
+      val df = rows.toDF("vec_id", "embedding")
+      Similarity.incrementalAssignFrame(df, model, 4).as[VecArrival].collect().toSeq
+    }
+    val b1 = arrivalsOf(Seq(10L -> unit(2), 11L -> unit(3)))          // both kept (orthogonal)
+    val b2 = arrivalsOf(Seq(20L -> unit(2), 21L -> unit(1)))          // 20 dups kept 10; 21 dups nothing? unit(1) IS a centroid, corpus empty -> kept
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[VecArrival]
+    val init = spark.createDataset(Seq.empty[(Long, CellKept)])
+    val q = SemDeDupStream.decisions(mem.toDS(), 0.4, init)
+      .writeStream.format("memory").queryName("sdinc_evo").outputMode("append").start()
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable(); q.stop()
+    val dec = spark.table("sdinc_evo").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(dec(10L) && dec(11L), "batch-1 orthogonal arrivals kept")
+    assert(!dec(20L), "batch-2 dup of a KEPT batch-1 arrival dropped by the corpus rule")
+    assert(dec(21L), "batch-2 fresh direction kept")
+  }
 }
