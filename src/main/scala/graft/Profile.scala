@@ -21,13 +21,18 @@ import org.apache.spark.sql.SparkSession
   * comparability (set the env var to A/B other values without a
   * rebuild). */
 object Profile {
-  /** ⌈bytes/32 MiB⌉ in [32, 1024] over the sfDir's parquet payload. */
+  /** ⌈bytes/32 MiB⌉ in [32, 1024] over the sfDir's parquet payload.
+    * Files.walk does not follow directory symlinks (no cycle risk), and
+    * ANY walk failure (missing dir, permission-denied subtree) falls back
+    * to the 32 floor rather than crashing before the session exists. */
   private[graft] def scaledShufflePartitions(sfDir: String): Int = {
-    def sizeOf(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(sizeOf).sum
-      else f.length()
-    val root = new java.io.File(sfDir)
-    val bytes = if (root.exists()) sizeOf(root) else 0L
+    val bytes =
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      } catch { case _: Exception => 0L }
     math.min(1024L, math.max(32L, (bytes + (32L << 20) - 1) / (32L << 20))).toInt
   }
 

@@ -27,6 +27,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // per-query cache isolation, same as Bench: cached()/persisted
+      // frames (emb scans, quantizer level frames) from one query must
+      // not stay resident across the other 100+ queries' runs
+      spark.catalog.clearCache()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -108,6 +108,37 @@ object Similarity {
     cand.sortBy { case (cid, cs) => (-cs, cid) }.take(nTop).toSeq
   }
 
+  /** The three shared plan-time-model assignment UDFs — ONE definition of
+    * the norm + [[topByRounded]] loop (one boxed→primitive copy per row,
+    * allocation-free scoring) shared by every flat/hier/deep/kmeans/
+    * incremental assignment and probe path, so the rounding/tie-break
+    * discipline can never desynchronize between them (round-12 review:
+    * five hand-maintained copies had accreted). */
+  private def bestCellAffUdf(cents: Array[(Long, Array[Double], Double)]) =
+    udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val best = topByRounded(cents, va, math.sqrt(n2), 1).head
+      (best._1, best._2)
+    }
+
+  private def bestCellUdf(cents: Array[(Long, Array[Double], Double)]) =
+    udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(cents, va, math.sqrt(n2), 1).head._1
+    }
+
+  private def topCellsUdf(cents: Array[(Long, Array[Double], Double)], nTop: Int) =
+    udf { (v: Seq[Double]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      topByRounded(cents, va, math.sqrt(n2), nTop).map(_._1).toSeq
+    }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -382,15 +413,7 @@ object Similarity {
   private[graft] def ivfProbeFrame(cv: DataFrame,
       cents: Array[(Long, Array[Double], Double)], nProbe: Int): DataFrame = {
     val nP = nProbe
-    val probeU = udf { (v: Seq[Double]) =>
-      // one boxed→primitive copy per ROW: the scoring loop then reads a
-      // primitive array, not 64 boxed unboxings per (row × centroid)
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      val nv = math.sqrt(n2)
-      topByRounded(cents, va, nv, nP).map(_._1).toSeq
-    }
+    val probeU = topCellsUdf(cents, nP)
     cv.withColumn("pcs", probeU(col("v")))
       .withColumn("vp", packUnit(col("v")))
   }
@@ -450,13 +473,7 @@ object Similarity {
     // home cell + centroid affinity in ONE JIT'd loop per row (the
     // kmeansLoop/cosineDedupIvf assignment discipline), packed unit
     // vector alongside so the pairwise join needs no second payload join
-    val assignU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      val best = topByRounded(cents, va, math.sqrt(n2), 1).head
-      (best._1, best._2)
-    }
+    val assignU = bestCellAffUdf(cents)
     val asg = cv.withColumn("bc", assignU(col("v")))
       .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"),
         packUnit(col("v")).as("vp"))
@@ -608,13 +625,7 @@ object Similarity {
     * execution modes assign identically. */
   private[graft] def incrementalAssign(cv: DataFrame,
       cents: Array[(Long, Array[Double], Double)]): DataFrame = {
-    val assignU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      val best = topByRounded(cents, va, math.sqrt(n2), 1).head
-      (best._1, best._2)
-    }
+    val assignU = bestCellAffUdf(cents)
     cv.withColumn("bc", assignU(col("v")))
       .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"),
         packUnit(col("v")).as("vp"))
@@ -633,6 +644,8 @@ object Similarity {
     * (vec_id, embedding) rows. */
   private[graft] def incrementalAssignFrame(batch: DataFrame,
       model: Seq[(Long, Array[Double])], dim: Int): DataFrame = {
+    require(model.nonEmpty,
+      "incrementalAssignFrame: pass the frozen quantizer model (kmeansModel)")
     def checked(vec: Column): Column =
       when(size(vec) === dim, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"incrementalAssignFrame: expected dim $dim, got "),
@@ -704,12 +717,7 @@ object Similarity {
           coalesce(size(vec).cast("string"), lit("NULL")))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     val topArr = top.map { case (cid, w) => withNorm3(cid, w) }.toArray
-    val branchU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      topByRounded(topArr, va, math.sqrt(n2), 1).head._1
-    }
+    val branchU = bestCellUdf(topArr)
     val asg = cv.withColumn("branch", branchU(col("v")))
     val wIn = org.apache.spark.sql.expressions.Window.partitionBy("branch")
     val wSalt = wIn.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id"))
@@ -807,12 +815,7 @@ object Similarity {
       nPerBranch: Int): DataFrame = {
     val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
     val nPT = nProbeTop
-    val branchesU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      topByRounded(topArr, va, math.sqrt(n2), nPT).map(_._1)
-    }
+    val branchesU = topCellsUdf(topArr, nPT)
     val ex = cv.withColumn("pbs", branchesU(col("v")))
       .select(col("id"), col("v"), posexplode(col("pbs")))
       .toDF("id", "v", "slot", "branch")
@@ -906,12 +909,7 @@ object Similarity {
     val cv = vecs.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
     val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
     val nPT = nProbeTop
-    val branchesU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      topByRounded(topArr, va, math.sqrt(n2), nPT).map(_._1)
-    }
+    val branchesU = topCellsUdf(topArr, nPT)
     val ex = cv.withColumn("pbs", branchesU(col("v")))
       .select(col("id"), explode(col("pbs")).as("branch"))
     val bc = hq.leaves.groupBy("branch").agg(count(lit(1)).as("nl"))
@@ -968,12 +966,7 @@ object Similarity {
           coalesce(size(vec).cast("string"), lit("NULL")))))
     val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     val topArr = top.map { case (cid, w) => withNorm3(cid, w) }.toArray
-    val branchU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      topByRounded(topArr, va, math.sqrt(n2), 1).head._1
-    }
+    val branchU = bestCellUdf(topArr)
     var asg = cv.withColumn("parent", branchU(col("v")))
     val wIn = org.apache.spark.sql.expressions.Window.partitionBy("parent")
     val wSalt = wIn.orderBy(TextFunctions.hash60(col("id").cast("string")), col("id"))
@@ -1052,12 +1045,7 @@ object Similarity {
       s"deepDescent: need ${dq.levels.length + 1} positive widths, got $widths")
     val topArr = dq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
     val w0 = widths.head
-    val branchesU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      topByRounded(topArr, va, math.sqrt(n2), w0).map(_._1)
-    }
+    val branchesU = topCellsUdf(topArr, w0)
     val init = cv.withColumn("pbs", branchesU(col("v")))
       .select(col("id"), col("v"), explode(col("pbs")).as("parent"))
     val last = dq.levels.length - 1
@@ -1083,14 +1071,13 @@ object Similarity {
     * number so COVERAGE can pin the √n → k^(1/3) descent-cost claim. */
   private[graft] def deepScoredHome(vecs: DataFrame, dq: DeepQuantizer,
       dimHint: Int): DataFrame = {
-    val cv = vecs.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
+    def checked(vec: Column): Column =
+      when(size(vec) === dimHint, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"deepScoredHome: expected dim $dimHint, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = vecs.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     val topArr = dq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
-    val branchU = udf { (v: Seq[Double]) =>
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      topByRounded(topArr, va, math.sqrt(n2), 1).head._1
-    }
+    val branchU = bestCellUdf(topArr)
     var cur = cv.withColumn("parent", branchU(col("v")))
     var acc = cur.select(col("id"), lit(dq.top.size.toLong).as("scored"))
     dq.levels.zipWithIndex.foreach { case (lvl, li) =>
@@ -1442,13 +1429,7 @@ object Similarity {
       // rounded ranking over the provably-sufficient candidate set —
       // identical (cell, aff) to rounding every centroid, minus the
       // per-(row × centroid) BigDecimal the 100× check measured dominant
-      val bestU = udf { (v: Seq[Double]) =>
-        val va = v.toArray
-        var n2 = 0.0; var i = 0
-        while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-        val best = topByRounded(cents, va, math.sqrt(n2), 1).head
-        (best._1, best._2)
-      }
+      val bestU = bestCellAffUdf(cents)
       cv.withColumn("bc", bestU(col("v")))
         .select(col("id"), col("bc._1").as("cell"), col("bc._2").as("aff"))
     }
@@ -1659,19 +1640,8 @@ object Similarity {
       while (i < w.length) { nw += w(i) * w(i); i += 1 }
       (cid, w, math.sqrt(nw))
     }
-    def vNorm(va: Array[Double]): Double = {
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      math.sqrt(n2)
-    }
-    val bestCellU = udf { v: Seq[Double] =>
-      val va = v.toArray
-      topByRounded(centsN, va, vNorm(va), 1).head._1
-    }
-    val probeCellsU = udf { v: Seq[Double] =>
-      val va = v.toArray
-      topByRounded(centsN, va, vNorm(va), nProbe).map(_._1).toArray
-    }
+    val bestCellU = bestCellUdf(centsN)
+    val probeCellsU = topCellsUdf(centsN, nProbe)
     val cells = candidates
       .select(col("vec_id").as("nid"), bestCellU(checked(col("embedding"))).as("cell"))
     val probes = queries

@@ -16,9 +16,16 @@ final case class VecArrival(id: Long, cell: Long, aff: Double, vp: Array[Byte])
 final case class VecDecision(vec_id: Long, cell: Long, aff: Double, keep: Boolean)
 
 /** Per-cell state: the packed unit vectors of every KEPT vector homed in
-  * this cell (corpus + previously-kept arrivals). Bounded by the
-  * quantizer's constant occupancy — the whole point of deciding inside
-  * cells. */
+  * this cell (corpus + previously-kept arrivals). SIZED at the initial
+  * corpus snapshot by the quantizer's constant occupancy, but under a
+  * frozen model it GROWS with the kept arrivals in the cell (cell count
+  * is frozen while the corpus isn't) — per-cell state and the per-arrival
+  * scan grow linearly over the stream's lifetime. That is inherent to
+  * frozen-quantizer incremental dedup, not this implementation: the
+  * production cadence is the one the batch op models — run the stream
+  * for a day, fold the day's kept arrivals into the stored corpus, and
+  * periodically RE-TRAIN the quantizer so occupancy returns to constant
+  * (the daily-batch loop emb_semdedup_inc oracle-gates). */
 final case class CellKept(vps: Seq[Array[Byte]])
 
 /** Streaming twin of [[graft.functions.Similarity.semDedupIncremental]] —
