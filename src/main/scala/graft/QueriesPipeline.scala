@@ -866,6 +866,53 @@ object QueriesPipeline {
               |SELECT doc_id, round(1e-9 + s, 4) AS score FROM sc
               |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // Bigram-LM quality scoring — the CCNet recipe (Wenzek et al. 2020,
+    // "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data", arXiv:1911.00359): score each document by its average
+    // negative log-likelihood under an n-gram LM, here an add-0.5
+    // smoothed bigram model TRAINED ON THE CORPUS ITSELF (CCNet trains on
+    // a clean reference corpus; the estimator is identical):
+    // nll(doc) = -1/N Σ ln((c(w1w2)+0.5)/(c(w1·)+0.5·V)). High nll =
+    // improbable word sequences = the low-quality tail the pipeline
+    // filters. Scale shape: bigram rows are the minhash-shingle
+    // discipline (hash60'd at the explode, only 8-byte keys shuffle);
+    // the two count tables join back on those narrow keys; V is the
+    // BM25-style 1-scalar driver stat. The oracle replays tokenize,
+    // hashes, both count tables, and the smoothed score exactly (the
+    // per-doc ln sum is ≤ ~1e2 terms at 4dp — the evt_ewma_hl
+    // same-argument-transcendental precedent).
+    "doc_lm_ppl" -> Q(
+      (s, d) => {
+        val t = docs(s, d).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val bi = t.where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(TF.ngrams(col("toks"), 2)).as("bg"))
+          .select(col("doc_id"),
+            TF.hash60(substring_index(col("bg"), " ", 1)).as("h1"),
+            TF.hash60(col("bg")).as("h2"))
+        val c2 = bi.groupBy("h2").agg(count(lit(1)).cast("double").as("c2"))
+        val c1 = bi.groupBy("h1").agg(count(lit(1)).cast("double").as("c1"))
+        val vocab = t.select(explode(col("toks")).as("w"))
+          .agg(countDistinct("w")).head.getLong(0).toDouble
+        bi.join(c2, "h2").join(c1, "h1")
+          .withColumn("t", -log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * lit(vocab))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bi"), (sum("t") / count(lit(1))).as("a"))
+          .select(col("doc_id"), col("n_bi"), r4(col("a")).as("nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t WHERE len(toks) >= 2),
+              |bi AS (SELECT doc_id, ${H60.format("split_part(bg, ' ', 1)")} AS h1,
+              |    ${H60.format("bg")} AS h2 FROM bg),
+              |c2 AS (SELECT h2, count(*)::DOUBLE AS c2 FROM bi GROUP BY 1),
+              |c1 AS (SELECT h1, count(*)::DOUBLE AS c1 FROM bi GROUP BY 1),
+              |vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM (SELECT unnest(toks) AS w FROM t)),
+              |sc AS (SELECT doc_id, count(*) AS n_bi,
+              |    sum(-ln((c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vv)))) / count(*) AS a
+              |  FROM bi JOIN c2 USING (h2) JOIN c1 USING (h1) GROUP BY 1)
+              |SELECT doc_id, n_bi, round(1e-9 + a, 4) AS nll FROM sc ORDER BY 1""".stripMargin)),
+
     // Exact duplicated-substring signals (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better", arXiv:2107.06499 —
     // their EXACTSUBSTR pass, token-window form): every 16-token window
@@ -1541,6 +1588,62 @@ object QueriesPipeline {
               |alldrops AS (SELECT id FROM dropsn UNION SELECT id FROM xdrop)
               |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
               |FROM cellsn c LEFT JOIN alldrops d ON d.id = c.id ORDER BY 1""".stripMargin)),
+
+    // Embedding-space decontamination — the SEMANTIC twin of
+    // doc_decontaminate (an eval paraphrase shares no 4-gram but sits
+    // next to the eval member in embedding space): label 9 plays the
+    // held-out eval suite, the rest is the training corpus. Corpus
+    // vectors home into their trained-quantizer cell (one plan-time
+    // loop/row); the SMALL eval side probes its 4 nearest cells (probe
+    // fan costs eval x 4 rows, never corpus work); one cell equi-join
+    // scores packed units and any hit at cos >= 0.4 marks the corpus
+    // vector contaminated. Output is the family's keep/drop decision
+    // frame; the oracle replays training, both assignments, and every
+    // decision.
+    "emb_decontaminate" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val corpus = e.where(col("label") =!= 9)
+        val ev = e.where(col("label") === 9)
+        val k = math.max(1, math.ceil(
+          corpus.count().toDouble / Similarity.DedupCellOccupancy).toInt)
+        val trained = Similarity.kmeansModel(corpus, nCent = k, iters = 2,
+          dimHint = AnnDim, loopAssign = true)
+        Similarity.semanticDecontaminate(corpus, ev, 0.4, trained,
+          nProbe = 4, dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |eo AS (SELECT * FROM e WHERE label <> 9),
+              |ev AS (SELECT * FROM e WHERE label = 9),
+              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY $SALT
+              |  LIMIT (SELECT CAST(ceil(count(*) / ${Similarity.DedupCellOccupancy}.0) AS BIGINT) FROM eo)),
+              |aff1 AS (SELECT eo.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent0),
+              |asg1 AS (SELECT id, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+              |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM eo LIMIT 1)),
+              |flat1 AS (SELECT a.cell, d.i, eo.v[d.i] AS w
+              |  FROM asg1 a JOIN eo ON eo.vec_id = a.id CROSS JOIN dims d),
+              |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+              |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+              |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+              |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+              |afo AS (SELECT eo.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent1),
+              |cells AS (SELECT id, cid AS cell, cs AS aff FROM (
+              |    SELECT id, cid, cs, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM afo) WHERE rn = 1),
+              |afe AS (SELECT ev.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM ev, cent1),
+              |probes AS (SELECT id, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM afe) WHERE rn <= 4),
+              |hits AS (SELECT DISTINCT c.id FROM cells c JOIN probes p ON p.cell = c.cell
+              |  JOIN eo ON eo.vec_id = c.id JOIN ev ON ev.vec_id = p.id
+              |  WHERE round(1e-9 + list_cosine_similarity(eo.v, ev.v), 4) >= 0.4)
+              |SELECT c.id AS vec_id, c.cell, c.aff, (h.id IS NULL) AS keep
+              |FROM cells c LEFT JOIN hits h ON h.id = c.id ORDER BY 1""".stripMargin)),
 
     // Hierarchical (two-level) IVF cosine dedup — the >8M-vector scale
     // path: the flat emb_dedup_cosine quantizer walls twice near 8M

@@ -619,6 +619,56 @@ object Similarity {
     attachKeep(asg.select("id", "cell", "aff"), drops)
   }
 
+  /** Embedding-space decontamination — the SEMANTIC twin of the n-gram
+    * `doc_decontaminate`: an eval-suite member's paraphrase shares no
+    * 4-gram but sits next to it in embedding space, so a corpus vector is
+    * dropped when a PROBING eval vector reaches it at rounded cosine ≥
+    * tau. Same machinery as the dedup family: corpus vectors home into
+    * their trained-quantizer cell (one plan-time-model loop per row),
+    * eval vectors probe their `nProbe` nearest cells (the eval side is
+    * small by construction — a benchmark suite — so the extra probe fan
+    * costs eval×nProbe rows, not corpus work), and the cross check is one
+    * cell equi-join scoring packed units with the codegen'd DotPacked.
+    * Everything rides 4dp-rounded cosines, so the DuckDB oracle replays
+    * the model, both assignments, and every decision.
+    *
+    * Returns (vec_id, cell, aff, keep) over the CORPUS — keep = false
+    * means contaminated. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame, tau: Double,
+      model: Seq[(Long, Array[Double])], nProbe: Int = 4,
+      dimHint: Int = -1): DataFrame = {
+    require(model.nonEmpty,
+      "semanticDecontaminate: pass a trained quantizer model (kmeansModel)")
+    val dim = if (dimHint > 0) dimHint else probeDim(corpus)
+    if (dim == 0)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(op: String)(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"$op: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cents = model.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
+      s"semanticDecontaminate: quantizer model ${cents.length} centroids x $dim dims " +
+        s"exceeds the $QuantizerModelMaxDoubles-double driver/closure cap")
+    val asg = incrementalAssign(
+      corpus.select(col("vec_id").as("id"),
+        checked("semanticDecontaminate")(col("embedding")).as("v")), cents)
+    val evalProbes = ivfProbeFrame(
+      evalSet.select(col("vec_id").as("id"),
+        checked("semanticDecontaminate.eval")(col("embedding")).as("v")),
+      cents, nProbe)
+      .select(explode(col("pcs")).as("cell"), col("vp").as("evp"))
+    val hits = asg.select(col("cell"), col("id"), col("vp")).join(evalProbes, "cell")
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("evp")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .select(col("id")).distinct()
+    attachKeep(asg.select("id", "cell", "aff"), hits)
+  }
+
   /** [[semDedupIncremental]]'s batch-assignment frame — (id, cell, aff,
     * vp) via the frozen-model JIT loop + packed unit vector. Shared with
     * the streaming twin ([[graft.streaming.SemDeDupStream]]) so both
