@@ -1589,6 +1589,94 @@ object QueriesPipeline {
               |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
               |FROM cellsn c LEFT JOIN alldrops d ON d.id = c.id ORDER BY 1""".stripMargin)),
 
+    // Incremental SemDeDup through the HIERARCHICAL quantizer — the
+    // >8M-vector twin of emb_semdedup_inc: the flat form's trained
+    // n/64-cell model is the measured O(n²·dim/occ) assignment wall
+    // (278 s at 300×); here the frozen hq was trained on the old corpus,
+    // the prior run's decisions come from semDedupHier, and each
+    // arrival's home cell is the shared greedy descent (~2√k scored
+    // centroids). Drop legs identical to the flat twin.
+    "emb_semdedup_inc_hier" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val old = e.where(col("vec_id") % 5 =!= 0)
+        val batch = e.where(col("vec_id") % 5 === 0)
+        val nTop = math.max(8, math.round(math.sqrt(old.count() / 64.0)).toInt)
+        val hq = Similarity.hierQuantizer(old, nTop = nTop, occupancy = 64,
+          iters = 2, dimHint = AnnDim)
+        val kept = Similarity.semDedupHier(old, 0.4, hq, dimHint = AnnDim)
+          .where(col("keep")).select(col("vec_id"), col("cell"))
+          .join(old.select(col("vec_id"), col("embedding")), "vec_id")
+        Similarity.semDedupIncrementalHier(kept, batch, 0.4, hq,
+          dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |eo AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+             |en AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT
+             |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 64.0)) AS BIGINT)) FROM eo)),
+             |aff1 AS (SELECT eo.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM eo LIMIT 1)),
+             |flat1 AS (SELECT a.cell, d.i, eo.v[d.i] AS w
+             |  FROM asg1 a JOIN eo ON eo.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |bafo AS (SELECT eo.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent1),
+             |homebo AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafo) WHERE rn = 1),
+             |bcnt AS (SELECT branch, count(*) AS n FROM homebo GROUP BY 1),
+             |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
+             |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
+             |  FROM homebo h),
+             |lv AS (SELECT s.branch, s.id AS cid, eo.v AS cw
+             |  FROM samp s JOIN bcnt USING (branch) JOIN eo ON eo.vec_id = s.id
+             |  WHERE s.rn <= ceil(bcnt.n / 64.0)),
+             |lafo AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(eo.v, l.cw), 4) AS cs
+             |  FROM homebo p JOIN lv l USING (branch) JOIN eo ON eo.vec_id = p.id),
+             |cellso AS (SELECT id, cid AS cell, cs AS aff FROM (
+             |    SELECT id, cid, cs, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafo) WHERE rn = 1),
+             |pro AS (SELECT x.id, x.aff, y.id AS oid, y.aff AS oaff,
+             |    round(1e-9 + list_cosine_similarity(ex.v, ey.v), 4) AS cos
+             |  FROM cellso x JOIN cellso y ON x.cell = y.cell AND x.id <> y.id
+             |  JOIN eo ex ON ex.vec_id = x.id JOIN eo ey ON ey.vec_id = y.id),
+             |dropso AS (SELECT DISTINCT id FROM pro WHERE cos >= 0.4
+             |  AND (oaff < aff OR (oaff = aff AND oid < id))),
+             |kept AS (SELECT c.id, c.cell FROM cellso c
+             |  LEFT JOIN dropso d ON d.id = c.id WHERE d.id IS NULL),
+             |bafn AS (SELECT en.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM en, cent1),
+             |homebn AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafn) WHERE rn = 1),
+             |lafn AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(en.v, l.cw), 4) AS cs
+             |  FROM homebn p JOIN lv l USING (branch) JOIN en ON en.vec_id = p.id),
+             |cellsn AS (SELECT id, cid AS cell, cs AS aff FROM (
+             |    SELECT id, cid, cs, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafn) WHERE rn = 1),
+             |xdrop AS (SELECT DISTINCT n.id FROM cellsn n JOIN kept k ON k.cell = n.cell
+             |  JOIN en ON en.vec_id = n.id JOIN eo ON eo.vec_id = k.id
+             |  WHERE round(1e-9 + list_cosine_similarity(en.v, eo.v), 4) >= 0.4),
+             |prn AS (SELECT x.id, x.aff, y.id AS oid, y.aff AS oaff,
+             |    round(1e-9 + list_cosine_similarity(ex.v, ey.v), 4) AS cos
+             |  FROM cellsn x JOIN cellsn y ON x.cell = y.cell AND x.id <> y.id
+             |  JOIN en ex ON ex.vec_id = x.id JOIN en ey ON ey.vec_id = y.id),
+             |dropsn AS (SELECT DISTINCT id FROM prn WHERE cos >= 0.4
+             |  AND (oaff < aff OR (oaff = aff AND oid < id))),
+             |alldrops AS (SELECT id FROM dropsn UNION SELECT id FROM xdrop)
+             |SELECT c.id AS vec_id, c.cell, c.aff, (d.id IS NULL) AS keep
+             |FROM cellsn c LEFT JOIN alldrops d ON d.id = c.id ORDER BY 1""".stripMargin)),
+
     // Embedding-space decontamination — the SEMANTIC twin of
     // doc_decontaminate (an eval paraphrase shares no 4-gram but sits
     // next to the eval member in embedding space): label 9 plays the
@@ -1644,6 +1732,74 @@ object QueriesPipeline {
               |  WHERE round(1e-9 + list_cosine_similarity(eo.v, ev.v), 4) >= 0.4)
               |SELECT c.id AS vec_id, c.cell, c.aff, (h.id IS NULL) AS keep
               |FROM cells c LEFT JOIN hits h ON h.id = c.id ORDER BY 1""".stripMargin)),
+
+    // Embedding decontamination through the HIERARCHICAL quantizer — the
+    // >8M-vector twin of emb_decontaminate (flat trained model = the
+    // measured 235 s-at-300× assignment wall): corpus homes via the
+    // width-1 descent, the small eval side descends with (2, 4) fan and
+    // takes its global top-4 cells, same packed-unit cross join.
+    "emb_decontam_hier" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val corpus = e.where(col("label") =!= 9)
+        val ev = e.where(col("label") === 9)
+        val nTop = math.max(8, math.round(math.sqrt(corpus.count() / 64.0)).toInt)
+        val hq = Similarity.hierQuantizer(corpus, nTop = nTop, occupancy = 64,
+          iters = 2, dimHint = AnnDim)
+        Similarity.semanticDecontaminateHier(corpus, ev, 0.4, hq,
+          nProbe = 4, nProbeTop = 2, dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |eo AS (SELECT * FROM e WHERE label <> 9),
+             |ev AS (SELECT * FROM e WHERE label = 9),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM eo ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT
+             |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 64.0)) AS BIGINT)) FROM eo)),
+             |aff1 AS (SELECT eo.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM eo LIMIT 1)),
+             |flat1 AS (SELECT a.cell, d.i, eo.v[d.i] AS w
+             |  FROM asg1 a JOIN eo ON eo.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |bafo AS (SELECT eo.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eo, cent1),
+             |homebo AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafo) WHERE rn = 1),
+             |bcnt AS (SELECT branch, count(*) AS n FROM homebo GROUP BY 1),
+             |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
+             |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
+             |  FROM homebo h),
+             |lv AS (SELECT s.branch, s.id AS cid, eo.v AS cw
+             |  FROM samp s JOIN bcnt USING (branch) JOIN eo ON eo.vec_id = s.id
+             |  WHERE s.rn <= ceil(bcnt.n / 64.0)),
+             |lafo AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(eo.v, l.cw), 4) AS cs
+             |  FROM homebo p JOIN lv l USING (branch) JOIN eo ON eo.vec_id = p.id),
+             |cells AS (SELECT id, cid AS cell, cs AS aff FROM (
+             |    SELECT id, cid, cs, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafo) WHERE rn = 1),
+             |bafe AS (SELECT ev.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM ev, cent1),
+             |probb AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafe) WHERE rn <= 2),
+             |lafe AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(ev.v, l.cw), 4) AS cs
+             |  FROM probb p JOIN lv l USING (branch) JOIN ev ON ev.vec_id = p.id),
+             |probes AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafe) WHERE rn <= 4),
+             |hits AS (SELECT DISTINCT c.id FROM cells c JOIN probes p ON p.cell = c.cell
+             |  JOIN eo ON eo.vec_id = c.id JOIN ev ON ev.vec_id = p.id
+             |  WHERE round(1e-9 + list_cosine_similarity(eo.v, ev.v), 4) >= 0.4)
+             |SELECT c.id AS vec_id, c.cell, c.aff, (h.id IS NULL) AS keep
+             |FROM cells c LEFT JOIN hits h ON h.id = c.id ORDER BY 1""".stripMargin)),
 
     // Hierarchical (two-level) IVF cosine dedup — the >8M-vector scale
     // path: the flat emb_dedup_cosine quantizer walls twice near 8M

@@ -619,6 +619,90 @@ object Similarity {
     attachKeep(asg.select("id", "cell", "aff"), drops)
   }
 
+  /** [[semDedupIncremental]] through a [[HierQuantizer]] — the >8M-vector
+    * incremental path: the flat form trains an n/64-centroid model whose
+    * assignment is the measured O(n²·dim/occ) wall (278 s at 300× for the
+    * registry config); here the batch's home cells come from the shared
+    * greedy descent (~2√k scored centroids per arrival, leaves never
+    * collected) and BOTH drop legs are identical to the flat op — the
+    * corpus leg reads the same stored (cell, packed-unit) projection, the
+    * within-batch leg is the shared [[semDedupDrops]] prune. The stored
+    * corpus cells must come from the SAME frozen hq (the prior
+    * [[semDedupHier]] run), exactly as the flat twin's come from its
+    * frozen flat model. Returns (vec_id, cell, aff, keep) per BATCH row. */
+  def semDedupIncrementalHier(existing: DataFrame, batch: DataFrame,
+      tau: Double, hq: HierQuantizer, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(batch)
+    if (dim == 0 || hq.top.isEmpty)
+      return batch.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(op: String)(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"$op: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = batch.select(col("vec_id").as("id"),
+      checked("semDedupIncrementalHier")(col("embedding")).as("v"))
+    // home = best leaf of the home branch (nProbeTop=1, nPerBranch=1 ⇒
+    // exactly one row per id, the semDedupHier home rule)
+    val asgFlat = hierDescent(cv, hq, nProbeTop = 1, nPerBranch = 1)
+      .select(col("id"), col("cell"), col("cs").as("aff"))
+    val asg = asgFlat.join(cv.select(col("id"), packUnit(col("v")).as("vp")), "id")
+    val ex = incrementalCorpus(existing,
+      checked("semDedupIncrementalHier.existing"))
+    val corpusDrops = asg.select(col("cell"), col("id"), col("vp"))
+      .join(ex, "cell")
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("ovp")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .select(col("id")).distinct()
+    val drops = semDedupDrops(asg, tau).union(corpusDrops).distinct()
+    attachKeep(asgFlat, drops)
+  }
+
+  /** [[semanticDecontaminate]] through a [[HierQuantizer]] — the
+    * >8M-vector decontamination path (the flat form's trained model is
+    * the measured 235 s-at-300× assignment wall). Corpus vectors home via
+    * the width-1 descent; the small eval side descends with
+    * (nProbeTop, nProbe) fan and takes its global top-nProbe cells; the
+    * cross check is the same packed-unit cell equi-join. Returns
+    * (vec_id, cell, aff, keep) over the CORPUS. */
+  def semanticDecontaminateHier(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double, hq: HierQuantizer, nProbe: Int = 4, nProbeTop: Int = 2,
+      dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(corpus)
+    if (dim == 0 || hq.top.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(op: String)(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"$op: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cvC = corpus.select(col("vec_id").as("id"),
+      checked("semanticDecontaminateHier")(col("embedding")).as("v"))
+    val homes = hierDescent(cvC, hq, nProbeTop = 1, nPerBranch = 1)
+      .select(col("id"), col("cell"), col("cs").as("aff"))
+    val asg = homes.join(cvC.select(col("id"), packUnit(col("v")).as("vp")), "id")
+    val cvE = evalSet.select(col("vec_id").as("id"),
+      checked("semanticDecontaminateHier.eval")(col("embedding")).as("v"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cs").desc, col("cell"))
+    val probes = hierDescent(cvE, hq, nProbeTop, nProbe)
+      .withColumn("rn", row_number().over(wCell)).where(col("rn") <= nProbe)
+      .select(col("id").as("eid"), col("cell"))
+      .join(cvE.select(col("id").as("eid"), packUnit(col("v")).as("evp")), "eid")
+      .select(col("cell"), col("evp"))
+    val hits = asg.select(col("cell"), col("id"), col("vp")).join(probes, "cell")
+      .withColumn("cos", round(
+        org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("evp")) + lit(1e-9), 4))
+      .where(col("cos") >= tau)
+      .select(col("id")).distinct()
+    attachKeep(homes, hits)
+  }
+
   /** Embedding-space decontamination — the SEMANTIC twin of the n-gram
     * `doc_decontaminate`: an eval-suite member's paraphrase shares no
     * 4-gram but sits next to it in embedding space, so a corpus vector is

@@ -99,8 +99,8 @@ class BenchSpec extends SparkSuite {
     // pipelines) may never be line-excluded — a regression there must be
     // visible in BENCH_r*, not only in the file record.
     val heavyPrefixes = Seq("emb_dedup", "emb_semdedup", "emb_ann", "emb_knn",
-      "emb_pq", "emb_ivfpq", "emb_kmeans", "doc_dedup", "doc_decontaminate",
-      "doc_corpus", "doc_minhash")
+      "emb_pq", "emb_ivfpq", "emb_kmeans", "emb_decontam", "doc_dedup",
+      "doc_decontaminate", "doc_corpus", "doc_minhash")
     val excludedHeavy = SparkEntry.nonBenchQueries
       .filter(n => heavyPrefixes.exists(n.startsWith))
     assert(excludedHeavy.isEmpty,
