@@ -40,7 +40,7 @@ object SparkEntry {
       "doc_split", "doc_shard", "doc_dup_spans", "doc_bm25",
       "q06_forecast_revenue", "q_filter_pushdown", "evt_mapfilter",
       "evt_delay_1h", "q_case_agg", "q_anti_join", "evt_limit3",
-      "doc_fingerprint", "mkt_trades", "evt_cohort", "evt_hist",
+      "doc_fingerprint", "mkt_trades", "evt_cohort", "evt_hist", "doc_mixwts",
       "q01_pricing_summary", "evt_tumbling_1d", "q_semi_join")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */

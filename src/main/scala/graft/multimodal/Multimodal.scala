@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * feature-extraction / frame-sampling are projections or batched
   * mapPartitions over the bytes.
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * libraries — with a deterministic md5-derived feature map, so the whole
-  * pipeline (schema, partitioning, batch shape, oracle) is real and
-  * testable; swap [[Multimodal.stubDecode]] for a real decoder and nothing
-  * else changes. The stub is engine-portable (md5), so even the fake
-  * features are DuckDB-oracle-gated.
+  * IMAGE decode is REAL since round 12: the JDK ships a headless-safe
+  * PNG codec (javax.imageio), so [[pngEncode]]/[[imageFeatures]] run an
+  * actual encode→decode round trip on executors (oracle-exact because
+  * PNG is lossless — see the codec section below). AUDIO/VIDEO decode
+  * stays STUBBED — no lossy-codec libraries in this container — with a
+  * deterministic md5-derived feature map, so that pipeline's schema,
+  * partitioning, batch shape, and oracle are still real and testable;
+  * swap [[Multimodal.stubDecode]] for a real decoder and nothing else
+  * changes.
   *
   * Scale notes: payloads stay in the scan projection (no shuffle); feature
   * extraction is per-row bounded work; the batched path mirrors
@@ -69,6 +72,127 @@ object Multimodal {
         batch.map { case (id, b) => (id, decode(b)) }
       }
     }
+  }
+
+  // ── REAL image codec path (round 12) ─────────────────────────────────
+  // The container has no external image libraries, but the JDK itself
+  // ships a PNG encoder/decoder (javax.imageio, headless-safe) — so the
+  // image decode slot is no longer a stub: payloads are REAL PNG bytes
+  // and features come from a REAL ImageIO decode. The oracle story stays
+  // exact because PNG is LOSSLESS: the pixels are planted by a
+  // closed-form formula of (doc_id, x, y), encode→decode round-trips
+  // them bit-for-bit (spec-gated), and DuckDB computes the expected
+  // channel means from the same formula WITHOUT decoding. Audio/video
+  // codecs (lossy, no JDK decoder) keep the documented stub slot.
+
+  val ImgW = 16
+  val ImgH = 12
+
+  /** Planted pixel channels — the closed form BOTH engines evaluate. */
+  private def plant(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    ((((id * 31 + x * 7 + y * 13) % 256).toInt),
+      (((id * 17 + x * 11 + y * 5) % 256).toInt),
+      (((id * 29 + x * 3 + y * 19) % 256).toInt))
+
+  /** A real PNG payload: BufferedImage with the planted pixels, encoded
+    * by the JDK's PNG writer. Deterministic per id (PNG encoding of
+    * identical pixels is identical bytes for a fixed JDK encoder). */
+  def pngEncode(id: Long, w: Int = ImgW, h: Int = ImgH): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = plant(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: ImageIO reads the PNG and the features are measured
+    * from the DECODED pixels — (width, height, meanR, meanG, meanB).
+    * Channel sums are exact integers, so the means divide exactly the
+    * same on both engines. Fits [[decodeBatched]]'s decoder slot. */
+  def imageFeatures(bytes: Array[Byte]): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "imageFeatures: undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n)
+  }
+
+  // ── REAL audio codec path (round 12) ─────────────────────────────────
+  // Same JDK trick as PNG: javax.sound.sampled reads/writes WAV (RIFF +
+  // 16-bit PCM) with no external libraries, and PCM is lossless — so the
+  // audio decode slot is also real: payloads are genuine WAV files,
+  // features are measured from AudioSystem-decoded samples, and the
+  // oracle computes the expected stats from the planted-sample closed
+  // form. Only LOSSY codecs (jpeg-with-loss, mp3, video) remain stubbed.
+
+  val WavN = 480
+  val WavRate = 8000
+
+  /** Planted 16-bit sample i — the closed form BOTH engines evaluate. */
+  private def plantSample(id: Long, i: Int): Short =
+    (((id * 73 + i * 37) % 4096) - 2048).toShort
+
+  /** A real WAV payload: planted PCM through the JDK's WAVE writer. */
+  def wavEncode(id: Long, n: Int = WavN, rate: Int = WavRate): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = plantSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: AudioSystem parses the WAV and the features are
+    * measured from the DECODED samples — (rate, nSamples, meanAbs,
+    * maxAbs). Sums are exact integers. Fits [[decodeBatched]]. */
+  def audioFeatures(bytes: Array[Byte]): Array[Double] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"audioFeatures: expected 16-bit mono little-endian PCM, got $fmt")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    var sumAbs = 0L; var maxAbs = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+      val a = math.abs(s)
+      sumAbs += a; if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    Array(fmt.getSampleRate.toDouble, n.toDouble,
+      if (n == 0) 0.0 else sumAbs.toDouble / n, maxAbs.toDouble)
   }
 
   /** Deterministic frame sampling plumbing (video/audio analog): n frames

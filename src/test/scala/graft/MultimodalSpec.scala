@@ -61,4 +61,53 @@ class MultimodalSpec extends SparkSuite {
     val short = Seq((2L, "tiny", "s")).toDF("doc_id", "text", "source")
     assert(Multimodal.frameSample(Multimodal.payloads(short)).count() == 0)
   }
+
+  test("PNG codec round-trip is lossless pixel-for-pixel (the real-decode oracle rests on it)") {
+    // mm_png_decode's oracle computes expected features from the planted
+    // pixel formula WITHOUT decoding — valid only if encode→decode
+    // round-trips every pixel exactly. Check all pixels of several ids,
+    // plus the payload being a genuine PNG (magic bytes), plus encode
+    // determinism (same id ⇒ same bytes).
+    for (id <- Seq(0L, 7L, 123456789L)) {
+      val bytes = Multimodal.pngEncode(id)
+      assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
+        "payload must be a real PNG")
+      assert(bytes.sameElements(Multimodal.pngEncode(id)), "encode must be deterministic")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW) {
+        val p = img.getRGB(x, y)
+        val er = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val eg = ((id * 17 + x * 11 + y * 5) % 256).toInt
+        val eb = ((id * 29 + x * 3 + y * 19) % 256).toInt
+        assert(((p >> 16) & 0xff) == er && ((p >> 8) & 0xff) == eg && (p & 0xff) == eb,
+          s"pixel ($x,$y) of id $id did not round-trip")
+      }
+      val f = Multimodal.imageFeatures(bytes)
+      assert(f.length == 5 && f(0) == Multimodal.ImgW && f(1) == Multimodal.ImgH)
+    }
+  }
+
+  test("WAV codec round-trip is lossless sample-for-sample") {
+    // mm_wav_decode's oracle computes expected stats from the planted
+    // PCM closed form — valid only if the JDK WAVE write→read
+    // round-trips every 16-bit sample exactly
+    for (id <- Seq(0L, 7L, 987654321L)) {
+      val bytes = Multimodal.wavEncode(id)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+        "payload must be a real RIFF/WAVE file")
+      assert(bytes.sameElements(Multimodal.wavEncode(id)), "encode must be deterministic")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      assert(pcm.length == Multimodal.WavN * 2, "every sample survives")
+      for (i <- 0 until Multimodal.WavN) {
+        val got = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+        val exp = (((id * 73 + i * 37) % 4096) - 2048).toShort
+        assert(got == exp, s"sample $i of id $id did not round-trip: $got != $exp")
+      }
+      val f = Multimodal.audioFeatures(bytes)
+      assert(f.length == 4 && f(0) == Multimodal.WavRate && f(1) == Multimodal.WavN)
+    }
+  }
 }
