@@ -884,6 +884,23 @@ object QueriesPipeline {
     "doc_lm_ppl" -> Q(
       (s, d) => {
         val t = docs(s, d).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        // `bi` feeds three subtrees (c2, c1, the scoring join) and is
+        // deliberately RECOMPUTED per subtree — measured best of three
+        // formulations at the 1000× decade (all at pinned 32 partitions):
+        // (a) this one, pure map-side recompute: 72.6 s @300× / 278 s
+        //     @1000× — CPU-redundant but zero memory risk (scan + explode
+        //     + md5 is embarrassingly parallel, nothing held);
+        // (b) persist(bi): 44.1 s @300× (−39%) but the corpus-sized cache
+        //     competes with execution memory at 1000× — 196 s with 16 s
+        //     GC at 32 partitions and AGGREGATE_OUT_OF_MEMORY at 256;
+        // (c) derive both count tables from one per-(doc,bigram)
+        //     multiplicity aggregation: no ReuseExchange materializes
+        //     (column pruning de-canonicalizes the two consumers'
+        //     subtrees) so the HEAVIER aggregation computes twice —
+        //     78.3 s @300× / 243 s @1000×.
+        // At 100 TB (a) is the only shape that cannot fall over: a
+        // per-query corpus-sized cache is an anti-pattern, and the
+        // recomputed work never touches the aggregation memory pool.
         val bi = t.where(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(TF.ngrams(col("toks"), 2)).as("bg"))
           .select(col("doc_id"),
@@ -1653,8 +1670,10 @@ object QueriesPipeline {
              |  AND (oaff < aff OR (oaff = aff AND oid < id))),
              |kept AS (SELECT c.id, c.cell FROM cellso c
              |  LEFT JOIN dropso d ON d.id = c.id WHERE d.id IS NULL),
+             |centb AS (SELECT * FROM cent1
+             |  WHERE cid IN (SELECT DISTINCT branch FROM lv)),
              |bafn AS (SELECT en.vec_id AS id, cid,
-             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM en, cent1),
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM en, centb),
              |homebn AS (SELECT id, cid AS branch FROM (
              |    SELECT id, cid, row_number() OVER
              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafn) WHERE rn = 1),
@@ -1784,8 +1803,10 @@ object QueriesPipeline {
              |cells AS (SELECT id, cid AS cell, cs AS aff FROM (
              |    SELECT id, cid, cs, row_number() OVER
              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafo) WHERE rn = 1),
+             |centb AS (SELECT * FROM cent1
+             |  WHERE cid IN (SELECT DISTINCT branch FROM lv)),
              |bafe AS (SELECT ev.vec_id AS id, cid,
-             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM ev, cent1),
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM ev, centb),
              |probb AS (SELECT id, cid AS branch FROM (
              |    SELECT id, cid, row_number() OVER
              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafe) WHERE rn <= 2),

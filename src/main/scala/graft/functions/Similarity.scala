@@ -584,10 +584,10 @@ object Similarity {
     * Returns (vec_id, cell, aff, keep) — one row per BATCH vector. */
   def semDedupIncremental(existing: DataFrame, batch: DataFrame, tau: Double,
       model: Seq[(Long, Array[Double])], dimHint: Int = -1): DataFrame = {
-    require(model.nonEmpty,
-      "semDedupIncremental: pass the frozen quantizer model (kmeansModel)")
     val dim = if (dimHint > 0) dimHint else probeDim(batch)
-    if (dim == 0)
+    // empty frozen model (prior corpus was empty) degrades to the
+    // family's empty decision frame, like the hq.top.isEmpty siblings
+    if (dim == 0 || model.isEmpty)
       return batch.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
           lit(0.0).as("aff"), lit(true).as("keep"))
@@ -721,10 +721,10 @@ object Similarity {
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame, tau: Double,
       model: Seq[(Long, Array[Double])], nProbe: Int = 4,
       dimHint: Int = -1): DataFrame = {
-    require(model.nonEmpty,
-      "semanticDecontaminate: pass a trained quantizer model (kmeansModel)")
     val dim = if (dimHint > 0) dimHint else probeDim(corpus)
-    if (dim == 0)
+    // empty model (kmeansModel of an empty corpus returns Nil) degrades
+    // to the family's empty decision frame, like hq.top.isEmpty siblings
+    if (dim == 0 || model.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
           lit(0.0).as("aff"), lit(true).as("keep"))
@@ -860,7 +860,19 @@ object Similarity {
       .withColumn("n", count(lit(1)).over(wIn))
       .where(col("rn") <= ceil(col("n") / lit(occupancy.toDouble)))
       .select(col("branch"), col("id").as("cid"), col("v").as("cw"))
-    HierQuantizer(top, leaves)
+    // EMPTY branches are dropped from the top model (a Lloyd centroid can
+    // end with zero assigned members — e.g. duplicate-heavy data where
+    // ties send everything to the lowest cid): a branch with no members
+    // has no leaves, and [[hierDescent]]'s leaf join would silently DROP
+    // any out-of-training row (an incremental arrival, an external query)
+    // whose argmax lands there — row loss, not just recall loss. Dropping
+    // the branch instead makes every descent target leaf-bearing. For
+    // IN-training rows nothing changes: a training vector's argmax branch
+    // contains at least itself, so its winner is never an empty branch
+    // (which is why the in-training oracles replay identically).
+    val nonEmpty = leaves.select("branch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    HierQuantizer(top.filter { case (cid, _) => nonEmpty(cid) }, leaves)
   }
 
   /** [[cosineDedupIvf]] through a [[HierQuantizer]] — the >8M-vector
@@ -1128,7 +1140,15 @@ object Similarity {
           .select(col("id"), col("v"), col("cell").as("parent"))
       lvl
     }
-    DeepQuantizer(top, built)
+    // same empty-branch discipline as [[hierQuantizer]]: a memberless top
+    // centroid has no level-0 children, and [[deepDescent]]'s child join
+    // would silently drop out-of-training rows landing there. (Only the
+    // TOP can be empty: every sampled child at level i has at least its
+    // own sample vector as a member, so levels below are always
+    // child-bearing.)
+    val nonEmpty = built.head.select("parent").distinct()
+      .collect().map(_.getLong(0)).toSet
+    DeepQuantizer(top.filter { case (cid, _) => nonEmpty(cid) }, built)
   }
 
   /** Score each `(id, v, parent)` row against its parent's children

@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * feature-extraction / frame-sampling are projections or batched
   * mapPartitions over the bytes.
   *
-  * IMAGE decode is REAL since round 12: the JDK ships a headless-safe
-  * PNG codec (javax.imageio), so [[pngEncode]]/[[imageFeatures]] run an
-  * actual encode→decode round trip on executors (oracle-exact because
-  * PNG is lossless — see the codec section below). AUDIO/VIDEO decode
-  * stays STUBBED — no lossy-codec libraries in this container — with a
-  * deterministic md5-derived feature map, so that pipeline's schema,
-  * partitioning, batch shape, and oracle are still real and testable;
-  * swap [[Multimodal.stubDecode]] for a real decoder and nothing else
-  * changes.
+  * IMAGE and AUDIO decode are REAL since round 12: the JDK ships a
+  * headless-safe PNG codec (javax.imageio) and a WAV/PCM codec
+  * (javax.sound.sampled), so [[pngEncode]]/[[imageFeatures]] and
+  * [[wavEncode]]/[[audioFeatures]] run actual encode→decode round trips
+  * on executors (oracle-exact because both codecs are lossless — see the
+  * codec sections below). Only LOSSY codecs (jpeg-with-loss, mp3, video)
+  * remain STUBBED — no such library exists in this container, the JDK
+  * included — with a deterministic md5-derived feature map, so that
+  * pipeline's schema, partitioning, batch shape, and oracle are still
+  * real and testable; swap [[Multimodal.stubDecode]] for a real lossy
+  * decoder and nothing else changes.
   *
   * Scale notes: payloads stay in the scan projection (no shuffle); feature
   * extraction is per-row bounded work; the batched path mirrors

@@ -100,7 +100,7 @@ class BenchSpec extends SparkSuite {
     // visible in BENCH_r*, not only in the file record.
     val heavyPrefixes = Seq("emb_dedup", "emb_semdedup", "emb_ann", "emb_knn",
       "emb_pq", "emb_ivfpq", "emb_kmeans", "emb_decontam", "doc_dedup",
-      "doc_decontaminate", "doc_corpus", "doc_minhash")
+      "doc_decontaminate", "doc_corpus", "doc_minhash", "doc_lm")
     val excludedHeavy = SparkEntry.nonBenchQueries
       .filter(n => heavyPrefixes.exists(n.startsWith))
     assert(excludedHeavy.isEmpty,

@@ -548,6 +548,90 @@ class PipelineSpec extends SparkSuite {
     assert(hier.exists(!_._4), "the reduction check must exercise real drops")
   }
 
+  test("hierQuantizer/deepQuantizer drop memberless top branches (no out-of-training row loss)") {
+    // six identical vectors seed multiple identical Lloyd centroids;
+    // tie-break sends every member to the lowest cid, leaving the others
+    // MEMBERLESS — a memberless branch has no leaves, and the descent's
+    // leaf join would silently drop any out-of-training arrival whose
+    // argmax lands there (row loss, not recall loss). The builders must
+    // drop such branches from the top model.
+    def e1 = Seq.tabulate(4)(j => if (j == 0) 1.0 else 0.0)
+    val dup = (1L to 6L).map(i => (i, e1)).toDF("vec_id", "embedding")
+    val hq = Similarity.hierQuantizer(dup, nTop = 3, occupancy = 2, iters = 1, dimHint = 4)
+    assert(hq.top.size == 1, s"memberless branches must be dropped: ${hq.top.map(_._1)}")
+    val branches = hq.leaves.select("branch").distinct().collect().map(_.getLong(0)).toSet
+    assert(hq.top.map(_._1).toSet == branches, "top set == leaf-bearing branch set")
+    // an out-of-training arrival must still receive a decision row
+    val batch = Seq((10L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val none = Seq.empty[(Long, Long, Seq[Double])].toDF("vec_id", "cell", "embedding")
+    val dec = Similarity.semDedupIncrementalHier(none, batch, 0.4, hq, dimHint = 4).collect()
+    assert(dec.length == 1 && dec.head.getBoolean(3),
+      "out-of-training arrival decided (kept — orthogonal to everything)")
+    val dq = Similarity.deepQuantizer(dup, nTop = 3, occupancies = Seq(2), iters = 1, dimHint = 4)
+    assert(dq.top.size == 1 && dq.top.map(_._1).toSet ==
+      dq.levels.head.select("parent").distinct().collect().map(_.getLong(0)).toSet,
+      "deepQuantizer applies the same discipline")
+  }
+
+  test("semDedupIncrementalHier with nTop=1 reduces EXACTLY to the flat op on the leaf model") {
+    // the registry-config invariant: one top branch makes the leaf frame
+    // the global salted sample, so the hier incremental decisions must
+    // equal the oracle-gated flat op's bit-for-bit
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val old = e.where(col("vec_id") % 5 =!= 0)
+    val batch = e.where(col("vec_id") % 5 === 0)
+    val hq = Similarity.hierQuantizer(old, nTop = 1, occupancy = 64, iters = 1, dimHint = 64)
+    val model = hq.leaves.select("cid", "cw").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    val kept = Similarity.semDedupHier(old, 0.4, hq, dimHint = 64)
+      .where(col("keep")).select(col("vec_id"), col("cell"))
+      .join(old.select(col("vec_id"), col("embedding")), "vec_id")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val hier = asSet(Similarity.semDedupIncrementalHier(kept, batch, 0.4, hq, dimHint = 64))
+    val flat = asSet(Similarity.semDedupIncremental(kept, batch, 0.4, model, dimHint = 64))
+    assert(hier == flat,
+      s"hier(nTop=1) != flat: only-hier=${hier -- flat}, only-flat=${flat -- hier}")
+    assert(hier.exists(!_._4), "the reduction must exercise real drops")
+  }
+
+  test("semanticDecontaminateHier with nTop=1 reduces EXACTLY to the flat op on the leaf model") {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val corpus = e.where(col("label") =!= 9)
+    val ev = e.where(col("label") === 9)
+    val hq = Similarity.hierQuantizer(corpus, nTop = 1, occupancy = 64, iters = 1, dimHint = 64)
+    val model = hq.leaves.select("cid", "cw").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val hier = asSet(Similarity.semanticDecontaminateHier(corpus, ev, 0.4, hq,
+      nProbe = 4, nProbeTop = 1, dimHint = 64))
+    val flat = asSet(Similarity.semanticDecontaminate(corpus, ev, 0.4, model,
+      nProbe = 4, dimHint = 64))
+    assert(hier == flat,
+      s"hier(nTop=1) != flat: only-hier=${hier -- flat}, only-flat=${flat -- hier}")
+    assert(hier.exists(!_._4), "the reduction must exercise real contamination hits")
+  }
+
+  test("semanticDecontaminate: planted golden + graceful empty model") {
+    def unit(i: Int): Seq[Double] = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    val model = Seq(1L -> unit(0).toArray, 2L -> unit(1).toArray)
+    val corpus = Seq((1L, unit(0)), (2L, unit(1)), (3L, unit(2)))
+      .toDF("vec_id", "embedding")
+    val ev = Seq((100L, unit(0))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, ev, 0.4, model, nProbe = 4, dimHint = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true),
+      s"exact eval dup dropped, orthogonal corpus kept: $out")
+    // empty model (empty training corpus) degrades to the empty frame
+    assert(Similarity.semanticDecontaminate(corpus, ev, 0.4, Nil, dimHint = 4).count() == 0)
+    assert(Similarity.semDedupIncremental(corpus.limit(0)
+      .select(col("vec_id"), lit(0L).as("cell"), col("embedding")),
+      corpus, 0.4, Nil, dimHint = 4).count() == 0)
+  }
+
   test("deepQuantizer with ONE level reduces EXACTLY to hierQuantizer / ivfTopKHier") {
     // the recursion's base case pins the deep semantics to the
     // oracle-proven two-level ones: same trained top, bit-identical
