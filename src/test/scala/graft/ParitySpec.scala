@@ -372,6 +372,55 @@ class ParitySpec extends SparkSuite {
       "cycle n sees cycle n-1's OUTPUT, not its input")
   }
 
+  test("incremental doc dedup: native stream-static anti-join + dropDuplicates == batch op") {
+    // the doc-level streaming dedup leg, built from CANONICAL Structured
+    // Streaming operators only (no custom state): reference-corpus
+    // fingerprints anti-join as a stream-static join, first-arrival-wins
+    // is the built-in streaming dropDuplicates state. Arrivals are fed in
+    // doc_id order with same-fingerprint dups never sharing a micro-batch
+    // (within one micro-batch dropDuplicates keeps an arbitrary row after
+    // the hash exchange; ACROSS batches state makes first-arrival exact),
+    // so first-arrival == the batch op's min-doc_id rule and the rows
+    // must match the ORACLE-GATED doc_dedup_incremental exactly.
+    import graft.functions.{TextFunctions => TFX}
+    val d = "/root/testdata/sf0.001"
+    val batchOut = Queries.registry.toMap.apply("doc_dedup_incremental").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fp = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+      TFX.fingerprint(col("text")).as("fp"))
+    val ref = fp.where(!col("source").isin("src18", "src19")).select("fp").distinct()
+    val arrivals = fp.where(col("source").isin("src18", "src19"))
+      .select(col("doc_id"), col("fp")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // two micro-batches (the sf0.001 batch docs have pairwise-distinct
+    // fingerprints, so same-batch dedup nondeterminism cannot arise) plus
+    // a PLANTED cross-batch dup: batch 2 replays a batch-1 kept
+    // fingerprint under a fresh id — dropDuplicates state must drop it,
+    // and since the batch op never saw the synthetic row, equality with
+    // batchOut proves exactly that
+    val (g1, g2) = arrivals.splitAt(arrivals.length / 2)
+    val keptInG1 = g1.map(_._2).toSet
+      .diff(ref.as[String].collect().toSet)
+    assert(keptInG1.nonEmpty, "batch 1 must keep at least one fingerprint")
+    val planted = (arrivals.map(_._1).max + 1000L, keptInG1.head)
+    val groups = Seq(g1, g2 :+ planted)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "fp")
+      .join(ref, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+      .select("doc_id", "fp") // the join moved its key first
+      .writeStream.format("memory").queryName("docdedup_par")
+      .outputMode("append").start()
+    groups.foreach { buf => mem.addData(buf); q.processAllAvailable() }
+    q.stop()
+    val streamOut = spark.table("docdedup_par")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batchOut.nonEmpty, "the parity corpus must keep real rows")
+    assert(streamOut == batchOut,
+      s"streaming != batch: only-stream=${streamOut -- batchOut}, only-batch=${batchOut -- streamOut}")
+  }
+
   test("incremental SemDeDup: streaming (corpus as initial state) == oracle-gated batch op") {
     // the embedding family's first streaming leg: the SAME registry
     // config as emb_semdedup_inc (frozen trained quantizer, kept corpus,
