@@ -548,6 +548,41 @@ class PipelineSpec extends SparkSuite {
     assert(hier.exists(!_._4), "the reduction check must exercise real drops")
   }
 
+  test("round-12 decision ops are invariant under adversarial repartitioning") {
+    // the scoreChildren/leaf-scoring loops claim to be functions of the
+    // SET of children (collect_list arrival order is nondeterministic;
+    // topByRounded ranks on a total order) and every decision claims to
+    // be a pure function of the input — so a 7-way hash repartition of
+    // the input must change NOTHING. An order-dependent bug (a first()
+    // where a min belongs, an order-sensitive fold) fails here even
+    // while the single-layout oracle run stays green.
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val e7 = e.repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // deep ANN at the registry config
+    def deep(in: org.apache.spark.sql.DataFrame) = {
+      val dq = Similarity.deepQuantizer(in, nTop = 4, occupancies = Seq(32, 8),
+        iters = 2, dimHint = 64)
+      Similarity.ivfTopKDeep(in.where(col("vec_id") < 10), in, 3, dq,
+        widths = Seq(4, 16, 24), dimHint = 64)
+    }
+    assert(rows(deep(e)) == rows(deep(e7)), "ivfTopKDeep must ignore physical layout")
+    // incremental SemDeDup at the registry config
+    def inc(in: org.apache.spark.sql.DataFrame) = {
+      val old = in.where(col("vec_id") % 5 =!= 0)
+      val batch = in.where(col("vec_id") % 5 === 0)
+      val k = math.max(1, math.ceil(old.count() / 64.0).toInt)
+      val m = Similarity.kmeansModel(old, k, iters = 2, dimHint = 64, loopAssign = true)
+      val kept = Similarity.semDedup(old, 0.4, m, dimHint = 64)
+        .where(col("keep")).select(col("vec_id"), col("cell"))
+        .join(old.select(col("vec_id"), col("embedding")), "vec_id")
+      Similarity.semDedupIncremental(kept, batch, 0.4, m, dimHint = 64)
+    }
+    assert(rows(inc(e)) == rows(inc(e7)), "semDedupIncremental must ignore physical layout")
+  }
+
   test("hierQuantizer/deepQuantizer drop memberless top branches (no out-of-training row loss)") {
     // six identical vectors seed multiple identical Lloyd centroids;
     // tie-break sends every member to the lowest cid, leaving the others
