@@ -1252,7 +1252,14 @@ object QueriesPipeline {
              |cells AS (SELECT id AS nid, cid AS cell FROM (
              |    SELECT id, cid, row_number() OVER
              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf0) WHERE rn = 1),
-             |probq AS (SELECT id, cid AS branch FROM brk WHERE rn <= 4 AND id % 10 = 0),
+             |centb AS (SELECT cid, cv FROM cent1
+             |  WHERE cid IN (SELECT DISTINCT branch FROM lv)),
+             |bafq AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs
+             |  FROM e, centb WHERE e.vec_id % 10 = 0),
+             |probq AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafq) WHERE rn <= 4),
              |lafq AS (SELECT p.id, l.cid,
              |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
              |  FROM probq p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
@@ -1867,8 +1874,7 @@ object QueriesPipeline {
              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
              |brk AS (SELECT id, cid, row_number() OVER
              |    (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM baf),
-             |probb AS (SELECT id, cid AS branch, rn AS slot FROM brk WHERE rn <= 4),
-             |homeb AS (SELECT id, branch FROM probb WHERE slot = 1),
+             |homeb AS (SELECT id, cid AS branch FROM brk WHERE rn = 1),
              |bcnt AS (SELECT branch, count(*) AS n FROM homeb GROUP BY 1),
              |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
              |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
@@ -1876,6 +1882,13 @@ object QueriesPipeline {
              |lv AS (SELECT s.branch, s.id AS cid, e.v AS cw
              |  FROM samp s JOIN bcnt USING (branch) JOIN e ON e.vec_id = s.id
              |  WHERE s.rn <= ceil(bcnt.n / 32.0)),
+             |centb AS (SELECT cid, cv FROM cent1
+             |  WHERE cid IN (SELECT DISTINCT branch FROM lv)),
+             |bafb AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, centb),
+             |probb AS (SELECT id, cid AS branch, rn AS slot FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafb) WHERE rn <= 4),
              |laf AS (SELECT p.id, p.slot, l.cid,
              |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
              |  FROM probb p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
@@ -1942,7 +1955,14 @@ object QueriesPipeline {
              |cells AS (SELECT id AS nid, cid AS cell FROM (
              |    SELECT id, cid, row_number() OVER
              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf0) WHERE rn = 1),
-             |probq AS (SELECT id, cid AS branch FROM brk WHERE rn <= 4 AND id < 10),
+             |centb AS (SELECT cid, cv FROM cent1
+             |  WHERE cid IN (SELECT DISTINCT branch FROM lv)),
+             |bafq AS (SELECT e.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs
+             |  FROM e, centb WHERE e.vec_id < 10),
+             |probq AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafq) WHERE rn <= 4),
              |lafq AS (SELECT p.id, l.cid,
              |    round(1e-9 + list_cosine_similarity(e.v, l.cw), 4) AS cs
              |  FROM probq p JOIN lv l USING (branch) JOIN e ON e.vec_id = p.id),
@@ -2027,7 +2047,14 @@ object QueriesPipeline {
               |cells AS (SELECT id AS nid, cid AS cell FROM (
               |    SELECT id, cid, row_number() OVER
               |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM laf) WHERE rn = 1),
-              |qb AS (SELECT id, cid AS branch FROM brk WHERE rn <= 4 AND id < 10),
+              |centb AS (SELECT cid, cv FROM cent1
+              |  WHERE cid IN (SELECT DISTINCT branch FROM mids)),
+              |qbaf AS (SELECT e.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs
+              |  FROM e, centb WHERE e.vec_id < 10),
+              |qb AS (SELECT id, cid AS branch FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM qbaf) WHERE rn <= 4),
               |qmaf AS (SELECT q.id, m.mid,
               |    round(1e-9 + list_cosine_similarity(e.v, m.mv), 4) AS cs
               |  FROM qb q JOIN mids m USING (branch) JOIN e ON e.vec_id = q.id),
