@@ -814,7 +814,21 @@ object Similarity {
     * nTop + Σ|leaves(probed branches)| centroids — √-growth per decade
     * instead of linear (recursing the same construction over `leaves`
     * gives log-depth constant work; not needed below ~10^10 vectors). */
-  case class HierQuantizer(top: Seq[(Long, Array[Double])], leaves: DataFrame)
+  case class HierQuantizer(top: Seq[(Long, Array[Double])], leaves: DataFrame) {
+    @transient @volatile private var released0 = false
+    /** True once [[unpersist]] ran — the quantizer must no longer be used. */
+    def released: Boolean = released0
+    /** Release the distributed half of the model: unpersist the leaf
+      * frame's storage blocks (no-op when nothing is cached) and mark the
+      * quantizer dead — any later descent fails loudly instead of
+      * silently recomputing (or worse, quietly serving) a released model.
+      * Long-lived apps training several quantizers call this when done;
+      * Bench/Verify's per-query clearCache() covers the harness paths. */
+    def unpersist(): Unit = { released0 = true; leaves.unpersist() }
+    private[functions] def requireLive(op: String): Unit =
+      require(!released0,
+        s"$op: HierQuantizer used after unpersist() — retrain the model")
+  }
 
   private def withNorm3(cid: Long, w: Array[Double]): (Long, Array[Double], Double) = {
     var nw = 0.0; var i = 0
@@ -959,6 +973,7 @@ object Similarity {
     * window ranks. The leaf model never enters a closure. */
   private def hierDescent(cv: DataFrame, hq: HierQuantizer, nProbeTop: Int,
       nPerBranch: Int): DataFrame = {
+    hq.requireLive("hierDescent")
     val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
     val nPT = nProbeTop
     val branchesU = topCellsUdf(topArr, nPT)
@@ -1052,6 +1067,7 @@ object Similarity {
     * √-growth claim the hierarchical path rests on. */
   private[graft] def hierScoredLeaves(vecs: DataFrame, hq: HierQuantizer,
       nProbeTop: Int, dimHint: Int): DataFrame = {
+    hq.requireLive("hierScoredLeaves")
     val cv = vecs.select(col("vec_id").as("id"), toDouble(col("embedding")).as("v"))
     val topArr = hq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
     val nPT = nProbeTop
@@ -1079,7 +1095,23 @@ object Similarity {
     * decade at log-depth). Below ~10^10 vectors two levels suffice
     * (HierQuantizer stays the shipped default); this is the documented
     * scale path past that. */
-  case class DeepQuantizer(top: Seq[(Long, Array[Double])], levels: Seq[DataFrame])
+  case class DeepQuantizer(top: Seq[(Long, Array[Double])], levels: Seq[DataFrame]) {
+    @transient @volatile private var released0 = false
+    /** True once [[unpersist]] ran — the quantizer must no longer be used. */
+    def released: Boolean = released0
+    /** Release the model's distributed half: unpersist every level
+      * frame's storage blocks ([[deepQuantizer]] persists them eagerly —
+      * they ARE the model) and mark the quantizer dead, so any later
+      * descent fails loudly instead of silently re-running the whole
+      * Lloyd + sample + re-home lineage per consumer. A long-lived
+      * session training several quantizers otherwise accumulates
+      * storage-memory blocks per model; Bench/Verify's per-query
+      * clearCache() covers the harness paths. */
+    def unpersist(): Unit = { released0 = true; levels.foreach(_.unpersist()) }
+    private[functions] def requireLive(op: String): Unit =
+      require(!released0,
+        s"$op: DeepQuantizer used after unpersist() — retrain the model")
+  }
 
   /** Train a [[DeepQuantizer]]: top = the seeded Lloyd trainer (salted
     * init, JIT'd loop assignment — the oracle replays every pass); then
@@ -1124,8 +1156,8 @@ object Similarity {
       // otherwise each recompute the whole Lloyd + sample + re-home
       // lineage (the unpersisted form measured ~5 recomputes and 50
       // window nodes in one emb_ann_deep plan). Bench/Verify clear the
-      // cache per query; long-lived apps treat the levels like any stored
-      // index and unpersist when done with the quantizer.
+      // cache per query; long-lived apps release via
+      // [[DeepQuantizer.unpersist]] when done with the quantizer.
       val lvl = asg
         .withColumn("rn", row_number().over(wSalt))
         .withColumn("n", count(lit(1)).over(wIn))
@@ -1195,6 +1227,7 @@ object Similarity {
     * slot column. */
   private def deepDescent(cv: DataFrame, dq: DeepQuantizer,
       widths: Seq[Int]): DataFrame = {
+    dq.requireLive("deepDescent")
     require(widths.length == dq.levels.length + 1 && widths.forall(_ > 0),
       s"deepDescent: need ${dq.levels.length + 1} positive widths, got $widths")
     val topArr = dq.top.map { case (cid, w) => withNorm3(cid, w) }.toArray
@@ -1225,6 +1258,7 @@ object Similarity {
     * number so COVERAGE can pin the √n → k^(1/3) descent-cost claim. */
   private[graft] def deepScoredHome(vecs: DataFrame, dq: DeepQuantizer,
       dimHint: Int): DataFrame = {
+    dq.requireLive("deepScoredHome")
     def checked(vec: Column): Column =
       when(size(vec) === dimHint, toDouble(vec))
         .otherwise(raise_error(concat(lit(s"deepScoredHome: expected dim $dimHint, got "),

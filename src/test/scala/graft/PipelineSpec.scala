@@ -691,6 +691,35 @@ class PipelineSpec extends SparkSuite {
     assert(deep.nonEmpty, "the reduction check must exercise real neighbors")
   }
 
+  test("quantizer unpersist() frees the level storage and kills later descents loudly") {
+    // the model-lifecycle contract (round-12 verdict #2): deepQuantizer
+    // eagerly persists its level frames — they ARE the distributed half
+    // of the model — so a long-lived session training several quantizers
+    // needs a release, and a released model must fail loudly rather than
+    // silently recompute (or serve) a dead index
+    import org.apache.spark.storage.StorageLevel
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val dq = Similarity.deepQuantizer(e, nTop = 4, occupancies = Seq(32, 8),
+      iters = 1, dimHint = 64)
+    assert(dq.levels.forall(_.storageLevel != StorageLevel.NONE),
+      "levels are persisted at build — they are the model")
+    dq.unpersist()
+    assert(dq.levels.forall(_.storageLevel == StorageLevel.NONE),
+      "unpersist() must free every level's storage blocks")
+    assert(dq.released)
+    val q = e.where(col("vec_id") < 10)
+    val exD = intercept[IllegalArgumentException](
+      Similarity.ivfTopKDeep(q, e, 3, dq, widths = Seq(4, 16, 24), dimHint = 64))
+    assert(exD.getMessage.contains("after unpersist"), exD.getMessage)
+    val hq = Similarity.hierQuantizer(e, nTop = 4, occupancy = 32,
+      iters = 1, dimHint = 64)
+    hq.unpersist()
+    val exH = intercept[IllegalArgumentException](
+      Similarity.ivfTopKHier(q, e, 3, hq, nProbe = 8, nProbeTop = 4, dimHint = 64))
+    assert(exH.getMessage.contains("after unpersist"), exH.getMessage)
+  }
+
   test("3-level deep descent: recall@3 vs brute force clears the frozen gate") {
     // the recursive quantizer's quality gate, same protocol as every ANN
     // entry: 10-query exact top-3 vs the 3-level descent's
