@@ -66,9 +66,9 @@ object QueriesMultimodal {
               |    (SELECT unnest(range(${Multimodal.ImgW})) AS x),
               |    (SELECT unnest(range(${Multimodal.ImgH})) AS y)),
               |s AS (SELECT doc_id,
-              |    sum((doc_id*31 + x*7 + y*13) % 256) AS sr,
-              |    sum((doc_id*17 + x*11 + y*5) % 256) AS sg,
-              |    sum((doc_id*29 + x*3 + y*19) % 256) AS sb
+              |    sum(((doc_id*31 + x*7 + y*13) % 256 + 256) % 256) AS sr,
+              |    sum(((doc_id*17 + x*11 + y*5) % 256 + 256) % 256) AS sg,
+              |    sum(((doc_id*29 + x*3 + y*19) % 256 + 256) % 256) AS sb
               |  FROM px GROUP BY 1)
               |SELECT doc_id, ${Multimodal.ImgW}::BIGINT AS width,
               |  ${Multimodal.ImgH}::BIGINT AS height,
@@ -99,7 +99,7 @@ object QueriesMultimodal {
           .orderBy("doc_id")
       },
       Some(s"""WITH sm AS (SELECT doc_id, i,
-              |    abs((doc_id*73 + i*37) % 4096 - 2048) AS a
+              |    abs(((doc_id*73 + i*37) % 4096 + 4096) % 4096 - 2048) AS a
               |  FROM (SELECT doc_id FROM documents),
               |    (SELECT unnest(range(${Multimodal.WavN})) AS i)),
               |st AS (SELECT doc_id, sum(a) AS sa, max(a) AS ma FROM sm GROUP BY 1)

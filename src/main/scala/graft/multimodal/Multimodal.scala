@@ -90,16 +90,29 @@ object Multimodal {
   val ImgW = 16
   val ImgH = 12
 
-  /** Planted pixel channels — the closed form BOTH engines evaluate. */
+  /** Planted pixel channels — the closed form BOTH engines evaluate.
+    * floorMod, not %: Scala % follows the dividend's sign, so a negative
+    * doc_id would plant negative channel values that corrupt the
+    * (r<<16)|(g<<8)|b packing in [[pngEncode]] and desync from the
+    * oracle's positive-mod form. */
   private def plant(id: Long, x: Int, y: Int): (Int, Int, Int) =
-    ((((id * 31 + x * 7 + y * 13) % 256).toInt),
-      (((id * 17 + x * 11 + y * 5) % 256).toInt),
-      (((id * 29 + x * 3 + y * 19) % 256).toInt))
+    (Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt,
+      Math.floorMod(id * 17 + x * 11 + y * 5, 256L).toInt,
+      Math.floorMod(id * 29 + x * 3 + y * 19, 256L).toInt)
+
+  /** Ids big enough that id*73 (the largest plant multiplier) could wrap
+    * Long are out of contract on BOTH codec paths: Scala would wrap
+    * silently while DuckDB's BIGINT multiply errors — fail loudly here
+    * instead of desyncing the engines. */
+  private def checkIdRange(id: Long): Unit =
+    require(math.abs(id) < (1L << 55),
+      s"plant: |doc_id| $id >= 2^55 would overflow the planted closed form")
 
   /** A real PNG payload: BufferedImage with the planted pixels, encoded
     * by the JDK's PNG writer. Deterministic per id (PNG encoding of
     * identical pixels is identical bytes for a fixed JDK encoder). */
   def pngEncode(id: Long, w: Int = ImgW, h: Int = ImgH): Array[Byte] = {
+    checkIdRange(id)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -151,12 +164,14 @@ object Multimodal {
   val WavN = 480
   val WavRate = 8000
 
-  /** Planted 16-bit sample i — the closed form BOTH engines evaluate. */
+  /** Planted 16-bit sample i — the closed form BOTH engines evaluate
+    * (floorMod for the same negative-id safety as [[plant]]). */
   private def plantSample(id: Long, i: Int): Short =
-    (((id * 73 + i * 37) % 4096) - 2048).toShort
+    (Math.floorMod(id * 73 + i * 37, 4096L) - 2048).toShort
 
   /** A real WAV payload: planted PCM through the JDK's WAVE writer. */
   def wavEncode(id: Long, n: Int = WavN, rate: Int = WavRate): Array[Byte] = {
+    checkIdRange(id)
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {

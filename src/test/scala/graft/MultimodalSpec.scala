@@ -68,7 +68,9 @@ class MultimodalSpec extends SparkSuite {
     // round-trips every pixel exactly. Check all pixels of several ids,
     // plus the payload being a genuine PNG (magic bytes), plus encode
     // determinism (same id ⇒ same bytes).
-    for (id <- Seq(0L, 7L, 123456789L)) {
+    // -5L: a negative doc_id must plant VALID channels (floorMod — Scala %
+    // would plant negatives that corrupt the RGB packing, ADVICE r12)
+    for (id <- Seq(0L, 7L, -5L, 123456789L)) {
       val bytes = Multimodal.pngEncode(id)
       assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
         "payload must be a real PNG")
@@ -76,22 +78,26 @@ class MultimodalSpec extends SparkSuite {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       for (y <- 0 until Multimodal.ImgH; x <- 0 until Multimodal.ImgW) {
         val p = img.getRGB(x, y)
-        val er = ((id * 31 + x * 7 + y * 13) % 256).toInt
-        val eg = ((id * 17 + x * 11 + y * 5) % 256).toInt
-        val eb = ((id * 29 + x * 3 + y * 19) % 256).toInt
+        val er = Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+        val eg = Math.floorMod(id * 17 + x * 11 + y * 5, 256L).toInt
+        val eb = Math.floorMod(id * 29 + x * 3 + y * 19, 256L).toInt
         assert(((p >> 16) & 0xff) == er && ((p >> 8) & 0xff) == eg && (p & 0xff) == eb,
           s"pixel ($x,$y) of id $id did not round-trip")
       }
       val f = Multimodal.imageFeatures(bytes)
       assert(f.length == 5 && f(0) == Multimodal.ImgW && f(1) == Multimodal.ImgH)
     }
+    // ids big enough to overflow the planted product fail loudly on both
+    // codec paths instead of silently desyncing from the oracle
+    intercept[IllegalArgumentException](Multimodal.pngEncode(1L << 60))
+    intercept[IllegalArgumentException](Multimodal.wavEncode(-(1L << 60)))
   }
 
   test("WAV codec round-trip is lossless sample-for-sample") {
     // mm_wav_decode's oracle computes expected stats from the planted
     // PCM closed form — valid only if the JDK WAVE write→read
     // round-trips every 16-bit sample exactly
-    for (id <- Seq(0L, 7L, 987654321L)) {
+    for (id <- Seq(0L, 7L, -5L, 987654321L)) {
       val bytes = Multimodal.wavEncode(id)
       assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
         new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
@@ -103,7 +109,7 @@ class MultimodalSpec extends SparkSuite {
       assert(pcm.length == Multimodal.WavN * 2, "every sample survives")
       for (i <- 0 until Multimodal.WavN) {
         val got = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
-        val exp = (((id * 73 + i * 37) % 4096) - 2048).toShort
+        val exp = (Math.floorMod(id * 73 + i * 37, 4096L) - 2048).toShort
         assert(got == exp, s"sample $i of id $id did not round-trip: $got != $exp")
       }
       val f = Multimodal.audioFeatures(bytes)
