@@ -1829,6 +1829,151 @@ object QueriesPipeline {
              |SELECT c.id AS vec_id, c.cell, c.aff, (h.id IS NULL) AS keep
              |FROM cells c LEFT JOIN hits h ON h.id = c.id ORDER BY 1""".stripMargin)),
 
+    // INCREMENTAL embedding decontamination — the form a production
+    // pipeline actually runs daily (the round-12 verdict's item 3: the
+    // dedup family had incremental + streaming legs, decontamination was
+    // bootstrap-only): the quantizer was trained once on the OLD corpus
+    // (%5<>0, frozen), the eval suite (label 9) is frozen, its probe
+    // frame was computed ONCE (evalProbeFrame — the eval-side twin of
+    // the incremental-dedup corpus projection), and today's batch
+    // (%5=0) is screened with zero eval-side work: one frozen-model JIT
+    // loop per arrival + one cell equi-join against the stored probes.
+    // Arrivals never affect each other, so the streaming twin
+    // (DecontamStream, ParitySpec) is STATELESS — canonical stream-static
+    // join + dropDuplicates. Oracle replays the frozen training, the
+    // probe frame, and every decision.
+    "emb_decontam_inc" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val old = e.where(col("label") =!= 9 && col("vec_id") % 5 =!= 0)
+        val batch = e.where(col("label") =!= 9 && col("vec_id") % 5 === 0)
+        val ev = e.where(col("label") === 9)
+        val k = math.max(1, math.ceil(
+          old.count().toDouble / Similarity.DedupCellOccupancy).toInt)
+        val trained = Similarity.kmeansModel(old, nCent = k, iters = 2,
+          dimHint = AnnDim, loopAssign = true)
+        val probes = Similarity.evalProbeFrame(ev, trained, nProbe = 4,
+          dimHint = AnnDim)
+        Similarity.semanticDecontaminateIncremental(batch, probes, 0.4,
+          trained, dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |eold AS (SELECT * FROM e WHERE label <> 9 AND vec_id % 5 <> 0),
+              |en AS (SELECT * FROM e WHERE label <> 9 AND vec_id % 5 = 0),
+              |ev AS (SELECT * FROM e WHERE label = 9),
+              |cent0 AS (SELECT vec_id AS cid, v AS cv FROM eold ORDER BY $SALT
+              |  LIMIT (SELECT CAST(ceil(count(*) / ${Similarity.DedupCellOccupancy}.0) AS BIGINT) FROM eold)),
+              |aff1 AS (SELECT eold.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eold, cent0),
+              |asg1 AS (SELECT id, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+              |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM eold LIMIT 1)),
+              |flat1 AS (SELECT a.cell, d.i, eold.v[d.i] AS w
+              |  FROM asg1 a JOIN eold ON eold.vec_id = a.id CROSS JOIN dims d),
+              |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+              |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+              |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+              |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+              |afn AS (SELECT en.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM en, cent1),
+              |cells AS (SELECT id, cid AS cell, cs AS aff FROM (
+              |    SELECT id, cid, cs, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM afn) WHERE rn = 1),
+              |afe AS (SELECT ev.vec_id AS id, cid,
+              |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM ev, cent1),
+              |probes AS (SELECT id, cid AS cell FROM (
+              |    SELECT id, cid, row_number() OVER
+              |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM afe) WHERE rn <= 4),
+              |hits AS (SELECT DISTINCT c.id FROM cells c JOIN probes p ON p.cell = c.cell
+              |  JOIN en ON en.vec_id = c.id JOIN ev ON ev.vec_id = p.id
+              |  WHERE round(1e-9 + list_cosine_similarity(en.v, ev.v), 4) >= 0.4)
+              |SELECT c.id AS vec_id, c.cell, c.aff, (h.id IS NULL) AS keep
+              |FROM cells c LEFT JOIN hits h ON h.id = c.id ORDER BY 1""".stripMargin)),
+
+    // Incremental decontamination through the HIERARCHICAL quantizer —
+    // the >8M-vector daily path (flat frozen model = the measured
+    // 235 s-at-300× assignment wall): the frozen hq was trained on the
+    // old corpus, the frozen eval probes come from evalProbeFrameHier's
+    // (2, 4) descent fan over the SAME hq, and each arrival homes via
+    // the shared width-1 greedy descent — which ranks over the
+    // LEAF-BEARING top only, so the oracle's batch side ranks over centb
+    // (out-of-training arrivals are exactly where a memberless branch
+    // would otherwise silently drop rows).
+    "emb_decontam_inc_hier" -> Q(
+      (s, d) => {
+        val e = cached(emb(s, d))
+        val old = e.where(col("label") =!= 9 && col("vec_id") % 5 =!= 0)
+        val batch = e.where(col("label") =!= 9 && col("vec_id") % 5 === 0)
+        val ev = e.where(col("label") === 9)
+        val nTop = math.max(8, math.round(math.sqrt(old.count() / 64.0)).toInt)
+        val hq = Similarity.hierQuantizer(old, nTop = nTop, occupancy = 64,
+          iters = 2, dimHint = AnnDim)
+        val probes = Similarity.evalProbeFrameHier(ev, hq, nProbe = 4,
+          nProbeTop = 2, dimHint = AnnDim)
+        Similarity.semanticDecontaminateIncrementalHier(batch, probes, 0.4,
+          hq, dimHint = AnnDim).orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |eold AS (SELECT * FROM e WHERE label <> 9 AND vec_id % 5 <> 0),
+             |en AS (SELECT * FROM e WHERE label <> 9 AND vec_id % 5 = 0),
+             |ev AS (SELECT * FROM e WHERE label = 9),
+             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM eold ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT
+             |  (SELECT greatest(8, CAST(round(sqrt(count(*) / 64.0)) AS BIGINT)) FROM eold)),
+             |aff1 AS (SELECT eold.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eold, cent0),
+             |asg1 AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM eold LIMIT 1)),
+             |flat1 AS (SELECT a.cell, d.i, eold.v[d.i] AS w
+             |  FROM asg1 a JOIN eold ON eold.vec_id = a.id CROSS JOIN dims d),
+             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+             |bafo AS (SELECT eold.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM eold, cent1),
+             |homebo AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafo) WHERE rn = 1),
+             |bcnt AS (SELECT branch, count(*) AS n FROM homebo GROUP BY 1),
+             |samp AS (SELECT h.branch, h.id, row_number() OVER (PARTITION BY h.branch
+             |    ORDER BY ('0x' || substr(md5(h.id::VARCHAR),1,15))::BIGINT, h.id) AS rn
+             |  FROM homebo h),
+             |lv AS (SELECT s.branch, s.id AS cid, eold.v AS cw
+             |  FROM samp s JOIN bcnt USING (branch) JOIN eold ON eold.vec_id = s.id
+             |  WHERE s.rn <= ceil(bcnt.n / 64.0)),
+             |centb AS (SELECT * FROM cent1
+             |  WHERE cid IN (SELECT DISTINCT branch FROM lv)),
+             |bafn AS (SELECT en.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM en, centb),
+             |homebn AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafn) WHERE rn = 1),
+             |lafn AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(en.v, l.cw), 4) AS cs
+             |  FROM homebn p JOIN lv l USING (branch) JOIN en ON en.vec_id = p.id),
+             |cellsn AS (SELECT id, cid AS cell, cs AS aff FROM (
+             |    SELECT id, cid, cs, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafn) WHERE rn = 1),
+             |bafe AS (SELECT ev.vec_id AS id, cid,
+             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM ev, centb),
+             |probb AS (SELECT id, cid AS branch FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM bafe) WHERE rn <= 2),
+             |lafe AS (SELECT p.id, l.cid,
+             |    round(1e-9 + list_cosine_similarity(ev.v, l.cw), 4) AS cs
+             |  FROM probb p JOIN lv l USING (branch) JOIN ev ON ev.vec_id = p.id),
+             |probes AS (SELECT id, cid AS cell FROM (
+             |    SELECT id, cid, row_number() OVER
+             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM lafe) WHERE rn <= 4),
+             |hits AS (SELECT DISTINCT c.id FROM cellsn c JOIN probes p ON p.cell = c.cell
+             |  JOIN en ON en.vec_id = c.id JOIN ev ON ev.vec_id = p.id
+             |  WHERE round(1e-9 + list_cosine_similarity(en.v, ev.v), 4) >= 0.4)
+             |SELECT c.id AS vec_id, c.cell, c.aff, (h.id IS NULL) AS keep
+             |FROM cellsn c LEFT JOIN hits h ON h.id = c.id ORDER BY 1""".stripMargin)),
+
     // Hierarchical (two-level) IVF cosine dedup — the >8M-vector scale
     // path: the flat emb_dedup_cosine quantizer walls twice near 8M
     // vectors at dim 64 (driver model n/64×dim doubles trips

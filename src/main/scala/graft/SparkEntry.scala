@@ -41,7 +41,11 @@ object SparkEntry {
       "q06_forecast_revenue", "q_filter_pushdown", "evt_mapfilter",
       "evt_delay_1h", "q_case_agg", "q_anti_join", "evt_limit3",
       "doc_fingerprint", "mkt_trades", "evt_cohort", "evt_hist", "doc_mixwts",
-      "q01_pricing_summary", "evt_tumbling_1d", "q_semi_join")
+      "q01_pricing_summary", "evt_tumbling_1d", "q_semi_join",
+      // round 13: rotated out (0.7 s sub-second JSON projection, plan
+      // unchanged since round 5) to pay the line budget for the two new
+      // heavy emb_decontam_inc/_hier entries
+      "evt_json_extract")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -686,21 +686,138 @@ object Similarity {
     val homes = hierDescent(cvC, hq, nProbeTop = 1, nPerBranch = 1)
       .select(col("id"), col("cell"), col("cs").as("aff"))
     val asg = homes.join(cvC.select(col("id"), packUnit(col("v")).as("vp")), "id")
-    val cvE = evalSet.select(col("vec_id").as("id"),
-      checked("semanticDecontaminateHier.eval")(col("embedding")).as("v"))
+    val probes = evalProbeFrameHier(evalSet, hq, nProbe, nProbeTop, dim)
+    attachKeep(homes, decontamHits(asg, probes, tau))
+  }
+
+  /** The frozen eval-probe projection — (cell, evp): each eval vector's
+    * `nProbe` probed cells with its packed unit vector. In the
+    * incremental/streaming setting this frame is computed ONCE from the
+    * frozen quantizer + frozen eval suite and STORED; every daily batch
+    * equi-joins against it without touching the eval set again (the
+    * eval-side twin of [[incrementalCorpus]]'s one-touch projection). */
+  def evalProbeFrame(evalSet: DataFrame, model: Seq[(Long, Array[Double])],
+      nProbe: Int = 4, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(evalSet)
+    if (dim == 0 || model.isEmpty)
+      return evalSet.sparkSession.emptyDataFrame
+        .select(lit(0L).as("cell"), lit(Array.empty[Byte]).as("evp"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"evalProbeFrame: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cents = model.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
+      s"evalProbeFrame: quantizer model ${cents.length} centroids x $dim dims " +
+        s"exceeds the $QuantizerModelMaxDoubles-double driver/closure cap")
+    ivfProbeFrame(
+      evalSet.select(col("vec_id").as("id"), checked(col("embedding")).as("v")),
+      cents, nProbe)
+      .select(explode(col("pcs")).as("cell"), col("vp").as("evp"))
+  }
+
+  /** [[evalProbeFrame]] through a [[HierQuantizer]]: the eval side
+    * descends with (nProbeTop, nProbe) fan and keeps its global
+    * top-`nProbe` cells. Same (cell, evp) contract. */
+  def evalProbeFrameHier(evalSet: DataFrame, hq: HierQuantizer,
+      nProbe: Int = 4, nProbeTop: Int = 2, dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(evalSet)
+    if (dim == 0 || hq.top.isEmpty)
+      return evalSet.sparkSession.emptyDataFrame
+        .select(lit(0L).as("cell"), lit(Array.empty[Byte]).as("evp"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(lit(s"evalProbeFrameHier: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cvE = evalSet.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cs").desc, col("cell"))
-    val probes = hierDescent(cvE, hq, nProbeTop, nProbe)
+    hierDescent(cvE, hq, nProbeTop, nProbe)
       .withColumn("rn", row_number().over(wCell)).where(col("rn") <= nProbe)
       .select(col("id").as("eid"), col("cell"))
       .join(cvE.select(col("id").as("eid"), packUnit(col("v")).as("evp")), "eid")
       .select(col("cell"), col("evp"))
-    val hits = asg.select(col("cell"), col("id"), col("vp")).join(probes, "cell")
+  }
+
+  /** The decontamination hit set: corpus/batch rows reached by an eval
+    * probe in their home cell at rounded cosine ≥ tau — ONE definition
+    * shared by the bootstrap, hier, and incremental ops so the decision
+    * semantics cannot drift (the [[semDedupPrune]] discipline). `asg` is
+    * (id, cell, vp); `evalProbes` is [[evalProbeFrame]]'s (cell, evp). */
+  private def decontamHits(asg: DataFrame, evalProbes: DataFrame,
+      tau: Double): DataFrame =
+    asg.select(col("cell"), col("id"), col("vp")).join(evalProbes, "cell")
       .withColumn("cos", round(
         org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("evp")) + lit(1e-9), 4))
       .where(col("cos") >= tau)
       .select(col("id")).distinct()
-    attachKeep(homes, hits)
+
+  /** Incremental (daily-batch) [[semanticDecontaminate]] — the form a
+    * production pipeline actually runs: the quantizer and the eval suite
+    * are FROZEN, the eval probes were computed once ([[evalProbeFrame]])
+    * and stored, and each day only the NEW batch is screened. Batch rows
+    * home via the frozen-model JIT loop (zero eval-side work); the only
+    * join is the batch-cell equi-join against the stored probe frame —
+    * the day's cost is O(|batch|·occ + |hits|), independent of both the
+    * historical corpus and the eval set's size beyond the one stored-
+    * frame scan. Arrivals never affect each other (the eval set alone
+    * decides), so the op is embarrassingly incremental — the streaming
+    * twin ([[graft.streaming.DecontamStream]]) is STATELESS, unlike the
+    * dedup family's. With batch = the full corpus this reduces
+    * bit-for-bit to [[semanticDecontaminate]] (spec-pinned).
+    *
+    * Returns (vec_id, cell, aff, keep) per BATCH row — keep = false
+    * means contaminated. */
+  def semanticDecontaminateIncremental(batch: DataFrame, evalProbes: DataFrame,
+      tau: Double, model: Seq[(Long, Array[Double])],
+      dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(batch)
+    if (dim == 0 || model.isEmpty)
+      return batch.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(
+          lit(s"semanticDecontaminateIncremental: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cents = model.map { case (cid, w) => withNorm3(cid, w) }.toArray
+    require(cents.length.toLong * dim <= QuantizerModelMaxDoubles,
+      s"semanticDecontaminateIncremental: quantizer model ${cents.length} centroids x " +
+        s"$dim dims exceeds the $QuantizerModelMaxDoubles-double driver/closure cap")
+    val asg = incrementalAssign(
+      batch.select(col("vec_id").as("id"), checked(col("embedding")).as("v")), cents)
+    attachKeep(asg.select("id", "cell", "aff"), decontamHits(asg, evalProbes, tau))
+  }
+
+  /** [[semanticDecontaminateIncremental]] through a [[HierQuantizer]] —
+    * the >8M-vector incremental path: arrivals home via the shared
+    * width-1 greedy descent (~2√k scored centroids, leaves never
+    * collected) against the FROZEN hq; the stored probe frame comes from
+    * [[evalProbeFrameHier]] over the same hq. Returns (vec_id, cell,
+    * aff, keep) per BATCH row. */
+  def semanticDecontaminateIncrementalHier(batch: DataFrame,
+      evalProbes: DataFrame, tau: Double, hq: HierQuantizer,
+      dimHint: Int = -1): DataFrame = {
+    val dim = if (dimHint > 0) dimHint else probeDim(batch)
+    if (dim == 0 || hq.top.isEmpty)
+      return batch.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("cell"),
+          lit(0.0).as("aff"), lit(true).as("keep"))
+        .where(lit(false))
+    def checked(vec: Column): Column =
+      when(size(vec) === dim, toDouble(vec))
+        .otherwise(raise_error(concat(
+          lit(s"semanticDecontaminateIncrementalHier: expected dim $dim, got "),
+          coalesce(size(vec).cast("string"), lit("NULL")))))
+    val cv = batch.select(col("vec_id").as("id"), checked(col("embedding")).as("v"))
+    val homes = hierDescent(cv, hq, nProbeTop = 1, nPerBranch = 1)
+      .select(col("id"), col("cell"), col("cs").as("aff"))
+    val asg = homes.join(cv.select(col("id"), packUnit(col("v")).as("vp")), "id")
+    attachKeep(homes, decontamHits(asg, evalProbes, tau))
   }
 
   /** Embedding-space decontamination — the SEMANTIC twin of the n-gram
@@ -740,17 +857,8 @@ object Similarity {
     val asg = incrementalAssign(
       corpus.select(col("vec_id").as("id"),
         checked("semanticDecontaminate")(col("embedding")).as("v")), cents)
-    val evalProbes = ivfProbeFrame(
-      evalSet.select(col("vec_id").as("id"),
-        checked("semanticDecontaminate.eval")(col("embedding")).as("v")),
-      cents, nProbe)
-      .select(explode(col("pcs")).as("cell"), col("vp").as("evp"))
-    val hits = asg.select(col("cell"), col("id"), col("vp")).join(evalProbes, "cell")
-      .withColumn("cos", round(
-        org.apache.spark.sql.GraftColumns.dotPacked(col("vp"), col("evp")) + lit(1e-9), 4))
-      .where(col("cos") >= tau)
-      .select(col("id")).distinct()
-    attachKeep(asg.select("id", "cell", "aff"), hits)
+    val evalProbes = evalProbeFrame(evalSet, model, nProbe, dim)
+    attachKeep(asg.select("id", "cell", "aff"), decontamHits(asg, evalProbes, tau))
   }
 
   /** [[semDedupIncremental]]'s batch-assignment frame — (id, cell, aff,

@@ -458,6 +458,43 @@ class ParitySpec extends SparkSuite {
       s"streaming != batch: only-stream=${streamDec -- batchDec}, only-batch=${batchDec -- streamDec}")
   }
 
+  test("incremental decontamination: stateless stream-static join == oracle-gated batch op") {
+    // the decontamination family's streaming leg (round-12 verdict item
+    // 3), mirroring the registry's emb_decontam_inc config exactly:
+    // frozen model trained on the old corpus, frozen eval probes
+    // computed once, arrivals screened per micro-batch. Unlike the dedup
+    // twin the leg is STATELESS (the frozen eval suite alone decides),
+    // so arrivals are deliberately fed in TWO micro-batches — equality
+    // with the one-shot batch op proves batch boundaries cannot matter.
+    import graft.functions.Similarity
+    import graft.streaming.{DecontamStream, VecArrival}
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val old = e.where(col("label") =!= 9 && col("vec_id") % 5 =!= 0)
+    val batch = e.where(col("label") =!= 9 && col("vec_id") % 5 === 0)
+    val ev = e.where(col("label") === 9)
+    val k = math.max(1, math.ceil(old.count() / 64.0).toInt)
+    val model = Similarity.kmeansModel(old, k, iters = 2, dimHint = 64, loopAssign = true)
+    val probes = Similarity.evalProbeFrame(ev, model, nProbe = 4, dimHint = 64)
+    val batchDec = Similarity
+      .semanticDecontaminateIncremental(batch, probes, 0.4, model, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val arrivals = Similarity.incrementalAssignFrame(batch, model, 64)
+      .as[VecArrival].collect().sortBy(_.id).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[VecArrival]
+    val q = DecontamStream.decisions(mem.toDS(), probes, 0.4)
+      .writeStream.format("memory").queryName("dec_par").outputMode("append").start()
+    val (g1, g2) = arrivals.splitAt(arrivals.length / 2)
+    Seq(g1, g2).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val streamDec = spark.table("dec_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(batchDec.exists(!_._4), "the parity corpus must exercise real contamination drops")
+    assert(streamDec == batchDec,
+      s"streaming != batch: only-stream=${streamDec -- batchDec}, only-batch=${batchDec -- streamDec}")
+  }
+
   test("incremental SemDeDup streaming: kept arrivals become corpus for the next micro-batch") {
     // the evolution leg the one-batch parity can't see: a batch-2 dup of a
     // KEPT batch-1 arrival is dropped by the corpus rule (commitment is

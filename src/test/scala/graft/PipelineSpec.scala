@@ -667,6 +667,38 @@ class PipelineSpec extends SparkSuite {
       corpus, 0.4, Nil, dimHint = 4).count() == 0)
   }
 
+  test("incremental decontamination with batch = corpus reduces EXACTLY to the bootstrap op") {
+    // semanticDecontaminateIncremental(corpus, evalProbeFrame(...)) must
+    // equal semanticDecontaminate(corpus, evalSet, ...) bit-for-bit: the
+    // incremental form IS the bootstrap op with the eval probes
+    // precomputed — the shared decontamHits helper makes drift
+    // impossible, this pins it. Same reduction for the hier pair.
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val corpus = e.where(col("label") =!= 9)
+    val ev = e.where(col("label") === 9)
+    val k = math.max(1, math.ceil(corpus.count() / 64.0).toInt)
+    val model = Similarity.kmeansModel(corpus, k, iters = 2, dimHint = 64, loopAssign = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val boot = rows(Similarity.semanticDecontaminate(corpus, ev, 0.4, model,
+      nProbe = 4, dimHint = 64))
+    val probes = Similarity.evalProbeFrame(ev, model, nProbe = 4, dimHint = 64)
+    val inc = rows(Similarity.semanticDecontaminateIncremental(corpus, probes,
+      0.4, model, dimHint = 64))
+    assert(inc == boot, s"flat reduction: only-inc=${inc -- boot}, only-boot=${boot -- inc}")
+    assert(boot.exists(!_._4), "the reduction must exercise real drops")
+    val hq = Similarity.hierQuantizer(corpus, nTop = 8, occupancy = 32,
+      iters = 2, dimHint = 64)
+    val bootH = rows(Similarity.semanticDecontaminateHier(corpus, ev, 0.4, hq,
+      nProbe = 4, nProbeTop = 2, dimHint = 64))
+    val probesH = Similarity.evalProbeFrameHier(ev, hq, nProbe = 4,
+      nProbeTop = 2, dimHint = 64)
+    val incH = rows(Similarity.semanticDecontaminateIncrementalHier(corpus,
+      probesH, 0.4, hq, dimHint = 64))
+    assert(incH == bootH, s"hier reduction: only-inc=${incH -- bootH}, only-boot=${bootH -- incH}")
+  }
+
   test("deepQuantizer with ONE level reduces EXACTLY to hierQuantizer / ivfTopKHier") {
     // the recursion's base case pins the deep semantics to the
     // oracle-proven two-level ones: same trained top, bit-identical

@@ -405,6 +405,34 @@ class PlanAuditSpec extends SparkSuite {
       "incremental semdedup degenerated to an all-pairs shape")
   }
 
+  test("semanticDecontaminateIncremental: stored eval probes scanned ONCE, batch loop-assigned") {
+    // the incremental decontamination 100 TB contract: the frozen eval
+    // probe frame (computed once by evalProbeFrame, stored) feeds exactly
+    // one scan — the cell equi-join against the day's batch — with zero
+    // eval-side recompute, no window rank (assignment is the frozen-model
+    // JIT loop), and no all-pairs shape. Probes written to their own
+    // parquet path so the scan count is unambiguous in the plan text.
+    val e = Tables.embeddings(spark, d)
+    val model = graft.functions.Similarity.kmeansModel(e.where(col("label") =!= 9),
+      nCent = 4, iters = 1, dimHint = 64, loopAssign = true)
+    val dir = java.nio.file.Files.createTempDirectory("decinc").toString
+    graft.functions.Similarity.evalProbeFrame(e.where(col("label") === 9),
+      model, nProbe = 4, dimHint = 64)
+      .write.mode("overwrite").parquet(s"$dir/evalprobes")
+    val probes = spark.read.parquet(s"$dir/evalprobes")
+    val batch = e.where(col("label") =!= 9 && col("vec_id") % 5 === 0)
+    val p = graft.functions.Similarity
+      .semanticDecontaminateIncremental(batch, probes, 0.4, model, dimHint = 64)
+      .queryExecution.executedPlan.toString
+    val probeScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("decinc"))
+    assert(probeScans == 1, s"stored eval probes must feed exactly 1 scan, got $probeScans")
+    assert(!p.contains("Window"),
+      "batch assignment must be the frozen-model loop, not a window rank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "incremental decontamination degenerated to an all-pairs shape")
+  }
+
   test("emb_semdedup_inc: equi-join pairing, frozen-model loop assignment") {
     val p = plan("emb_semdedup_inc")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
