@@ -25,7 +25,11 @@ final case class VecDecision(vec_id: Long, cell: Long, aff: Double, keep: Boolea
   * production cadence is the one the batch op models — run the stream
   * for a day, fold the day's kept arrivals into the stored corpus, and
   * periodically RE-TRAIN the quantizer so occupancy returns to constant
-  * (the daily-batch loop emb_semdedup_inc oracle-gates). */
+  * (the daily-batch loop emb_semdedup_inc oracle-gates).
+  * [[SemDeDupStream.decisions]]' `maxKeptPerCell` guard turns that
+  * cadence operational: a cell outgrowing its cap fails the stream
+  * loudly with the fold-and-retrain remedy instead of creeping toward
+  * an executor OOM. */
 final case class CellKept(vps: Seq[Array[Byte]])
 
 /** Streaming twin of [[graft.functions.Similarity.semDedupIncremental]] —
@@ -88,19 +92,40 @@ object SemDeDupStream {
   }
 
   /** The streaming query leg: arrivals grouped on cell,
-    * flatMapGroupsWithState with the stored corpus as INITIAL state. */
+    * flatMapGroupsWithState with the stored corpus as INITIAL state.
+    *
+    * `maxKeptPerCell` (0 = unbounded) is the OPERATIONAL guard on the
+    * scaladoc's growth note: under a frozen quantizer each cell's kept
+    * state — and with it the per-arrival scan — grows with every kept
+    * arrival for the stream's lifetime, and without a tripwire the first
+    * symptom is an executor OOM. With a cap, the micro-batch that would
+    * push a cell past it fails LOUDLY with the remedy (fold the kept
+    * arrivals into the stored corpus and re-train the quantizer — the
+    * daily cadence the batch op models), surfacing the overdue fold
+    * while the state is still a bounded multiple of the design
+    * occupancy. Production sets it to a small multiple of the
+    * quantizer's occupancy (e.g. 4×); the parity legs leave it 0. */
   def decisions(arrivals: Dataset[VecArrival], tau: Double,
-      initial: Dataset[(Long, CellKept)]): Dataset[VecDecision] = {
+      initial: Dataset[(Long, CellKept)],
+      maxKeptPerCell: Int = 0): Dataset[VecDecision] = {
     val spark = arrivals.sparkSession
     import spark.implicits._
     implicit val stateEnc: Encoder[CellKept] = Encoders.kryo[CellKept]
     val init = initial.groupByKey(_._1).mapValues(_._2)
+    val cap = maxKeptPerCell
     arrivals.groupByKey(_.cell)
       .flatMapGroupsWithState[CellKept, VecDecision](
         OutputMode.Append, GroupStateTimeout.NoTimeout, init) {
-        (_: Long, rows: Iterator[VecArrival], gs) =>
+        (cell: Long, rows: Iterator[VecArrival], gs) =>
           val kept = if (gs.exists) gs.get.vps else Seq.empty
           val (newKept, out) = step(kept, rows.toSeq, tau)
+          if (cap > 0 && newKept.size > cap)
+            throw new IllegalStateException(
+              s"SemDeDupStream: cell $cell would hold ${newKept.size} kept vectors " +
+                s"> maxKeptPerCell $cap — state (and the per-arrival scan) has outgrown " +
+                "the frozen quantizer's design occupancy. Fold the stream's kept " +
+                "arrivals into the stored corpus and re-train the quantizer (the " +
+                "daily cadence the batch op models), then restart from the new corpus.")
           gs.update(CellKept(newKept))
           out.iterator
       }

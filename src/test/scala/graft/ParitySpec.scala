@@ -522,4 +522,37 @@ class ParitySpec extends SparkSuite {
     assert(!dec(20L), "batch-2 dup of a KEPT batch-1 arrival dropped by the corpus rule")
     assert(dec(21L), "batch-2 fresh direction kept")
   }
+
+  test("SemDeDupStream: maxKeptPerCell guard trips loudly when state outgrows the cap") {
+    // the operational tripwire on the documented frozen-quantizer state
+    // growth (ADVICE r12): kept state per cell grows for the stream's
+    // lifetime, so the micro-batch that pushes a cell past the cap must
+    // fail with the fold-and-retrain remedy, not creep toward an OOM
+    import graft.functions.Similarity
+    import graft.streaming.{CellKept, SemDeDupStream, VecArrival}
+    def unit(i: Int): Seq[Double] = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    val model = Seq(1L -> unit(0).toArray) // one cell: everything homes there
+    def arrivalsOf(rows: Seq[(Long, Seq[Double])]): Seq[VecArrival] = {
+      val df = rows.toDF("vec_id", "embedding")
+      Similarity.incrementalAssignFrame(df, model, 4).as[VecArrival].collect().toSeq
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[VecArrival]
+    val init = spark.createDataset(Seq.empty[(Long, CellKept)])
+    val q = SemDeDupStream.decisions(mem.toDS(), 0.4, init, maxKeptPerCell = 2)
+      .writeStream.format("memory").queryName("sdinc_cap").outputMode("append").start()
+    // batch 1: two orthogonal arrivals, both kept — exactly at the cap
+    mem.addData(arrivalsOf(Seq(10L -> unit(1), 11L -> unit(2))))
+    q.processAllAvailable()
+    assert(spark.table("sdinc_cap").count() == 2, "cap-sized state is still fine")
+    // batch 2: a third orthogonal direction would push the cell past the cap
+    mem.addData(arrivalsOf(Seq(20L -> unit(3))))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.processAllAvailable())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("maxKeptPerCell") &&
+      m.contains("re-train")), s"guard must name the cap and the remedy: ${messages(ex)}")
+    q.stop()
+  }
 }
