@@ -164,16 +164,17 @@ object QueriesAugurs {
              |  round(1e-9 + fc + 1.96*sigma,4) AS hi
              |FROM f ORDER BY 1,2""".stripMargin)),
 
-    // MSTL flavor: classical additive multi-seasonal decomposition over the
-    // trailing-28 window, seasons (4, 7), horizon 4. Unlike DTW, the
-    // per-period iteration IS one-query SQL for a FIXED seasons list: each
-    // period unrolls to a chained CTE stage (centered-MA trend via indexed
-    // list arithmetic written in the Scala loop's exact left-to-right
-    // order, per-phase means via list comprehensions, centered seasonal
-    // subtracted into the next stage's working array). Excluded from the
-    // bench line only (SparkEntry.nonBenchQueries — the 2000-char stdout
-    // budget is full at 93 entries); Verify/CORRECTNESS run it like any
-    // other oracle row.
+    // MSTL flavor: per period (4 then 7) over the trailing-28 window, the
+    // three-stage mstlDecompose pipeline — provisional centered-MA
+    // seasonal, tricube LOESS local-linear trend (round 13; the
+    // reference's smoother family), final per-phase seasonal over ALL
+    // points — then level+drift remainder forecast, horizon 4. Each
+    // stage unrolls to a chained CTE in the Scala loops' exact
+    // left-to-right arithmetic order: the LOESS fit materializes each
+    // point's window as (w,x,z) structs and replays the WLS sums
+    // verbatim, so even the per-point den==0 guard matches. Excluded
+    // from the bench line only (SparkEntry.nonBenchQueries);
+    // Verify/CORRECTNESS run it like any other oracle row.
     "aug_mstl" -> Q(
       (s, d) => Augurs.forecastMstl(Tables.events(s, d),
         window = 28, seasons = Seq(4, 7), horizon = 4)
@@ -199,11 +200,45 @@ object QueriesAugurs {
              |      CASE WHEN len(l) = 0 THEN 0 ELSE list_sum(l) / len(l) END) AS raw4
              |  FROM s4),
              |s4c AS (SELECT user_id, w0, n,
-             |    list_transform(raw4, v -> v - list_sum(raw4) / 4) AS sea4
+             |    list_transform(raw4, v -> v - list_sum(raw4) / 4) AS sea4a
              |  FROM s4b),
+             |z4s AS (SELECT user_id, w0, n,
+             |    list_transform(range(1, n+1), i -> w0[i] - sea4a[((i-1) % 4) + 1]) AS z4
+             |  FROM s4c),
+             |q4a AS (SELECT user_id, w0, n, z4,
+             |    list_transform(range(1, n+1), i ->
+             |      [{'u': abs(k-i) / (greatest(i - greatest(1, i-2), least(n, i+2) - i) + 1.0),
+             |        'x': CAST(k-i AS DOUBLE), 'z': z4[k]}
+             |       FOR k IN range(greatest(1, i-2), least(n, i+2) + 1)]) AS p4
+             |  FROM z4s),
+             |q4b AS (SELECT user_id, w0, n, z4,
+             |    list_transform(p4, pl -> list_transform(pl, s ->
+             |      {'w': (1 - s.u*s.u*s.u) * (1 - s.u*s.u*s.u) * (1 - s.u*s.u*s.u),
+             |       'x': s.x, 'z': s.z})) AS g4
+             |  FROM q4a),
+             |t4b AS (SELECT user_id, w0, n,
+             |    list_transform(range(1, n+1), i -> CASE
+             |      WHEN list_sum(list_transform(g4[i], s -> s.w)) * list_sum(list_transform(g4[i], s -> s.w*s.x*s.x))
+             |         - list_sum(list_transform(g4[i], s -> s.w*s.x)) * list_sum(list_transform(g4[i], s -> s.w*s.x)) = 0
+             |      THEN z4[i]
+             |      ELSE (list_sum(list_transform(g4[i], s -> s.w*s.x*s.x)) * list_sum(list_transform(g4[i], s -> s.w*s.z))
+             |          - list_sum(list_transform(g4[i], s -> s.w*s.x)) * list_sum(list_transform(g4[i], s -> s.w*s.x*s.z)))
+             |         / (list_sum(list_transform(g4[i], s -> s.w)) * list_sum(list_transform(g4[i], s -> s.w*s.x*s.x))
+             |          - list_sum(list_transform(g4[i], s -> s.w*s.x)) * list_sum(list_transform(g4[i], s -> s.w*s.x)))
+             |      END) AS lt4
+             |  FROM q4b),
+             |f4 AS (SELECT user_id, w0, n,
+             |    list_transform(range(1, 5), j -> CASE
+             |      WHEN len([i FOR i IN range(3, n-1) IF (i-1) % 4 = j-1]) = 0 THEN 0
+             |      ELSE list_sum([w0[i] - lt4[i] FOR i IN range(3, n-1) IF (i-1) % 4 = j-1])
+             |        / len([i FOR i IN range(3, n-1) IF (i-1) % 4 = j-1]) END) AS raw4f
+             |  FROM t4b),
+             |f4c AS (SELECT user_id, w0, n,
+             |    list_transform(raw4f, v -> v - list_sum(raw4f) / 4) AS sea4
+             |  FROM f4),
              |w1s AS (SELECT user_id, n, sea4,
              |    list_transform(range(1, n+1), i -> w0[i] - sea4[((i-1) % 4) + 1]) AS w1
-             |  FROM s4c),
+             |  FROM f4c),
              |t7 AS (SELECT *, list_transform(range(1, n+1), i ->
              |      CASE WHEN i > 3 AND i <= n - 3 THEN
              |        (w1[i-3] + w1[i-2] + w1[i-1] + w1[i] + w1[i+1] + w1[i+2] + w1[i+3]) / 7
@@ -217,11 +252,45 @@ object QueriesAugurs {
              |      CASE WHEN len(l) = 0 THEN 0 ELSE list_sum(l) / len(l) END) AS raw7
              |  FROM s7),
              |s7c AS (SELECT user_id, n, sea4, w1,
-             |    list_transform(raw7, v -> v - list_sum(raw7) / 7) AS sea7
+             |    list_transform(raw7, v -> v - list_sum(raw7) / 7) AS sea7a
              |  FROM s7b),
+             |z7s AS (SELECT user_id, n, sea4, w1,
+             |    list_transform(range(1, n+1), i -> w1[i] - sea7a[((i-1) % 7) + 1]) AS z7
+             |  FROM s7c),
+             |q7a AS (SELECT user_id, n, sea4, w1, z7,
+             |    list_transform(range(1, n+1), i ->
+             |      [{'u': abs(k-i) / (greatest(i - greatest(1, i-2), least(n, i+2) - i) + 1.0),
+             |        'x': CAST(k-i AS DOUBLE), 'z': z7[k]}
+             |       FOR k IN range(greatest(1, i-2), least(n, i+2) + 1)]) AS p7
+             |  FROM z7s),
+             |q7b AS (SELECT user_id, n, sea4, w1, z7,
+             |    list_transform(p7, pl -> list_transform(pl, s ->
+             |      {'w': (1 - s.u*s.u*s.u) * (1 - s.u*s.u*s.u) * (1 - s.u*s.u*s.u),
+             |       'x': s.x, 'z': s.z})) AS g7
+             |  FROM q7a),
+             |t7b AS (SELECT user_id, n, sea4, w1,
+             |    list_transform(range(1, n+1), i -> CASE
+             |      WHEN list_sum(list_transform(g7[i], s -> s.w)) * list_sum(list_transform(g7[i], s -> s.w*s.x*s.x))
+             |         - list_sum(list_transform(g7[i], s -> s.w*s.x)) * list_sum(list_transform(g7[i], s -> s.w*s.x)) = 0
+             |      THEN z7[i]
+             |      ELSE (list_sum(list_transform(g7[i], s -> s.w*s.x*s.x)) * list_sum(list_transform(g7[i], s -> s.w*s.z))
+             |          - list_sum(list_transform(g7[i], s -> s.w*s.x)) * list_sum(list_transform(g7[i], s -> s.w*s.x*s.z)))
+             |         / (list_sum(list_transform(g7[i], s -> s.w)) * list_sum(list_transform(g7[i], s -> s.w*s.x*s.x))
+             |          - list_sum(list_transform(g7[i], s -> s.w*s.x)) * list_sum(list_transform(g7[i], s -> s.w*s.x)))
+             |      END) AS lt7
+             |  FROM q7b),
+             |f7 AS (SELECT user_id, n, sea4, w1,
+             |    list_transform(range(1, 8), j -> CASE
+             |      WHEN len([i FOR i IN range(3, n-1) IF (i-1) % 7 = j-1]) = 0 THEN 0
+             |      ELSE list_sum([w1[i] - lt7[i] FOR i IN range(3, n-1) IF (i-1) % 7 = j-1])
+             |        / len([i FOR i IN range(3, n-1) IF (i-1) % 7 = j-1]) END) AS raw7f
+             |  FROM t7b),
+             |f7c AS (SELECT user_id, n, sea4, w1,
+             |    list_transform(raw7f, v -> v - list_sum(raw7f) / 7) AS sea7
+             |  FROM f7),
              |w2s AS (SELECT user_id, n, sea4, sea7,
              |    list_transform(range(1, n+1), i -> w1[i] - sea7[((i-1) % 7) + 1]) AS w2
-             |  FROM s7c),
+             |  FROM f7c),
              |fin AS (SELECT user_id, n, sea4, sea7, w2[n] AS level,
              |    (w2[n] - w2[1]) / (n - 1) AS drift, w2
              |  FROM w2s),

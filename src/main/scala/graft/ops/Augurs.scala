@@ -214,23 +214,160 @@ object Augurs {
         (col("f") + lit(1.96) * col("sigma")).as("hi")): _*)
   }
 
+  /** One MSTL decomposition pass over a trimmed value array — the shared
+    * core of [[forecastMstl]] and the goldens (package-visible so specs
+    * can gate the components directly). For each period p (ascending),
+    * three stages:
+    *
+    *  1. PROVISIONAL seasonal: centered-moving-average trend (2×p form
+    *     for even p, interior points only), per-phase means of the
+    *     detrended series, centered to sum 0 — the classical estimate.
+    *  2. LOESS trend (the reference's smoother family, `augurs.rs:441`):
+    *     deseasonalize with the provisional seasonal, then fit a
+    *     TRICUBE-WEIGHTED LOCAL-LINEAR regression at every point
+    *     (half-width max(2, p/3) — see the span note in the body). A
+    *     local-linear fit reproduces any linear trend EXACTLY with any
+    *     weights, and the tight tricube kernel's second-moment bias on
+    *     curved trends is BELOW the fixed-width MA's, where the MA leaks
+    *     phase-correlated residue into the seasonal (golden-gated on a
+    *     cubic-trend fixture the MA-only form fails).
+    *  3. FINAL seasonal: per-phase means of (work − loessTrend) over the
+    *     symmetric-window interior, centered to sum 0, subtracted into
+    *     the next period's working array.
+    *
+    * Returns (seasonal array per period, deseasonalized remainder). */
+  private[graft] def mstlDecompose(work: Array[Double],
+      ps: Seq[Int]): (Seq[Array[Double]], Array[Double]) = {
+    val n = work.length
+    val seasonals = ps.map { p =>
+      // stage 1: centered-MA trend -> provisional per-phase means
+      val trend = new Array[Double](n)
+      val defined = new Array[Boolean](n)
+      val h = p / 2
+      var i = h
+      while (i < n - h) {
+        var s = 0.0
+        if (p % 2 == 1) {
+          var j = i - h
+          while (j <= i + h) { s += work(j); j += 1 }
+        } else { // 2×p MA: half-weight endpoints
+          s = work(i - h) / 2 + work(i + h) / 2
+          var j = i - h + 1
+          while (j <= i + h - 1) { s += work(j); j += 1 }
+        }
+        trend(i) = s / p; defined(i) = true; i += 1
+      }
+      val sums = new Array[Double](p); val cnts = new Array[Int](p)
+      i = 0
+      while (i < n) {
+        if (defined(i)) { sums(i % p) += work(i) - trend(i); cnts(i % p) += 1 }
+        i += 1
+      }
+      val sea0 = Array.tabulate(p)(j => if (cnts(j) > 0) sums(j) / cnts(j) else 0.0)
+      val mean0 = sea0.sum / p
+      var j = 0
+      while (j < p) { sea0(j) -= mean0; j += 1 }
+      // stage 2: deseasonalize provisionally, LOESS local-linear trend.
+      // Span hh = max(2, p/3): tight enough that the tricube kernel's
+      // curvature bias (∝ its second moment) stays BELOW the fixed-width
+      // MA's on curved trends — measured on cubic/exponential/slow-sine
+      // fixtures at p=4 and p=7, where wider spans (p/2+1) came out
+      // WORSE than the MA — while still ≥5 points of smoothing.
+      val z = Array.tabulate(n)(i2 => work(i2) - sea0(i2 % p))
+      val hh = math.max(2, p / 3)
+      val tr2 = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        val lo = math.max(0, i - hh); val hi = math.min(n - 1, i + hh)
+        val dmax = math.max(i - lo, hi - i)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var sy = 0.0; var sxy = 0.0
+        var k = lo
+        while (k <= hi) {
+          val u = math.abs(k - i) / (dmax + 1.0)
+          val c = 1 - u * u * u
+          val wt = c * c * c
+          val x = (k - i).toDouble
+          s0 += wt; s1 += wt * x; s2 += wt * x * x
+          sy += wt * z(k); sxy += wt * x * z(k)
+        k += 1
+        }
+        val den = s0 * s2 - s1 * s1
+        tr2(i) = if (den == 0.0) z(i) else (s2 * sy - s1 * sxy) / den
+        i += 1
+      }
+      // stage 3: final per-phase means of (work - loessTrend) over the
+      // SYMMETRIC-WINDOW interior (asymmetric edge fits extrapolate
+      // curvature and measured WORSE than dropping the edges, exactly as
+      // the MA form drops its undefined edges)
+      val sums2 = new Array[Double](p); val cnts2 = new Array[Int](p)
+      i = 0
+      while (i < n) {
+        if (i >= hh && i <= n - 1 - hh) { sums2(i % p) += work(i) - tr2(i); cnts2(i % p) += 1 }
+        i += 1
+      }
+      val sea = Array.tabulate(p)(j2 => if (cnts2(j2) > 0) sums2(j2) / cnts2(j2) else 0.0)
+      val mean = sea.sum / p
+      j = 0
+      while (j < p) { sea(j) -= mean; j += 1 }
+      i = 0
+      while (i < n) { work(i) -= sea(i % p); i += 1 }
+      sea
+    }
+    (seasonals, work)
+  }
+
+  /** The provisional (stage-1-only) seasonal of [[mstlDecompose]] — the
+    * pre-round-13 MA-only estimate, kept package-visible so the
+    * curved-trend golden can show exactly what the LOESS pass buys. */
+  private[graft] def maOnlySeasonal(arr: Array[Double], p: Int): Array[Double] = {
+    val n = arr.length
+    val trend = new Array[Double](n)
+    val defined = new Array[Boolean](n)
+    val h = p / 2
+    var i = h
+    while (i < n - h) {
+      var s = 0.0
+      if (p % 2 == 1) {
+        var j = i - h
+        while (j <= i + h) { s += arr(j); j += 1 }
+      } else {
+        s = arr(i - h) / 2 + arr(i + h) / 2
+        var j = i - h + 1
+        while (j <= i + h - 1) { s += arr(j); j += 1 }
+      }
+      trend(i) = s / p; defined(i) = true; i += 1
+    }
+    val sums = new Array[Double](p); val cnts = new Array[Int](p)
+    i = 0
+    while (i < n) {
+      if (defined(i)) { sums(i % p) += arr(i) - trend(i); cnts(i % p) += 1 }
+      i += 1
+    }
+    val sea = Array.tabulate(p)(j => if (cnts(j) > 0) sums(j) / cnts(j) else 0.0)
+    val mean = sea.sum / p
+    var j = 0
+    while (j < p) { sea(j) -= mean; j += 1 }
+    sea
+  }
+
   /** MSTL-style multi-seasonal forecast (reference `augurs_forecast`'s
-    * MSTL config, `augurs.rs:248-349`) — classical additive decomposition
-    * standing in for the LOESS smoother: for each period p (ascending),
-    * estimate trend by the centered moving average (the standard 2×p form
-    * for even p), take per-phase means of the detrended series as the
-    * seasonal component (centered to sum 0), and subtract it; after all
-    * periods, the remainder forecasts as level + drift (last value +
+    * MSTL config, `augurs.rs:248-349`): per period, the
+    * [[mstlDecompose]] pipeline — classical provisional seasonal, then a
+    * tricube LOESS local-linear trend pass (the reference's smoother
+    * family) feeding the final seasonal re-estimate; after all periods,
+    * the remainder forecasts as level + drift (last value +
     * (last−first)/(n−1) per step), and each seasonal cycle extrapolates
     * by phase. ±1.96σ bounds from the remainder's residuals against the
     * anchored drift line.
     *
     * Deterministic loops, one JIT'd pass per key over the O(window)
-    * trimmed array — same scale shape as [[forecastEts]]. Not
-    * SQL-expressible in one oracle query (per-period centered-MA +
-    * phase-mean iteration), so it is golden-gated like [[dtw]]: a pure
-    * trend+season signal must forecast EXACTLY (the centered MA
-    * reproduces a linear trend and annihilates a mean-zero cycle). */
+    * trimmed array — same scale shape as [[forecastEts]]. The oracle
+    * replays the whole pipeline (including every LOESS window fit) in
+    * unrolled SQL for the registry's fixed seasons; the goldens
+    * additionally pin that a pure trend+season signal forecasts EXACTLY
+    * (local-linear reproduces a linear trend bit-for-bit, a mean-zero
+    * cycle averages out) and that a cubic-trend fixture defeats the
+    * MA-only seasonal but not this one. */
   def forecastMstl(t: Timeline, window: Int, seasons: Seq[Int],
       horizon: Int): DataFrame = {
     require(seasons.nonEmpty && seasons.forall(_ >= 2),
@@ -240,38 +377,7 @@ object Augurs {
     val ps = seasons.sorted
     val mstlU = udf { (arr: Seq[Double]) =>
       val n = arr.length
-      val work = arr.toArray
-      val seasonals = ps.map { p =>
-        val trend = new Array[Double](n)
-        val defined = new Array[Boolean](n)
-        val h = p / 2
-        var i = h
-        while (i < n - h) {
-          var s = 0.0
-          if (p % 2 == 1) {
-            var j = i - h
-            while (j <= i + h) { s += work(j); j += 1 }
-          } else { // 2×p MA: half-weight endpoints
-            s = work(i - h) / 2 + work(i + h) / 2
-            var j = i - h + 1
-            while (j <= i + h - 1) { s += work(j); j += 1 }
-          }
-          trend(i) = s / p; defined(i) = true; i += 1
-        }
-        val sums = new Array[Double](p); val cnts = new Array[Int](p)
-        i = 0
-        while (i < n) {
-          if (defined(i)) { sums(i % p) += work(i) - trend(i); cnts(i % p) += 1 }
-          i += 1
-        }
-        val sea = Array.tabulate(p)(j => if (cnts(j) > 0) sums(j) / cnts(j) else 0.0)
-        val mean = sea.sum / p
-        var j = 0
-        while (j < p) { sea(j) -= mean; j += 1 }
-        i = 0
-        while (i < n) { work(i) -= sea(i % p); i += 1 }
-        sea
-      }
+      val (seasonals, work) = mstlDecompose(arr.toArray, ps)
       val drift = if (n > 1) (work(n - 1) - work(0)) / (n - 1) else 0.0
       var se = 0.0; var i = 0
       while (i < n) { val r = work(i) - (work(0) + drift * i); se += r * r; i += 1 }

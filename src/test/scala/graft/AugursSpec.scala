@@ -126,6 +126,36 @@ class AugursSpec extends SparkSuite {
       assert(math.abs(got - want) < 1.5, s"dual-season tracks within amplitude: $got vs $want") }
   }
 
+  test("MSTL LOESS pass: cubic-trend seasonal recovery beats the MA-only form (r12 verdict #5)") {
+    // the fixture the centered-MA-only decomposition FAILS: a cubic
+    // trend's MA bias is linear in t, so per-phase means pick up
+    // phase-correlated residue; the tricube local-linear pass has a
+    // smaller second-moment bias and the symmetric-interior means drop
+    // the extrapolating edges. Thresholds frozen from measurement
+    // (p=7, n=42, a=8e-4: MA-only 0.0240, LOESS stage 0.0185): the old
+    // form sits ABOVE the gate the new one clears with margin.
+    val s7v = Seq(-3.0, 1.0, 5.0, -2.0, 3.0, 0.0, -4.0)
+    val y = Array.tabulate(42)(i => 8e-4 * i * i * i + s7v(i % 7))
+    val maErr = graft.ops.Augurs.maOnlySeasonal(y.clone(), 7)
+      .toSeq.zip(s7v).map { case (a, b) => math.abs(a - b) }.max
+    val (seas, _) = graft.ops.Augurs.mstlDecompose(y.clone(), Seq(7))
+    val loErr = seas.head.toSeq.zip(s7v).map { case (a, b) => math.abs(a - b) }.max
+    info(f"cubic-trend seasonal max-error: MA-only $maErr%.4f vs LOESS $loErr%.4f")
+    assert(loErr < 0.021, f"LOESS seasonal error $loErr%.4f must clear the 0.021 gate")
+    assert(maErr > 0.022, f"fixture must DEFEAT the MA-only form (err $maErr%.4f <= 0.022 " +
+      "means the fixture no longer discriminates — rebuild it)")
+    assert(loErr < maErr * 0.85, f"LOESS ($loErr%.4f) must beat MA-only ($maErr%.4f) with margin")
+    // same check at the registry's short period
+    val s4v = Seq(2.0, -1.0, 1.0, -2.0)
+    val y4 = Array.tabulate(28)(i => 2e-3 * i * i * i + s4v(i % 4))
+    val ma4 = graft.ops.Augurs.maOnlySeasonal(y4.clone(), 4)
+      .toSeq.zip(s4v).map { case (a, b) => math.abs(a - b) }.max
+    val lo4 = graft.ops.Augurs.mstlDecompose(y4.clone(), Seq(4))._1.head
+      .toSeq.zip(s4v).map { case (a, b) => math.abs(a - b) }.max
+    info(f"p=4 cubic: MA-only $ma4%.4f vs LOESS $lo4%.4f")
+    assert(lo4 < ma4, f"p=4: LOESS ($lo4%.4f) must not regress vs MA-only ($ma4%.4f)")
+  }
+
   test("seasonsAutocorr finds the dominant period") {
     val cycle = Seq(1.0, 5.0, 9.0, 2.0, 7.0)
     val vs = Seq.fill(10)(cycle).flatten // period 5, 50 samples
