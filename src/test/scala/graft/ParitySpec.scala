@@ -523,6 +523,46 @@ class ParitySpec extends SparkSuite {
     assert(dec(21L), "batch-2 fresh direction kept")
   }
 
+  test("kNN classify: streaming micro-batch scoring == oracle-gated batch op") {
+    // the second decision family with a streaming leg (r12 verdict item
+    // 6): frozen corpus index (the registry emb_knn_classify's exact
+    // salted-sample quantizer), queries arrive across TWO micro-batches,
+    // per-batch rank+vote in flatMapGroupsWithState — predictions must
+    // equal the DuckDB-oracle-gated batch op's (qid, pred) pairs.
+    import graft.functions.{Similarity, TextFunctions => TFX}
+    import graft.streaming.{KnnClassifyStream, KnnQuery}
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val batchOut = Queries.registry.toMap.apply("emb_knn_classify").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    // the registry op's sample quantizer, rebuilt identically: the
+    // nCent lowest hash60(vec_id)s over the corpus
+    val k = math.max(1, math.ceil(e.count() / 64.0).toInt)
+    val cv = e.select(col("vec_id").as("id"), Similarity.toDouble(col("embedding")).as("v"))
+    val model = cv.orderBy(TFX.hash60(col("id").cast("string")), col("id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val corpusCells = Similarity.probeFrameForTest(e, model, 1, 64)
+      .select(element_at(col("pcs"), 1).as("cell"), col("id").as("nid"), col("vp").as("np"))
+      .join(e.select(col("vec_id").as("nid"), col("label").cast("long").as("nlabel")), "nid")
+      .select("cell", "nid", "nlabel", "np")
+    val arrivals = Similarity.probeFrameForTest(
+        e.where(col("vec_id") % 10 === 0), model, 6, 64)
+      .select(col("id").as("qid"), col("pcs").as("probes"), col("vp").as("qp"))
+      .as[KnnQuery].collect().sortBy(_.qid).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KnnQuery]
+    val q = KnnClassifyStream.predictions(mem.toDS(), corpusCells, 5)
+      .writeStream.format("memory").queryName("knn_par").outputMode("append").start()
+    val (g1, g2) = arrivals.splitAt(arrivals.length / 2)
+    Seq(g1, g2).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val streamOut = spark.table("knn_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchOut.nonEmpty && batchOut.size > 10, "parity must exercise real queries")
+    assert(streamOut == batchOut.map { case (qid, pred) => (qid, pred) },
+      s"streaming != batch: only-stream=${streamOut -- batchOut}, only-batch=${batchOut -- streamOut}")
+  }
+
   test("SemDeDupStream: maxKeptPerCell guard trips loudly when state outgrows the cap") {
     // the operational tripwire on the documented frozen-quantizer state
     // growth (ADVICE r12): kept state per cell grows for the stream's
