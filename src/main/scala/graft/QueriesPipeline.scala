@@ -101,6 +101,108 @@ object QueriesPipeline {
       .orderBy("shard", "pos")
   }
 
+  /** The `doc_dsir` body over any (doc_id, source, text) frame (the
+    * registry query + the planted-vocabulary golden's hook): hashed
+    * unigram+bigram DSIR importance weights against the target-source
+    * slice, top-50 by mean per-feature log ratio. See the registry
+    * entry's scaladoc for the recipe + scale shape. */
+  /** The `doc_bm25` scorer over any (doc_id, text) frame: UNROUNDED
+    * Okapi BM25 scores (k1=1.2, b=0.75) for every doc containing at
+    * least one query term. Shared by the registry top-20 entry and the
+    * `doc_hybrid_rrf` sparse leg. Empty corpus → empty (doc_id, sc)
+    * frame (the Similarity ops' dim==0 discipline: sum("dl") is
+    * SQL-NULL and avgdl would be 0/0). */
+  private[graft] def bm25Scores(doc: DataFrame, terms: Seq[String]): DataFrame = {
+    val dls = doc.select(col("doc_id"),
+      coalesce(size(TF.tokens(col("text"))), lit(0)).cast("double").as("dl"))
+    val st = dls.agg(count(lit(1)).cast("double"), sum("dl")).head
+    val n = st.getDouble(0)
+    if (n == 0)
+      dls.select(col("doc_id"), lit(0.0).as("sc")).where(lit(false))
+    else {
+      val avgdl = st.getDouble(1) / n
+      val tf = doc.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .where(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
+        .withColumn("contrib",
+          log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id").agg(sum("contrib").as("sc"))
+    }
+  }
+
+  private[graft] val DsirBuckets = 1024L
+
+  /** (doc_id, source, bucket) hashed unigram+bigram feature rows —
+    * grams become 8-byte bucket ids AT the explode projection, so no
+    * downstream exchange carries a string. */
+  private def dsirFeats(g: DataFrame): DataFrame = {
+    val t = g.select(col("doc_id"), col("source"),
+      TF.tokens(col("text")).as("toks"))
+    t.select(col("doc_id"), col("source"), explode(col("toks")).as("g"))
+      .unionByName(t.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(TF.ngrams(col("toks"), 2)).as("g")))
+      .select(col("doc_id"), col("source"),
+        pmod(TF.hash60(col("g")), lit(DsirBuckets)).as("b"))
+  }
+
+  /** Per-bucket (raw count, target count) — ONE ≤2B-key aggregate
+    * feeds both models. */
+  private def dsirLr(feats: DataFrame, targets: Seq[String]): DataFrame =
+    feats.withColumn("tgt", col("source").isin(targets: _*))
+      .groupBy("b", "tgt").agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("b").agg(sum("c").as("qc"),
+        sum(when(col("tgt"), col("c")).otherwise(lit(0.0))).as("pc"))
+
+  private[graft] def dsirForTest(g: DataFrame, targets: Seq[String]): DataFrame = {
+    val B = DsirBuckets
+    def feats = dsirFeats(g)
+    val lr = dsirLr(feats, targets)
+    val tot = lr.agg(sum("qc"), sum("pc")).head
+    if (tot.isNullAt(0))
+      // empty corpus: emit the result schema, the doc_bm25 discipline
+      g.select(col("doc_id"), lit(0L).as("n_feats"),
+        lit(0.0).as("logw")).where(lit(false))
+    else {
+      val (qn, pn) = (tot.getDouble(0), tot.getDouble(1))
+      val lam = lr.select(col("b"),
+        (log((col("pc") + lit(0.5)) / lit(pn + 0.5 * B)) -
+          log((col("qc") + lit(0.5)) / lit(qn + 0.5 * B))).as("lam"))
+      feats.join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          (sum("lam") / count(lit(1))).as("a"))
+        .select(col("doc_id"), col("n_feats"), r4(col("a")).as("logw"))
+        .orderBy(col("logw").desc, col("doc_id")).limit(50)
+    }
+  }
+
+  /** The frozen λ model for [[graft.streaming.DsirStream]]: bucket → log
+    * importance ratio (≤B entries, model-sized driver collect — the
+    * kmeans-model discipline) plus the add-0.5 all-smoothing default
+    * λ₀ = ln((qn+0.5B)/(pn+0.5B)) for buckets no training gram hit (an
+    * ARRIVING doc can carry unseen grams; a batch-scored doc cannot —
+    * every doc it scores is in the fit). None on an empty corpus. */
+  private[graft] def dsirFit(g: DataFrame, targets: Seq[String])
+      : Option[(Map[Long, Double], Double)] = {
+    val B = DsirBuckets
+    val rows = dsirLr(dsirFeats(g), targets).collect()
+    if (rows.isEmpty) None
+    else {
+      val qn = rows.map(_.getDouble(1)).sum
+      val pn = rows.map(_.getDouble(2)).sum
+      val lam = rows.map { r =>
+        r.getLong(0) -> (math.log((r.getDouble(2) + 0.5) / (pn + 0.5 * B)) -
+          math.log((r.getDouble(1) + 0.5) / (qn + 0.5 * B)))
+      }.toMap
+      Some((lam, math.log((qn + 0.5 * B) / (pn + 0.5 * B))))
+    }
+  }
+
   /** The `doc_dup_spans` body over any (doc_id, text) frame (the
     * registry query + the golden-corpus spec hook): per doc, 16-token
     * window instance counts, instances whose hash occurs in >= 2 docs,
@@ -822,34 +924,9 @@ object QueriesPipeline {
     // argument — the evt_ewma_hl precedent). The df table (≤3 rows)
     // broadcasts into the scoring join.
     "doc_bm25" -> Q(
-      (s, d) => {
-        val terms = Seq("spark", "stream", "join")
-        val doc = docs(s, d)
-        val dls = doc.select(col("doc_id"),
-          coalesce(size(TF.tokens(col("text"))), lit(0)).cast("double").as("dl"))
-        val st = dls.agg(count(lit(1)).cast("double"), sum("dl")).head
-        val n = st.getDouble(0)
-        // empty corpus: sum("dl") is SQL-NULL (getDouble would throw) and
-        // avgdl would be 0/0 — emit the empty frame with the result
-        // schema instead, the Similarity ops' dim==0 discipline
-        if (n == 0)
-          dls.select(col("doc_id"), lit(0.0).as("score")).where(lit(false))
-        else {
-          val avgdl = st.getDouble(1) / n
-          val tf = doc.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-            .where(col("tok").isin(terms: _*))
-            .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-          val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-          tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
-            .withColumn("contrib",
-              log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-                col("tf") * lit(2.2) /
-                (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-            .groupBy("doc_id").agg(sum("contrib").as("sc"))
-            .select(col("doc_id"), r4(col("sc")).as("score"))
-            .orderBy(col("score").desc, col("doc_id")).limit(20)
-        }
-      },
+      (s, d) => bm25Scores(docs(s, d), Seq("spark", "stream", "join"))
+        .select(col("doc_id"), r4(col("sc")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20),
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
               |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
               |st AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*)::DOUBLE AS avgdl
@@ -929,6 +1006,124 @@ object QueriesPipeline {
               |    sum(-ln((c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vv)))) / count(*) AS a
               |  FROM bi JOIN c2 USING (h2) JOIN c1 USING (h1) GROUP BY 1)
               |SELECT doc_id, n_bi, round(1e-9 + a, 4) AS nll FROM sc ORDER BY 1""".stripMargin)),
+
+    // Hybrid sparse+dense retrieval fusion — reciprocal rank fusion
+    // (Cormack, Clarke & Buettcher 2009, "Reciprocal Rank Fusion
+    // outperforms Condorcet and individual Rank Learning Methods",
+    // SIGIR): the BM25 leg ranks docs for the fixed term set, the dense
+    // leg ranks docs by cosine to doc 0's embedding (a plan-time literal
+    // vector — the planeVec discipline, so the leg is a pure projection:
+    // NO join, no exchange), each leg keeps its top-100 via
+    // per-partition TakeOrderedAndProject, and the fused score is
+    // Σ 1/(60+rank) over the legs a doc appears in. Ranks are integers
+    // and 1/(60+r) is one IEEE division, so the fusion is EXACT across
+    // engines — the only rounding is each leg's 4dp grid before ranking
+    // (ties broken by id, deterministic). The rank windows run over the
+    // two bounded 100-row lists, never the corpus — fusing top-K lists
+    // is what RRF is, so the global window is constant-size at any
+    // corpus scale.
+    "doc_hybrid_rrf" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "stream", "join")
+        val e = emb(s, d)
+        val q0 = e.where(col("vec_id") === 0)
+          .select(Similarity.toDouble(col("embedding")).as("v")).collect()
+        if (q0.isEmpty)
+          e.select(col("vec_id").as("id"), lit(0L).as("rs"), lit(0L).as("rd"),
+            lit(0.0).as("rrf")).where(lit(false))
+        else {
+          val qlit = array(q0.head.getSeq[Double](0).map(lit(_)): _*)
+          val sparse = bm25Scores(docs(s, d), terms)
+            .select(col("doc_id").as("id"), r4(col("sc")).as("score"))
+            .orderBy(col("score").desc, col("id")).limit(100)
+          val dense = e.where(col("vec_id") =!= 0)
+            .select(col("vec_id").as("id"),
+              r4(Similarity.cosLoop(qlit, Similarity.toDouble(col("embedding")))).as("sim"))
+            .orderBy(col("sim").desc, col("id")).limit(100)
+          val wS = org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))
+          val wD = org.apache.spark.sql.expressions.Window
+            .orderBy(col("sim").desc, col("id"))
+          sparse.withColumn("rs", row_number().over(wS).cast("long")).select("id", "rs")
+            .join(dense.withColumn("rd", row_number().over(wD).cast("long"))
+              .select("id", "rd"), Seq("id"), "full_outer")
+            .withColumn("rrf",
+              coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("rs")), lit(0.0)))
+            .select(col("id"), col("rs"), col("rd"),
+              round(col("rrf") + lit(1e-9), 6).as("rrf"))
+            .orderBy(col("rrf").desc, col("id")).limit(20)
+        }
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+              |st AS (SELECT count(*)::DOUBLE AS n, sum(dl) / count(*)::DOUBLE AS avgdl
+              |  FROM dls),
+              |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+              |  WHERE tok IN ('spark', 'stream', 'join') GROUP BY 1, 2),
+              |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id, sum(
+              |    ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5)) *
+              |      tf * 2.2 /
+              |      (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st)))) AS s
+              |  FROM tf JOIN dfq USING (tok) JOIN dls USING (doc_id) GROUP BY 1),
+              |sp AS (SELECT doc_id AS id, round(1e-9 + s, 4) AS score FROM sc
+              |  ORDER BY score DESC, id LIMIT 100),
+              |spr AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id)
+              |  AS BIGINT) AS rs FROM sp),
+              |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+              |dn AS (SELECT vec_id AS id, round(1e-9 + list_cosine_similarity(
+              |    embedding::DOUBLE[], (SELECT v FROM qv)), 4) AS sim
+              |  FROM embeddings WHERE vec_id <> 0 ORDER BY sim DESC, id LIMIT 100),
+              |dnr AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+              |  AS BIGINT) AS rd FROM dn)
+              |SELECT COALESCE(spr.id, dnr.id) AS id, rs, rd,
+              |  round(1e-9 + COALESCE(1.0 / (60.0 + rd), 0) +
+              |    COALESCE(1.0 / (60.0 + rs), 0), 6) AS rrf
+              |FROM spr FULL OUTER JOIN dnr ON spr.id = dnr.id
+              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin)),
+
+    // Hashed n-gram importance resampling — the DSIR recipe (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling", arXiv:2302.03169): featurize every doc as hashed
+    // unigram+bigram counts over B=1024 buckets, fit add-0.5-smoothed
+    // bag-of-buckets models on a TARGET slice (here sources src0-src3,
+    // the stand-in for the paper's high-quality reference corpus) and on
+    // the RAW corpus, and score each doc by its mean per-feature log
+    // importance ratio (ln p̂ − ln q̂; the paper's Σ c_b λ_b, length-
+    // normalized the doc_lm_ppl way so the 4dp round sits on a mean of
+    // same-argument transcendentals, not an unbounded sum). Top-50 by
+    // weight = the deterministic top-k variant of the paper's
+    // Gumbel-top-k resampling (exact-oracle-able; the sampled form is
+    // one salted-hash tie-break away). Scale shape: grams are hashed to
+    // 8-byte bucket ids AT the explode (minhash-shingle discipline);
+    // both models come from ONE ≤2B-row (bucket, is-target) aggregate;
+    // λ is a ≤B-row broadcast; the scoring join + doc rollup ride one
+    // doc_id exchange. feats is recomputed per consumer — the
+    // doc_lm_ppl measurement (persist = memory risk at the 1000×
+    // decade, recompute = embarrassingly parallel scan work).
+    "doc_dsir" -> Q(
+      (s, d) => dsirForTest(docs(s, d), Seq("src0", "src1", "src2", "src3")),
+      Some(s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+              |u AS (SELECT doc_id, source, unnest(toks) AS g FROM t),
+              |bgr AS (SELECT doc_id, source, unnest(list_transform(
+              |    range(1, greatest(len(toks)-1, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM t WHERE len(toks) >= 2),
+              |f AS (SELECT doc_id, source IN ('src0','src1','src2','src3') AS tgt,
+              |    (${H60.format("g")}) % 1024 AS b
+              |  FROM (SELECT * FROM u UNION ALL SELECT * FROM bgr)),
+              |lr AS (SELECT b, sum(c) AS qc,
+              |    sum(CASE WHEN tgt THEN c ELSE 0 END) AS pc
+              |  FROM (SELECT b, tgt, count(*)::DOUBLE AS c FROM f GROUP BY 1, 2)
+              |  GROUP BY 1),
+              |tot AS (SELECT sum(qc) AS qn, sum(pc) AS pn FROM lr),
+              |lam AS (SELECT b, ln((pc + 0.5) / ((SELECT pn FROM tot) + 512.0)) -
+              |    ln((qc + 0.5) / ((SELECT qn FROM tot) + 512.0)) AS lam FROM lr),
+              |sc AS (SELECT doc_id, count(*) AS n_feats, sum(lam) / count(*) AS a
+              |  FROM f JOIN lam USING (b) GROUP BY 1)
+              |SELECT doc_id, n_feats, round(1e-9 + a, 4) AS logw FROM sc
+              |ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin)),
 
     // Exact duplicated-substring signals (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better", arXiv:2107.06499 —

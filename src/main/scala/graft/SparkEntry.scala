@@ -45,7 +45,10 @@ object SparkEntry {
       // round 13: rotated out (0.7 s sub-second JSON projection, plan
       // unchanged since round 5) to pay the line budget for the two new
       // heavy emb_decontam_inc/_hier entries
-      "evt_json_extract")
+      "evt_json_extract",
+      // round 13 second batch: two more sub-0.2 s stable scans rotated
+      // out for the doc_dsir / doc_hybrid_rrf additions
+      "evt_pctiles", "evt_running_count")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

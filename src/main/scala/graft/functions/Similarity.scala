@@ -151,7 +151,7 @@ object Similarity {
     * are interpreted (an expression-tree walk per ELEMENT); for a 64-dim
     * pair that is ~200 tree walks vs one JIT'd loop here. Used on the hot
     * pair-scoring paths; [[cosine]] stays for Column-API composition. */
-  private val cosLoop = udf { (a: Seq[Double], b: Seq[Double]) =>
+  private[graft] val cosLoop = udf { (a: Seq[Double], b: Seq[Double]) =>
     var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
     val n = math.min(a.length, b.length)
     while (i < n) { val x = a(i); val y = b(i); d += x * y; na += x * x; nb += y * y; i += 1 }

@@ -42,34 +42,41 @@ object TextFunctions {
     * and NOTHING wide ever enters a sort or shuffle — the same
     * map-parallel shape as doc_chunk. */
   def ngramHashes(text: Column, n: Int): Column = {
-    val f = org.apache.spark.sql.functions.udf { (t: String) =>
-      if (t == null) Array.empty[Long]
+    val f = org.apache.spark.sql.functions.udf((t: String) => ngramHashesJvm(t, n))
+    f(text)
+  }
+
+  /** The [[ngramHashes]] loop as a plain JVM function — shared with the
+    * streaming twins that score per-arrival in a flatMap (DsirStream)
+    * so the tokenizer/hash chain cannot drift between the batch Column
+    * form and the stream-side closure (both are pinned bit-identical to
+    * tokens/ngrams/hash60 by PipelineSpec). */
+  def ngramHashesJvm(t: String, n: Int): Array[Long] = {
+    if (t == null) Array.empty[Long]
+    else {
+      val toks = t.toLowerCase(java.util.Locale.ROOT)
+        .split("\\W+").filter(_.nonEmpty)
+      if (toks.length < n) Array.empty[Long]
       else {
-        val toks = t.toLowerCase(java.util.Locale.ROOT)
-          .split("\\W+").filter(_.nonEmpty)
-        if (toks.length < n) Array.empty[Long]
-        else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val sb = new java.lang.StringBuilder
-          Array.tabulate(toks.length - n + 1) { i =>
-            sb.setLength(0)
-            var j = 0
-            while (j < n) {
-              if (j > 0) sb.append(' ')
-              sb.append(toks(i + j)); j += 1
-            }
-            md.reset()
-            val d = md.digest(sb.toString.getBytes("UTF-8"))
-            // first 15 hex chars = bytes 0-6 + the high nibble of byte 7
-            var v = 0L
-            var b = 0
-            while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-            (v << 4) | ((d(7) & 0xf0L) >> 4)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder
+        Array.tabulate(toks.length - n + 1) { i =>
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
           }
+          md.reset()
+          val d = md.digest(sb.toString.getBytes("UTF-8"))
+          // first 15 hex chars = bytes 0-6 + the high nibble of byte 7
+          var v = 0L
+          var b = 0
+          while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          (v << 4) | ((d(7) & 0xf0L) >> 4)
         }
       }
     }
-    f(text)
   }
 
   /** Word n-gram shingles ("a b c" strings). Empty when fewer than n tokens. */

@@ -595,4 +595,35 @@ class ParitySpec extends SparkSuite {
       m.contains("re-train")), s"guard must name the cap and the remedy: ${messages(ex)}")
     q.stop()
   }
+
+  test("DsirStream: frozen-λ scoring of arriving docs == the oracle-gated batch op") {
+    // third decision family with a live leg (after SemDeDup and
+    // kNN-classify): λ model frozen from the batch fit, docs arrive
+    // across TWO micro-batches, map-only scoring — every row of the
+    // oracle-gated batch top-50 must appear bit-identically in the
+    // stream's output (the stream is the batch op without the top-k cut)
+    import graft.streaming.{DocArrival, DsirStream}
+    val d = "/root/testdata/sf0.001"
+    val targets = Seq("src0", "src1", "src2", "src3")
+    val doc = Tables.documents(spark, d)
+    val batchOut = Queries.registry.toMap.apply("doc_dsir").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (lam, lam0) = QueriesPipeline.dsirFit(doc, targets).get
+    assert(lam.nonEmpty && lam.size <= 1024, "λ model is bucket-capped")
+    val arrivals = doc.select("doc_id", "text").as[(Long, String)]
+      .collect().map { case (id, t) => DocArrival(id, t) }.sortBy(_.doc_id).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocArrival]
+    val q = DsirStream.scores(mem.toDS(), lam, lam0)
+      .writeStream.format("memory").queryName("dsir_par").outputMode("append").start()
+    val (g1, g2) = arrivals.splitAt(arrivals.length / 2)
+    Seq(g1, g2).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val streamOut = spark.table("dsir_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchOut.size == 50, "top-50 must be full at sf0.001")
+    assert(batchOut.subsetOf(streamOut),
+      s"batch top-50 rows missing from the stream: ${batchOut -- streamOut}")
+    assert(streamOut.size >= 450, "every non-empty doc scores in the stream")
+  }
 }

@@ -876,6 +876,46 @@ class PipelineSpec extends SparkSuite {
       "two-phase rank must equal the one-window rank on arbitrary id universes")
   }
 
+  test("doc_dsir: planted target vocabulary ranks raw docs by target-likeness") {
+    // target slice speaks {alpha..epsilon}; raw docs range from pure
+    // target vocabulary (3) through mixed (4) to fully disjoint (5) —
+    // the mean log importance ratio must order them exactly that way,
+    // and the target docs themselves must outscore the disjoint doc
+    // (their grams dominate p̂). Deterministic: no sampling anywhere.
+    val corpus = Seq(
+      (1L, "tgt", "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "tgt", "beta gamma delta epsilon beta gamma delta epsilon"),
+      (3L, "raw", "alpha beta gamma delta epsilon alpha beta gamma"),
+      (4L, "raw", "alpha beta zeta eta theta iota kappa rho"),
+      (5L, "raw", "zeta eta theta iota kappa mu nu xi")
+    ).toDF("doc_id", "source", "text")
+    val res = QueriesPipeline.dsirForTest(corpus, Seq("tgt"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(res.size == 5, "top-50 over 5 docs scores all of them")
+    assert(res(3L) > res(4L) && res(4L) > res(5L),
+      s"target-like > mixed > disjoint, got $res")
+    assert(res(1L) > res(5L) && res(2L) > res(5L),
+      "the target slice itself outscores disjoint raw text")
+    // empty corpus: the result-schema empty frame, no NPE on the totals
+    val empty = QueriesPipeline.dsirForTest(corpus.where(lit(false)), Seq("tgt"))
+    assert(empty.columns.toSeq == Seq("doc_id", "n_feats", "logw") && empty.isEmpty)
+    // frozen-model all-smoothing default (the streaming twin's
+    // batch-impossible branch): an out-of-vocabulary arrival whose
+    // buckets the fit never saw takes λ₀ for every feature
+    import graft.streaming.{DocArrival, DsirStream}
+    val (lam, lam0) = QueriesPipeline.dsirFit(corpus, Seq("tgt")).get
+    val oov = "qqzzxx vvrrtt wwggpp"
+    val oovBuckets = (TF.ngramHashesJvm(oov, 1) ++ TF.ngramHashesJvm(oov, 2))
+      .map(h => java.lang.Math.floorMod(h, QueriesPipeline.DsirBuckets)).toSet
+    assert((oovBuckets intersect lam.keySet).isEmpty,
+      "fixture precondition: the OOV doc's buckets must miss the tiny fit")
+    val scored = DsirStream.scores(
+      Seq(DocArrival(9L, oov)).toDS(), lam, lam0).collect().toSeq
+    assert(scored.size == 1 && scored.head.n_feats == 5L &&
+      math.abs(scored.head.logw - lam0) < 1e-3,
+      s"OOV doc must score the smoothing default λ₀=$lam0, got $scored")
+  }
+
   test("doc_split: doc-keyed split is total, exact on bucket bounds, ~80/10/10") {
     val d = "/root/testdata/sf0.001"
     val got = Queries.registry.toMap.apply("doc_split").fn(spark, d).cache()

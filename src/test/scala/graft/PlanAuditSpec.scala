@@ -454,4 +454,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "semdedup degenerated to an all-pairs shape")
   }
+
+  test("doc_hybrid_rrf: legs cut to top-100 per-partition before any global work") {
+    // each leg must reach its bounded 100-row list via
+    // TakeOrderedAndProject (a global sort of scored docs is the 100 TB
+    // failure mode); the only single-partition work allowed is the rank
+    // windows + fusion OVER those bounded lists. The dense leg is a
+    // literal-vector projection — no join may appear below its top-k.
+    val p = plan("doc_hybrid_rrf")
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      "both legs must cut to top-100 via per-partition top-k")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the dense leg must be a literal-vector projection, not an all-pairs join")
+  }
+
+  test("doc_dsir: λ broadcasts, top-k per-partition, grams hashed before any exchange") {
+    // the ≤1024-row λ table must broadcast into the scoring join (a
+    // shuffled join would move the whole feature stream on the bucket
+    // key), the top-50 must be TakeOrderedAndProject, and no exchange
+    // may carry the gram STRING — buckets are 8-byte ids from the
+    // explode projection onward
+    val p = plan("doc_dsir")
+    assert(p.contains("BroadcastHashJoin"), "λ join must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be per-partition TakeOrderedAndProject")
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("g#"))
+    assert(!badExchange, "a gram string crossed an exchange — hash at the explode")
+  }
 }
