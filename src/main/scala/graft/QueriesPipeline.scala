@@ -420,6 +420,90 @@ object QueriesPipeline {
        |SELECT qid, nid, sim, rank FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Shared oracle for the incremental-dedup CONTRACT (plain anti-join and
+    * the Bloom-prefiltered variant below): which src18/src19 batch
+    * fingerprints are NEW vs the frozen corpus. The Bloom changes the
+    * PLAN, never the answer, so both entries gate on this one SQL. */
+  private val incDedupSql =
+    s"""WITH f AS (SELECT doc_id, source,
+       |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+       |  FROM (SELECT doc_id, source, $TOKS AS toks FROM documents)),
+       |ref AS (SELECT DISTINCT fp FROM f WHERE source NOT IN ('src18','src19')),
+       |b AS (SELECT * FROM f WHERE source IN ('src18','src19'))
+       |SELECT min(doc_id) AS doc_id, fp FROM b
+       |WHERE fp NOT IN (SELECT fp FROM ref)
+       |GROUP BY fp ORDER BY 1""".stripMargin
+
+  /** The `doc_dedup_bloom` body (registry entry + the forced-collision
+    * spec hook): incremental dedup with a broadcast Bloom prefilter on
+    * the frozen-corpus side. The plain anti-join must SHUFFLE THE WHOLE
+    * CORPUS on fp (the batch is the small side; the corpus is the
+    * 100 TB). Here a Bloom over the BATCH fingerprints — the one
+    * driver-side artifact, sized by the batch count, KB..MB like the
+    * capped quantizer models — is broadcast and applied to the corpus
+    * scan BEFORE any exchange, so only corpus rows that *might* match
+    * the batch (true matches + an fpp-bounded trickle) ever leave the
+    * scan; the pruned side then broadcasts into the anti-join. No false
+    * negatives ⇒ the exact anti-join returns exactly the plain plan's
+    * rows. This is the deterministic, plan-gated form of Spark's runtime
+    * row-level Bloom pushdown (injection there depends on cost
+    * estimates; a dedup pipeline wants the prune guaranteed).
+    * `expectedItems <= 0` sizes from the batch count; the spec passes a
+    * deliberately tiny/collision-heavy filter and asserts the rows are
+    * unchanged. */
+  private[graft] def bloomIncremental(s: SparkSession, g: DataFrame,
+      expectedItems: Long, fpp: Double): DataFrame = {
+    val fp = g.select(col("doc_id"), col("source"),
+      TF.fingerprint(col("text")).as("fp"))
+    val isBatch = col("source").isin("src18", "src19")
+    val batch = fp.where(isBatch)
+    val items = if (expectedItems > 0) expectedItems else math.max(batch.count(), 64L)
+    val bloom = batch.stat.bloomFilter("fp", items, fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((x: String) => x != null && bc.value.mightContainString(x))
+    val refPruned = fp.where(!isBatch).where(mightContain(col("fp"))).select("fp")
+    batch.join(refPruned, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp").orderBy("doc_id")
+  }
+
+  /** The `doc_dedup_segments` body (registry entry + the golden-corpus
+    * spec hook): sub-document dedup that REWRITES the text — the
+    * CCNet/RefinedWeb line-dedup discipline adapted to this corpus's
+    * line-less text. Docs are cut into non-overlapping [[segLen]]-token
+    * segments (the "lines"); any segment whose text occurs in >= 2
+    * DISTINCT docs is dropped from EVERY doc (order-independent — no
+    * keep-first tie-break to drift across engines); survivors are
+    * stitched back in order. doc_dup_spans only REPORTS an overlapping-
+    * window dup fraction; this op emits the cleaned text a training
+    * pipeline actually feeds the tokenizer.
+    *
+    * Scale shape: segments are built scan-side (slice over the token
+    * array — no shuffle, no per-token window; ~n/8 interpreted-lambda
+    * calls per doc, an order of magnitude fewer than the per-shingle
+    * HOF path that measured 6-9 s elsewhere), the distinct-doc count
+    * rides ONE exchange on the segment text (the collect_set-window
+    * trick from doc_dup_spans), and reassembly rides the one doc_id
+    * exchange every text op shares. Segment text crosses an exchange
+    * once (~64 B/row) — full documents never do. */
+  private[graft] def segmentDedup(g: DataFrame, segLen: Int): DataFrame = {
+    val t = g.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val nSeg = greatest(expr(s"(size(toks) + ${segLen - 1}) div $segLen"), lit(1))
+    val segArr = transform(sequence(lit(0), (nSeg - 1).cast("int")),
+      i => array_join(slice(col("toks"), i * segLen + 1, lit(segLen)), " "))
+    val segs = t.select(col("doc_id"), posexplode(segArr)).toDF("doc_id", "gi", "seg")
+    val wSeg = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    val flagged = segs.withColumn("nd", size(collect_set(col("doc_id")).over(wSeg)))
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("n_seg"),
+      sum(when(col("nd") < 2, 1L).otherwise(0L)).cast("long").as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("nd") < 2, struct(col("gi"), col("seg"))))),
+        x => x.getField("seg")), " ").as("clean_text"))
+      .select("doc_id", "n_seg", "n_kept", "clean_text")
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, Q)] = Seq(
 
     "doc_token_stats" -> Q(
@@ -2501,14 +2585,15 @@ object QueriesPipeline {
           .groupBy("fp").agg(min("doc_id").as("doc_id"))
           .select("doc_id", "fp").orderBy("doc_id")
       },
-      Some(s"""WITH f AS (SELECT doc_id, source,
-              |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
-              |  FROM (SELECT doc_id, source, $TOKS AS toks FROM documents)),
-              |ref AS (SELECT DISTINCT fp FROM f WHERE source NOT IN ('src18','src19')),
-              |b AS (SELECT * FROM f WHERE source IN ('src18','src19'))
-              |SELECT min(doc_id) AS doc_id, fp FROM b
-              |WHERE fp NOT IN (SELECT fp FROM ref)
-              |GROUP BY fp ORDER BY 1""".stripMargin)),
+      Some(incDedupSql)),
+
+    // Bloom-prefiltered incremental dedup: the SAME contract and oracle as
+    // doc_dedup_incremental, a different 100 TB plan — see bloomIncremental's
+    // scaladoc. The forced-collision spec (PipelineSpec) proves false
+    // positives never change the answer.
+    "doc_dedup_bloom" -> Q(
+      (s, d) => bloomIncremental(s, docs(s, d), 0L, 0.03),
+      Some(incDedupSql)),
 
     // Benchmark decontamination: training docs sharing any 4-gram shingle
     // with the held-out eval set (source src19 stands in for it) are
@@ -2584,6 +2669,27 @@ object QueriesPipeline {
               |  md5(regexp_replace(regexp_replace(raw,
               |    '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
               |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS fp
-              |FROM a ORDER BY 1""".stripMargin))
+              |FROM a ORDER BY 1""".stripMargin)),
+
+    // Segment-level dedup (the line-dedup analog — see segmentDedup's
+    // scaladoc): cleaned text out, per-doc kept/total segment counts.
+    // The oracle rebuilds the identical segmentation with list_slice and
+    // re-stitches with an ordered string_agg — clean_text must match
+    // byte-for-byte across engines.
+    "doc_dedup_segments" -> Q(
+      (s, d) => segmentDedup(docs(s, d), 8),
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |segs AS (SELECT doc_id,
+              |    unnest(range(0, greatest((len(toks)+7)//8, 1))) AS gi,
+              |    unnest(list_transform(range(0, greatest((len(toks)+7)//8, 1)),
+              |      i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' '))) AS seg
+              |  FROM t),
+              |nd AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1),
+              |j AS (SELECT s.doc_id, s.gi, s.seg, nd.nd FROM segs s JOIN nd USING (seg))
+              |SELECT doc_id, count(*)::BIGINT AS n_seg,
+              |  sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+              |  coalesce(string_agg(CASE WHEN nd < 2 THEN seg END, ' ' ORDER BY gi), '')
+              |    AS clean_text
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -48,7 +48,10 @@ object SparkEntry {
       "evt_json_extract",
       // round 13 second batch: two more sub-0.2 s stable scans rotated
       // out for the doc_dsir / doc_hybrid_rrf additions
-      "evt_pctiles", "evt_running_count")
+      "evt_pctiles", "evt_running_count",
+      // round 13 third batch: two sub-0.25 s stable scans rotated out for
+      // the doc_dedup_segments / doc_dedup_bloom additions
+      "evt_difference", "evt_distinct_consec")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

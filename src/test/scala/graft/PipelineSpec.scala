@@ -931,4 +931,50 @@ class PipelineSpec extends SparkSuite {
       "split must be a pure function of the bucket")
     got.unpersist()
   }
+
+  test("doc_dedup_segments: duplicated segments drop from EVERY doc, order survives") {
+    // segLen=3 golden: docs 1 and 2 share their middle segment exactly
+    // (both contain "s t u" at a 3-boundary); doc 3 is disjoint; doc 4 is
+    // a short doc (< one segment) that must survive whole. The shared
+    // segment disappears from BOTH carriers (no keep-first), every other
+    // segment re-stitches in original order, and the final ragged
+    // segment keeps its short length.
+    val df = Seq(
+      (1L, "a b c s t u d e f g h"), // segs: [a b c][s t u][d e f][g h]
+      (2L, "x y z s t u p q"),       // segs: [x y z][s t u][p q]
+      (3L, "m n o r r r"),           // disjoint
+      (4L, "k")                      // single short segment
+    ).toDF("doc_id", "text")
+    val got = QueriesPipeline.segmentDedup(df, 3).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L, "a b c d e f g h"),
+      (2L, 3L, 2L, "x y z p q"),
+      (3L, 2L, 2L, "m n o r r r"),
+      (4L, 1L, 1L, "k")), s"got $got")
+    // a segment duplicated WITHIN one doc only (1 distinct doc) survives
+    val self = Seq((7L, "a a a a a a")).toDF("doc_id", "text")
+    val kept = QueriesPipeline.segmentDedup(self, 3)
+      .as[(Long, Long, Long, String)].head()
+    assert(kept == ((7L, 2L, 2L, "a a a a a a")),
+      s"within-doc repetition is not cross-doc duplication: $kept")
+  }
+
+  test("doc_dedup_bloom: a collision-saturated Bloom still returns the exact anti-join") {
+    // the prefilter may pass ANY superset of the true matches — force the
+    // worst case (2 expected items, fpp 0.5 ⇒ nearly everything collides)
+    // and demand the rows equal both the generously-sized filter's and
+    // the plain anti-join op's
+    val d = "/root/testdata/sf0.001"
+    val g = graft.Tables.documents(spark, d)
+    val tiny = QueriesPipeline.bloomIncremental(spark, g, 2L, 0.5)
+    val sized = QueriesPipeline.bloomIncremental(spark, g, 0L, 0.03)
+    val plain = Queries.registry.toMap.apply("doc_dedup_incremental").fn(spark, d)
+    val a = tiny.as[(Long, String)].collect().toSeq
+    val b = sized.as[(Long, String)].collect().toSeq
+    val c = plain.as[(Long, String)].collect().toSeq
+    assert(a == c, "a saturated Bloom changed the answer — false negatives exist")
+    assert(b == c, "the sized Bloom changed the answer")
+    assert(c.nonEmpty, "vacuity guard: the sf0.001 batch must contain new fingerprints")
+  }
 }

@@ -482,4 +482,34 @@ class PlanAuditSpec extends SparkSuite {
       l.contains("Exchange hashpartitioning") && l.contains("g#"))
     assert(!badExchange, "a gram string crossed an exchange — hash at the explode")
   }
+
+  test("doc_dedup_bloom: Bloom prefilter sits on the corpus scan below the anti-join") {
+    // the whole point of the op: the frozen-corpus side must pass the
+    // broadcast Bloom (a UDF filter) BEFORE any join/exchange, so at
+    // 100 TB only might-match rows ever leave the scan; the join itself
+    // must stay an anti-join
+    val p = plan("doc_dedup_bloom")
+    assert(p.contains("LeftAnti"), "lost the anti-join shape")
+    val udfFilterLine = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    assert(udfFilterLine, "the Bloom mightContain prefilter fell off the corpus side")
+    assert(!p.toLowerCase.contains("cartesian"), "no cartesian product")
+  }
+
+  test("doc_dedup_segments: segments built scan-side, two keyed exchanges, no text re-shuffle") {
+    // segmentation must be a projection under the Generate; the keyed
+    // exchanges are Tables.documents' shared scan-side doc_id spread
+    // (REPARTITION_BY_COL), the seg window, and the doc_id rollup — a
+    // fourth would mean segment or full text crossing the cluster twice
+    val p = plan("doc_dedup_segments")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"expected <=3 keyed exchanges, saw $exchanges:\n$p")
+    // the segment text must cross on the SEG key once — a second
+    // seg-keyed exchange means the dedup decision re-shuffled the text
+    val segExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(seg#"))
+    assert(segExchanges == 1, s"segment text must cross exactly once, saw $segExchanges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "segment dedup must stay exchange-keyed, never all-pairs")
+  }
 }
