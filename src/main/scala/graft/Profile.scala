@@ -46,14 +46,33 @@ object Profile {
     // scaling-with-data default (see the object scaladoc); env overrides
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       scaledShufflePartitions(sfDir).toString)
-    val spark = SparkSession.builder()
+    // EXPLODE-VOLUME knob (round 13, the round-12 verdict's top item):
+    // the bytes-scaled shuffle-partition default sizes off SCAN bytes,
+    // and an explode-heavy pipeline (bigram LM, shingle minhash)
+    // shuffles ~10× what it scans, so round 12 proposed seeding AQE's
+    // initialPartitionNum at 8× the bytes-derived count (AQE can only
+    // MERGE partitions, so the initial number is the only split-side
+    // knob). The round-13 interleaved A/B REJECTED that as the default:
+    // 8× initial measured +6% at the 3rd decade (71.7→76.0 s), a wash
+    // at the 4th (236.0→234.6), and +6% at the 5th (571.8→607.3 —
+    // coalesce planning + more, smaller sort runs cost more than the
+    // finer grain buys), while the bytes-scaled default was already
+    // SUBLINEAR across those decades (3.29× wall on 3.33× data, then
+    // 2.42× on 2.5×) — round 12's superlinear 278-vs-223 reading did
+    // not reproduce under back-to-back runs. Default 0 = off; set
+    // SPARK_GRAFT_AQE_INITIAL for genuinely explode-dominated jobs
+    // (it wires initialPartitionNum without a rebuild).
+    val aqeInitial = sys.env.getOrElse("SPARK_GRAFT_AQE_INITIAL", "0")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.forceOptimizeSkewedJoin", forceSkew)
       .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
-      .getOrCreate()
+    val spark = (if (aqeInitial.toInt > 0)
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", aqeInitial)
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val reg = Queries.registry.toMap
     def gcMs: Long = {
