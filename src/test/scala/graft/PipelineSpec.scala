@@ -583,6 +583,35 @@ class PipelineSpec extends SparkSuite {
     assert(rows(inc(e)) == rows(inc(e7)), "semDedupIncremental must ignore physical layout")
   }
 
+  test("round-13 decision ops are invariant under adversarial repartitioning") {
+    // same contract as the round-12 gate, for this round's ops: every
+    // decision (clean text, dedup verdict, importance weight, BM25
+    // score) claims to be a pure function of the input SET, so a 7-way
+    // hash repartition must change NOTHING. Segment reassembly is the
+    // sharpest case: collect_list arrival order is nondeterministic, and
+    // only the array_sort on (gi, seg) makes the stitched text
+    // layout-independent.
+    val d = "/root/testdata/sf0.001"
+    val g = Tables.documents(spark, d)
+    val g7 = g.repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(QueriesPipeline.segmentDedup(g, 8)) ==
+      rows(QueriesPipeline.segmentDedup(g7, 8)),
+      "segment dedup must ignore physical layout")
+    assert(rows(QueriesPipeline.bloomIncremental(spark, g, 0L, 0.03)) ==
+      rows(QueriesPipeline.bloomIncremental(spark, g7, 0L, 0.03)),
+      "bloom incremental dedup must ignore physical layout")
+    assert(rows(QueriesPipeline.dsirForTest(g, Seq("src0", "src1", "src2", "src3"))) ==
+      rows(QueriesPipeline.dsirForTest(g7, Seq("src0", "src1", "src2", "src3"))),
+      "DSIR weights must ignore physical layout")
+    assert(rows(QueriesPipeline.bm25Scores(g, Seq("spark", "stream", "join"))
+        .select(col("doc_id"), round(col("sc") + lit(1e-9), 4).as("sc"))) ==
+      rows(QueriesPipeline.bm25Scores(g7, Seq("spark", "stream", "join"))
+        .select(col("doc_id"), round(col("sc") + lit(1e-9), 4).as("sc"))),
+      "BM25 scores (the RRF sparse leg) must ignore physical layout")
+  }
+
   test("hierQuantizer/deepQuantizer drop memberless top branches (no out-of-training row loss)") {
     // six identical vectors seed multiple identical Lloyd centroids;
     // tie-break sends every member to the lowest cid, leaving the others
