@@ -134,6 +134,40 @@ object QueriesPipeline {
     }
   }
 
+  /** The `doc_hybrid_rrf` body for an arbitrary query (terms, dense
+    * vector, self-id to exclude from the dense leg): BM25 sparse
+    * top-100 + brute-cosine dense top-100, reciprocal-rank fused,
+    * top-20 out. Shared by the registry entry (query = vec 0 + the
+    * fixed term set) and the [[graft.streaming.RetrievalStream]]
+    * parity leg, which must agree with this frame for ANY query. The
+    * rank windows run over the two bounded 100-row lists, never the
+    * corpus — see the registry entry's scaladoc for the full scale
+    * argument. */
+  private[graft] def hybridRrf(doc: DataFrame, e: DataFrame, terms: Seq[String],
+      qv: Seq[Double], excludeId: Long): DataFrame = {
+    val qlit = array(qv.map(lit(_)): _*)
+    val sparse = bm25Scores(doc, terms)
+      .select(col("doc_id").as("id"), r4(col("sc")).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(100)
+    val dense = e.where(col("vec_id") =!= excludeId)
+      .select(col("vec_id").as("id"),
+        r4(Similarity.cosLoop(qlit, Similarity.toDouble(col("embedding")))).as("sim"))
+      .orderBy(col("sim").desc, col("id")).limit(100)
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("id"))
+    sparse.withColumn("rs", row_number().over(wS).cast("long")).select("id", "rs")
+      .join(dense.withColumn("rd", row_number().over(wD).cast("long"))
+        .select("id", "rd"), Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rs")), lit(0.0)))
+      .select(col("id"), col("rs"), col("rd"),
+        round(col("rrf") + lit(1e-9), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id")).limit(20)
+  }
+
   private[graft] val DsirBuckets = 1024L
 
   /** (doc_id, source, bucket) hashed unigram+bigram feature rows —
@@ -1115,29 +1149,7 @@ object QueriesPipeline {
         if (q0.isEmpty)
           e.select(col("vec_id").as("id"), lit(0L).as("rs"), lit(0L).as("rd"),
             lit(0.0).as("rrf")).where(lit(false))
-        else {
-          val qlit = array(q0.head.getSeq[Double](0).map(lit(_)): _*)
-          val sparse = bm25Scores(docs(s, d), terms)
-            .select(col("doc_id").as("id"), r4(col("sc")).as("score"))
-            .orderBy(col("score").desc, col("id")).limit(100)
-          val dense = e.where(col("vec_id") =!= 0)
-            .select(col("vec_id").as("id"),
-              r4(Similarity.cosLoop(qlit, Similarity.toDouble(col("embedding")))).as("sim"))
-            .orderBy(col("sim").desc, col("id")).limit(100)
-          val wS = org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("id"))
-          val wD = org.apache.spark.sql.expressions.Window
-            .orderBy(col("sim").desc, col("id"))
-          sparse.withColumn("rs", row_number().over(wS).cast("long")).select("id", "rs")
-            .join(dense.withColumn("rd", row_number().over(wD).cast("long"))
-              .select("id", "rd"), Seq("id"), "full_outer")
-            .withColumn("rrf",
-              coalesce(lit(1.0) / (lit(60.0) + col("rd")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60.0) + col("rs")), lit(0.0)))
-            .select(col("id"), col("rs"), col("rd"),
-              round(col("rrf") + lit(1e-9), 6).as("rrf"))
-            .orderBy(col("rrf").desc, col("id")).limit(20)
-        }
+        else hybridRrf(docs(s, d), e, terms, q0.head.getSeq[Double](0), 0L)
       },
       Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
               |dls AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),

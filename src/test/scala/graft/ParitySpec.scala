@@ -626,4 +626,49 @@ class ParitySpec extends SparkSuite {
       s"batch top-50 rows missing from the stream: ${batchOut -- streamOut}")
     assert(streamOut.size >= 450, "every non-empty doc scores in the stream")
   }
+
+  test("RetrievalStream: per-micro-batch hybrid RRF == the oracle-gated batch frame") {
+    // fourth decision family with a live leg: postings + dense index
+    // frozen, TWO queries (different terms AND different dense vectors)
+    // arrive across two micro-batches, and each must reproduce the
+    // batch hybridRrf frame — the oracle-gated doc_hybrid_rrf body —
+    // row-for-row: ids, both leg ranks (incl. full-outer NULLs), and
+    // the 6dp fused score
+    import graft.functions.Similarity
+    import graft.streaming.{RetrievalQuery, RetrievalStream}
+    val d = "/root/testdata/sf0.001"
+    val doc = Tables.documents(spark, d)
+    val e = Tables.embeddings(spark, d)
+    def qvec(id: Long): Seq[Double] = e.where(col("vec_id") === id)
+      .select(Similarity.toDouble(col("embedding"))).head.getSeq[Double](0)
+    val queries = Seq(
+      RetrievalQuery(0L, Seq("spark", "stream", "join"), qvec(0L)),
+      RetrievalQuery(7L, Seq("hash", "table", "scan"), qvec(7L)))
+    def asRow(qid: Long)(r: org.apache.spark.sql.Row) =
+      (qid, r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))
+    val batchOut = queries.flatMap(q =>
+      QueriesPipeline.hybridRrf(doc, e, q.terms, q.qv, q.qid)
+        .collect().map(asRow(q.qid))).toSet
+    val idx = RetrievalStream.sparseIndex(doc)
+    val dense = e.select(col("vec_id").as("nid"),
+      Similarity.toDouble(col("embedding")).as("nv"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RetrievalQuery]
+    val q = RetrievalStream.hits(mem.toDS(), idx, dense)
+      .writeStream.format("memory").queryName("rrf_par").outputMode("append").start()
+    queries.foreach { g => mem.addData(Seq(g)); q.processAllAvailable() }
+    q.stop()
+    val streamOut = spark.table("rrf_par").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Long](2)).map(_.longValue),
+        Option(r.getAs[java.lang.Long](3)).map(_.longValue),
+        r.getDouble(4))).toSet
+    assert(batchOut.size == 40, "both queries must fill their top-20")
+    assert(streamOut == batchOut,
+      s"streaming != batch: only-stream=${streamOut -- batchOut}, " +
+        s"only-batch=${batchOut -- streamOut}")
+  }
 }
