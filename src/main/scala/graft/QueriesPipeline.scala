@@ -653,6 +653,27 @@ object QueriesPipeline {
               |SELECT ng, count(*)::BIGINT AS cnt FROM g GROUP BY 1
               |ORDER BY cnt DESC, ng LIMIT 20""".stripMargin)),
 
+    // Corpus-wide token heavy hitters via a CERTIFIED Misra-Gries
+    // sketch (ops/Sketch.scala — the doc_dedup_bloom discipline applied
+    // to frequency: the sketch changes the PLAN, never the rows, so the
+    // oracle is the plain exact SQL). The canonical wordcount's
+    // exchange carries every distinct key — corpus-sized on 100 TB of
+    // mostly-singleton web n-grams; the sketch pass carries NOTHING
+    // (per-partition summaries, ≤ (cap+1)·partitions driver rows), the
+    // recount pass only the candidate union, and a machine-checked
+    // certificate (k-th count > N/(cap+1)) proves the result exact —
+    // ties included — or the op falls back to the exact plan. On this
+    // corpus's ~40-token vocabulary the certificate passes at every SF;
+    // the spec also forces the uniform-data fallback and asserts the
+    // rows are byte-identical.
+    "doc_heavy_tokens" -> Q(
+      (s, d) => graft.ops.Sketch.heavyHittersMg(
+        docs(s, d).select(explode(TF.tokens(col("text"))).as("tok")),
+        "tok", 20, 256).top,
+      Some(s"""SELECT tok, count(*)::BIGINT AS cnt
+              |FROM (SELECT unnest($TOKS) AS tok FROM documents)
+              |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
+
     // Source-mixture reweighting: per-source doc/token counts, the
     // source's share of corpus tokens, and the sampling weight that would
     // flatten the mixture to uniform-over-sources (weight = target share /

@@ -51,7 +51,10 @@ object SparkEntry {
       "evt_pctiles", "evt_running_count",
       // round 13 third batch: two sub-0.25 s stable scans rotated out for
       // the doc_dedup_segments / doc_dedup_bloom additions
-      "evt_difference", "evt_distinct_consec")
+      "evt_difference", "evt_distinct_consec",
+      // round 13 fourth batch: a sub-0.25 s stable scan rotated out for
+      // the doc_heavy_tokens addition
+      "evt_cumsum")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -583,6 +583,53 @@ class PipelineSpec extends SparkSuite {
     assert(rows(inc(e)) == rows(inc(e7)), "semDedupIncremental must ignore physical layout")
   }
 
+  test("heavyHittersMg: certificate passes on skewed keys and the sketch path is exact") {
+    import graft.ops.Sketch
+    // Zipf-ish: "a"x100, "b"x50, "c"x30, then 40 singletons — the shape
+    // the sketch exists for. cap=8 gives threshold N/9 = 220/9 ≈ 24.4 <
+    // the 3rd count (30), so top-3 must certify
+    val keys = Seq.fill(100)("a") ++ Seq.fill(50)("b") ++ Seq.fill(30)("c") ++
+      (0 until 40).map(i => s"s$i")
+    val df = keys.toDF("k").repartition(5)
+    val hh = Sketch.heavyHittersMg(df, "k", 3, 8)
+    assert(hh.certified, s"skewed data must certify (n=${hh.nTotal}, cands=${hh.nCandidates})")
+    assert(hh.nTotal == 220L)
+    assert(hh.top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 100L), ("b", 50L), ("c", 30L)))
+    // the exact plan agrees (the sketch changed the plan, not the rows)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh.top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == exact)
+  }
+
+  test("heavyHittersMg: uniform keys fail the certificate and fall back to the exact plan") {
+    import graft.ops.Sketch
+    // 300 distinct singletons — the sketch's adversarial case. k-th
+    // count (1) can never exceed 300/(cap+1), so the op must take the
+    // fallback and still return the exact deterministic tie-broken top
+    val df = (0 until 300).map(i => f"u$i%03d").toDF("k").repartition(7)
+    val hh = Sketch.heavyHittersMg(df, "k", 5, 16)
+    assert(!hh.certified, "uniform data must NOT certify")
+    assert(hh.top.collect().map(_.getString(0)).toSeq ==
+      Seq("u000", "u001", "u002", "u003", "u004"),
+      "fallback keeps the exact count-desc, key-asc order")
+  }
+
+  test("heavyHittersMg: certified result is invariant under adversarial repartitioning") {
+    import graft.ops.Sketch
+    val d = "/root/testdata/sf0.001"
+    val toks = Tables.documents(spark, d)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val hh = Sketch.heavyHittersMg(df, "tok", 20, 256)
+      assert(hh.certified, "the registry corpus must certify at cap=256")
+      hh.top.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(rows(toks) == rows(toks.repartition(7)),
+      "certified heavy hitters must ignore physical layout")
+  }
+
   test("round-13 decision ops are invariant under adversarial repartitioning") {
     // same contract as the round-12 gate, for this round's ops: every
     // decision (clean text, dedup verdict, importance weight, BM25
