@@ -126,13 +126,20 @@ object QueriesPipeline {
         .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
       val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
       tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
-        .withColumn("contrib",
-          log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+        .withColumn("contrib", bm25Contrib(n, avgdl))
         .groupBy("doc_id").agg(sum("contrib").as("sc"))
     }
   }
+
+  /** The Okapi BM25 per-(doc, term) contribution (k1=1.2, b=0.75) over
+    * columns (tf, df, dl) with frozen corpus scalars — the ONE copy of
+    * the scoring arithmetic shared by [[bm25Scores]] and the
+    * [[graft.streaming.RetrievalStream]] sparse leg, so batch/stream
+    * parity holds by construction rather than by hand-kept duplicates. */
+  private[graft] def bm25Contrib(n: Double, avgdl: Double): Column =
+    log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
 
   /** The `doc_hybrid_rrf` body for an arbitrary query (terms, dense
     * vector, self-id to exclude from the dense leg): BM25 sparse

@@ -235,38 +235,18 @@ object Augurs {
     *     symmetric-window interior, centered to sum 0, subtracted into
     *     the next period's working array.
     *
-    * Returns (seasonal array per period, deseasonalized remainder). */
-  private[graft] def mstlDecompose(work: Array[Double],
+    * Returns (seasonal array per period, deseasonalized remainder). The
+    * input array is NOT mutated (defensive copy at entry). */
+  private[graft] def mstlDecompose(input: Array[Double],
       ps: Seq[Int]): (Seq[Array[Double]], Array[Double]) = {
+    val work = input.clone()
     val n = work.length
     val seasonals = ps.map { p =>
-      // stage 1: centered-MA trend -> provisional per-phase means
-      val trend = new Array[Double](n)
-      val defined = new Array[Boolean](n)
-      val h = p / 2
-      var i = h
-      while (i < n - h) {
-        var s = 0.0
-        if (p % 2 == 1) {
-          var j = i - h
-          while (j <= i + h) { s += work(j); j += 1 }
-        } else { // 2×p MA: half-weight endpoints
-          s = work(i - h) / 2 + work(i + h) / 2
-          var j = i - h + 1
-          while (j <= i + h - 1) { s += work(j); j += 1 }
-        }
-        trend(i) = s / p; defined(i) = true; i += 1
-      }
-      val sums = new Array[Double](p); val cnts = new Array[Int](p)
-      i = 0
-      while (i < n) {
-        if (defined(i)) { sums(i % p) += work(i) - trend(i); cnts(i % p) += 1 }
-        i += 1
-      }
-      val sea0 = Array.tabulate(p)(j => if (cnts(j) > 0) sums(j) / cnts(j) else 0.0)
-      val mean0 = sea0.sum / p
+      // stage 1: centered-MA trend -> provisional per-phase means (the
+      // shared MA-only estimator — one copy of the 2×p arithmetic)
+      val sea0 = maOnlySeasonal(work, p)
+      var i = 0
       var j = 0
-      while (j < p) { sea0(j) -= mean0; j += 1 }
       // stage 2: deseasonalize provisionally, LOESS local-linear trend.
       // Span hh = max(2, p/3): tight enough that the tricube kernel's
       // curvature bias (∝ its second moment) stays BELOW the fixed-width

@@ -41,18 +41,23 @@ object Sketch {
       nTotal: Long, nCandidates: Int)
 
   /** Exact top-k keys of `rows(keyCol)` by occurrence count, ties
-    * broken by key ascending. `rows` must not contain null keys (a
-    * null never beats a real heavy hitter; filter upstream). `cap` is
-    * the per-partition summary capacity — the certificate passes iff
-    * the k-th heaviest count exceeds N/(cap+1), so size cap ≈ a few ×
-    * N/f_k for the expected skew (Zipf text: small; uniform keys:
-    * the fallback is the right plan and the sketch pass just proved
-    * it). */
+    * broken by key ascending. Keys are compared AS STRINGS — the frame
+    * is cast up front, so both the certified and the fallback path
+    * return a StringType keyCol (for a non-string column the cast is
+    * one value → one string, so the counts are the column's own).
+    * `rows` must not contain null keys (a null never beats a real
+    * heavy hitter; filter upstream). `cap` is the per-partition
+    * summary capacity — the certificate passes iff the k-th heaviest
+    * count exceeds N/(cap+1), so size cap ≈ a few × N/f_k for the
+    * expected skew (Zipf text: small; uniform keys: the fallback is
+    * the right plan and the sketch pass just proved it). */
   def heavyHittersMg(rows: DataFrame, keyCol: String, k: Int, cap: Int): HeavyHitters = {
     val spark = rows.sparkSession
     import spark.implicits._
+    require(k >= 1, s"heavyHittersMg: k=$k must be >= 1")
     require(cap >= k, s"heavyHittersMg: cap=$cap must be >= k=$k")
-    val keyed = rows.select(col(keyCol).cast("string").as("k")).as[String]
+    val strRows = rows.select(col(keyCol).cast("string").as(keyCol))
+    val keyed = strRows.select(col(keyCol).as("k")).as[String]
     // pass 1: per-partition Misra-Gries. One (None, N_i) row per
     // partition carries the instance count; candidate rows carry keys.
     val summaries = keyed.mapPartitions { it =>
@@ -77,13 +82,13 @@ object Sketch {
     }.collect()
     val nTotal = summaries.collect { case (None, c) => c }.sum
     val cands = summaries.collect { case (Some(s), _) => s }.distinct.toSeq
-    def exactPlan: DataFrame = rows
+    def exactPlan: DataFrame = strRows
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(keyCol)).limit(k)
     if (cands.isEmpty) return HeavyHitters(exactPlan, certified = false, nTotal, 0)
     // pass 2: exact recount of the candidate union only — the semi-join
     // prunes non-candidates AT the scan side of the aggregate
-    val top = rows.join(broadcast(cands.toDF(keyCol)), Seq(keyCol), "left_semi")
+    val top = strRows.join(broadcast(cands.toDF(keyCol)), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(keyCol)).limit(k)
       .collect()

@@ -57,11 +57,18 @@ object RetrievalStream {
     * the WHOLE corpus — identical to the batch op's per-query df
     * because restricting postings to the query's terms never changes
     * how many docs contain each term. */
-  final case class SparseIndex(postings: DataFrame, n: Double, avgdl: Double)
+  final case class SparseIndex(postings: DataFrame, n: Double, avgdl: Double) {
+    /** Release the persisted postings frame (the frozen model). */
+    def unpersist(): Unit = { postings.unpersist(); () }
+  }
 
   /** Build the frozen inverted index from a (doc_id, text) frame with
     * the batch tokenizer. One groupBy((id, tok)) + one per-tok df
-    * aggregate — both at posting grain, both once, before the stream. */
+    * aggregate — both at posting grain, both once, before the stream:
+    * the postings frame is persist()ed (it is the model — the quantizer
+    * level-frame discipline), otherwise every micro-batch's
+    * stream-static join would re-tokenize and re-aggregate the whole
+    * corpus. Call [[SparseIndex.unpersist]] when retiring the index. */
   def sparseIndex(doc: DataFrame): SparseIndex = {
     import graft.functions.{TextFunctions => TF}
     val dls = doc.select(col("doc_id").as("id"),
@@ -73,7 +80,7 @@ object RetrievalStream {
         explode(TF.tokens(col("text"))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-    SparseIndex(tf.join(df, "tok").join(dls, "id"), n, avgdl)
+    SparseIndex(tf.join(df, "tok").join(dls, "id").persist(), n, avgdl)
   }
 
   private def rdp(x: Double, scale: Int): Double =
@@ -87,13 +94,13 @@ object RetrievalStream {
     import spark.implicits._
     val n = idx.n
     val avgdl = idx.avgdl
-    val sparseCand = arrivals.select(col("qid"), explode(col("terms")).as("tok"))
+    // array_distinct: the batch leg's isin filter has SET semantics, so
+    // a duplicated query term must not double-count its contribution
+    val sparseCand = arrivals
+      .select(col("qid"), explode(array_distinct(col("terms"))).as("tok"))
       .join(idx.postings, "tok")
       .select(col("qid"), col("id"), lit(0).as("leg"),
-        (log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * lit(2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-          .as("v"))
+        graft.QueriesPipeline.bm25Contrib(n, avgdl).as("v"))
       .as[Cand]
     val denseCand = arrivals.select(col("qid"), col("qv"))
       .join(dense, col("qid") =!= col("nid"))

@@ -643,7 +643,9 @@ class ParitySpec extends SparkSuite {
       .select(Similarity.toDouble(col("embedding"))).head.getSeq[Double](0)
     val queries = Seq(
       RetrievalQuery(0L, Seq("spark", "stream", "join"), qvec(0L)),
-      RetrievalQuery(7L, Seq("hash", "table", "scan"), qvec(7L)))
+      // the duplicated term is deliberate: the batch leg's isin filter
+      // has SET semantics, so the stream must not double-count "hash"
+      RetrievalQuery(7L, Seq("hash", "table", "scan", "hash"), qvec(7L)))
     def asRow(qid: Long)(r: org.apache.spark.sql.Row) =
       (qid, r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1)),

@@ -616,6 +616,25 @@ class PipelineSpec extends SparkSuite {
       "fallback keeps the exact count-desc, key-asc order")
   }
 
+  test("heavyHittersMg: non-string keys count correctly and both paths return string keys") {
+    import graft.ops.Sketch
+    // a LongType key column: the up-front cast makes both the certified
+    // and the fallback path return StringType, so consumers see one
+    // schema regardless of which plan ran
+    // N=105, threshold N/(8+1)=11.67 < the 2nd count (15) -> certifies
+    val skewed = (Seq.fill(60)(7L) ++ Seq.fill(15)(8L) ++ (100L until 130L)).toDF("id")
+    val hc = Sketch.heavyHittersMg(skewed.repartition(3), "id", 2, 8)
+    assert(hc.certified)
+    assert(hc.top.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    assert(hc.top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("7", 60L), ("8", 15L)))
+    val uniform = (0L until 200L).toDF("id")
+    val hf = Sketch.heavyHittersMg(uniform.repartition(3), "id", 2, 8)
+    assert(!hf.certified)
+    assert(hf.top.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    intercept[IllegalArgumentException](Sketch.heavyHittersMg(skewed, "id", 0, 8))
+  }
+
   test("heavyHittersMg: certified result is invariant under adversarial repartitioning") {
     import graft.ops.Sketch
     val d = "/root/testdata/sf0.001"
