@@ -512,4 +512,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "segment dedup must stay exchange-keyed, never all-pairs")
   }
+
+  test("doc_heavy_tokens: certified result is a local relation; recount is a broadcast semi-join") {
+    // the certified path's RESULT plan must be a LocalTableScan — the
+    // top-k was proven exact during the build passes, so writing it must
+    // re-execute nothing corpus-sized (a lineage-bearing frame here
+    // would re-run the sketch + recount on every consumer)
+    val p = plan("doc_heavy_tokens")
+    assert(p.contains("LocalTableScan"),
+      s"certified heavy hitters must return the materialized top-k:\n$p")
+    assert(!p.contains("Exchange"),
+      "the certified result must carry no corpus lineage")
+    // and the internal recount pass (pass 2) must prune via a broadcast
+    // semi-join at the scan side of its aggregate — gate the shape on
+    // the shared helper directly
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val cands = Seq("a", "b").toDF("tok")
+    val recount = toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val rp = recount.queryExecution.executedPlan.toString
+    assert(rp.contains("BroadcastHashJoin") && rp.contains("LeftSemi"),
+      s"candidate recount must prune via broadcast semi-join:\n$rp")
+  }
 }
