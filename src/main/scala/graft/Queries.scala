@@ -601,6 +601,30 @@ object Queries {
              |  round(1e-9 + quantile_cont(value, 0.99), 4) AS p99
              |FROM ($E) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact GLOBAL percentiles via certified histogram descent
+    // (ops/Sketch.exactQuantiles — the doc_heavy_tokens discipline
+    // applied to order statistics). The canonical exact global
+    // percentile is a full sort — the one plan shape banned everywhere
+    // else in this library; the descent replaces it with ≤ 4 histogram
+    // aggregates whose exchanges carry ≤ |ps|·8192 partial rows, plus
+    // one ≤ cap-value collect per quantile. The answers are order
+    // STATISTICS (k = floor((n-1)p)+1), i.e. actual input values —
+    // bit-identical across engines, so the oracle needs no rounding
+    // contract. The spec additionally pins descent == canonical sort,
+    // the all-ties shortcut, the forced maxRounds=0 fallback, and
+    // repartition invariance.
+    "evt_pctile_cert" -> Q(
+      (s, d) => graft.ops.Sketch.exactQuantiles(
+        ev(s, d).df.select(col("value")), "value",
+        Seq(0.5, 0.9, 0.99), buckets = 1024, cap = 4096).result,
+      Some(s"""WITH t AS (SELECT value FROM ($E) WHERE value IS NOT NULL),
+             |n AS (SELECT count(*) AS c FROM t),
+             |r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM t),
+             |ps AS (SELECT * FROM (VALUES (0.5),(0.9),(0.99)) AS v(p))
+             |SELECT p, value FROM ps, n, r
+             |WHERE r.rn = CAST(floor((n.c - 1) * ps.p) AS BIGINT) + 1
+             |ORDER BY p""".stripMargin)),
+
     // view -> click -> purchase conversion funnel, 1 h per step: per user,
     // the first view, the first click within 1 h AFTER that view, the
     // first purchase within 1 h after THAT click, and the stage reached.

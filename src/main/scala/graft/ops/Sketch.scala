@@ -29,7 +29,25 @@ import org.apache.spark.sql.functions._
   * When the certificate fails (near-uniform data — the sketch's
   * adversarial case), the op falls back to the canonical exact plan:
   * the answer is byte-identical either way, which is why the registry
-  * entry shares doc_topng's oracle discipline. */
+  * entry shares doc_topng's oracle discipline.
+  *
+  * [[exactQuantiles]]: exact global order statistics by iterative
+  * histogram descent (the classical distributed-selection recipe, as
+  * deployed by every warehouse engine's exact-median path). The
+  * canonical exact plan is a GLOBAL sort — at 100 TB the one plan
+  * shape this library bans everywhere else. Here each round is one
+  * aggregate whose exchange carries ≤ |ps|·buckets partial rows
+  * (map-side combine), narrowing every quantile's candidate range by
+  * ~buckets× per round; when a range's population is ≤ cap the
+  * values are collected (the capped-model discipline) and the order
+  * statistic is read off exactly. Massive ties collapse via the
+  * bucket min==max shortcut (a single-valued bucket IS the answer),
+  * so Zipf-heavy columns resolve in one round. Exactness never
+  * depends on floating-point bucket boundaries: the bucket index is
+  * a deterministic monotone function of the value, ranges re-narrow
+  * to ACTUAL data values (bucket min/max), and equal values always
+  * share a bucket — so the k-th smallest of the narrowed range is
+  * the k-th smallest of the corpus by construction. */
 object Sketch {
 
   /** The top-k frame (keyCol, cnt), plus how it was produced:
@@ -61,18 +79,22 @@ object Sketch {
     // pass 1: per-partition Misra-Gries. One (None, N_i) row per
     // partition carries the instance count; candidate rows carry keys.
     val summaries = keyed.mapPartitions { it =>
-      val counts = new java.util.HashMap[String, Long](cap * 2)
+      // Boxed values on purpose: with a primitive-Long value type,
+      // get() on an absent key unboxes null to 0L and the absent-key
+      // branch is unreachable — the cap would silently never bind.
+      val counts = new java.util.HashMap[String, java.lang.Long](cap * 2)
       var nLoc = 0L
       it.foreach { key =>
         nLoc += 1
         val cur = counts.get(key)
-        if (cur != null) counts.put(key, cur + 1)
-        else if (counts.size < cap) counts.put(key, 1L)
+        if (cur ne null) counts.put(key, java.lang.Long.valueOf(cur.longValue + 1))
+        else if (counts.size < cap) counts.put(key, java.lang.Long.valueOf(1L))
         else {
           val itr = counts.entrySet().iterator()
           while (itr.hasNext) {
             val e = itr.next()
-            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1)
+            if (e.getValue.longValue == 1L) itr.remove()
+            else e.setValue(java.lang.Long.valueOf(e.getValue.longValue - 1))
           }
         }
       }
@@ -105,5 +127,140 @@ object Sketch {
         top.map(r => Row(r.getString(0), r.getLong(1))).toSeq.asJava, schema)
       HeavyHitters(df, certified = true, nTotal, cands.size)
     } else HeavyHitters(exactPlan, certified = false, nTotal, cands.size)
+  }
+
+  /** The quantile frame (p, value) ordered by p, plus how it resolved:
+    * `certified` true = every quantile resolved through the bounded
+    * histogram-descent path (≤ cap values ever collected per
+    * quantile); false = at least one fell back to a distributed sort
+    * of its narrowed range (still exact — the flag records plan
+    * boundedness, not answer quality). `rounds` = histogram passes. */
+  final case class Quantiles(result: DataFrame, certified: Boolean, rounds: Int)
+
+  /** Exact p-quantiles of `rows(valCol)` as order statistics: for each
+    * p, the k-th smallest value with k = floor((n-1)·p) + 1 — the
+    * element DuckDB's `row_number ... rn = floor((c-1)*p)+1` picks, so
+    * the oracle is plain exact SQL and the returned value is an input
+    * value (bit-identical across engines, no rounding contract
+    * needed). Nulls are dropped; NaNs must be filtered upstream (both
+    * engines order NaN differently). All requested quantiles share
+    * each round's single histogram aggregate (one corpus scan per
+    * round regardless of |ps|). */
+  def exactQuantiles(rows0: DataFrame, valCol: String, ps: Seq[Double],
+      buckets: Int = 8192, cap: Int = 100000, maxRounds: Int = 4): Quantiles = {
+    val spark = rows0.sparkSession
+    require(ps.nonEmpty, "exactQuantiles: ps must be non-empty")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"exactQuantiles: every p must be in [0,1], got $ps")
+    require(buckets >= 2 && cap >= 1 && maxRounds >= 0,
+      s"exactQuantiles: buckets=$buckets cap=$cap maxRounds=$maxRounds")
+    val rows = rows0.select(col(valCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val head0 = rows.agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi")).head()
+    val n = head0.getLong(0)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    if (n == 0L)
+      return Quantiles(spark.createDataFrame(Seq.empty[Row].asJava, outSchema),
+        certified = true, 0)
+    // Search state per quantile: the k-th smallest value among rows with
+    // v in [lo, hi] (inclusive; pop such rows) is the answer.
+    final case class St(p: Double, lo: Double, hi: Double, k: Long, pop: Long,
+        done: Option[Double])
+    var states: Seq[St] = ps.map { p =>
+      val k = math.floor((n - 1).toDouble * p).toLong + 1
+      St(p, head0.getDouble(1), head0.getDouble(2), k, n, None)
+    }
+    // A single-point range IS the answer (every value in it equals lo).
+    def closePoints(ss: Seq[St]): Seq[St] = ss.map { s =>
+      if (s.done.isEmpty && s.lo == s.hi) s.copy(done = Some(s.lo)) else s
+    }
+    states = closePoints(states)
+    var round = 0
+    while (round < maxRounds && states.exists(s => s.done.isEmpty && s.pop > cap)) {
+      round += 1
+      val actIdx = states.zipWithIndex.collect {
+        case (s, i) if s.done.isEmpty && s.pop > cap => i }
+      val rangeArr = array(actIdx.map { i =>
+        val s = states(i)
+        struct(lit(i).as("qi"), lit(s.lo).as("lo"), lit(s.hi).as("hi")) }: _*)
+      // Bucket index: clamp(floor(((v-lo)/(hi-lo))·buckets)). The ratio is
+      // ≤ 1+ulp for v ≤ hi (fp subtraction/division are monotone), so the
+      // least/greatest clamps keep it in [0, buckets-1] with no overflow;
+      // equal values always land in the same bucket, distinct values in
+      // non-decreasing buckets — the partition is monotone by value.
+      val hist = rows.select(col("v"), explode(rangeArr).as("r"))
+        .filter(col("v") >= col("r.lo") && col("v") <= col("r.hi"))
+        .select(col("r.qi").as("qi"), col("v"),
+          least(lit(buckets - 1), greatest(lit(0),
+            floor((col("v") - col("r.lo")) / (col("r.hi") - col("r.lo"))
+              * buckets).cast("int"))).as("b"))
+        .groupBy("qi", "b")
+        .agg(count(lit(1)).as("cnt"), min("v").as("bmin"), max("v").as("bmax"))
+        .collect()
+        .groupBy(_.getInt(0))
+      val next = states.toArray
+      actIdx.foreach { i =>
+        val s = states(i)
+        val bs = hist.getOrElse(i, Array.empty[Row]).sortBy(_.getInt(1))
+        var cum = 0L
+        var j = 0
+        var placed = false
+        while (j < bs.length && !placed) {
+          val cnt = bs(j).getLong(2)
+          if (cum + cnt >= s.k) {
+            val bmin = bs(j).getDouble(3); val bmax = bs(j).getDouble(4)
+            next(i) =
+              if (bmin == bmax) s.copy(done = Some(bmin))
+              else s.copy(lo = bmin, hi = bmax, k = s.k - cum, pop = cnt)
+            placed = true
+          } else { cum += cnt; j += 1 }
+        }
+        require(placed, s"exactQuantiles: rank ${s.k} exceeded range " +
+          s"population (histogram saw $cum of ${s.pop}) — data changed between passes?")
+      }
+      states = next.toSeq
+    }
+    // Bounded resolution: collect each remaining range (≤ cap values) in
+    // one shared scan and read off the k-th smallest locally.
+    val small = states.zipWithIndex.collect {
+      case (s, i) if s.done.isEmpty && s.pop <= cap => i }
+    if (small.nonEmpty) {
+      val rangeArr = array(small.map { i =>
+        val s = states(i)
+        struct(lit(i).as("qi"), lit(s.lo).as("lo"), lit(s.hi).as("hi")) }: _*)
+      val vals = rows.select(col("v"), explode(rangeArr).as("r"))
+        .filter(col("v") >= col("r.lo") && col("v") <= col("r.hi"))
+        .select(col("r.qi").as("qi"), col("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+      val next = states.toArray
+      small.foreach { i =>
+        val s = states(i)
+        val sorted = vals.getOrElse(i, Array.empty[Row]).map(_.getDouble(1)).sorted
+        require(s.k >= 1 && s.k <= sorted.length,
+          s"exactQuantiles: rank ${s.k} outside collected range of ${sorted.length}")
+        next(i) = s.copy(done = Some(sorted(s.k.toInt - 1)))
+      }
+      states = next.toSeq
+    }
+    // Fallback (maxRounds exhausted with pop still > cap): exact
+    // distributed sort of the NARROWED range — offset+limit, never a
+    // full-corpus sort unless round 0 never ran.
+    val certified = states.forall(_.done.isDefined)
+    val resolved = states.map { s =>
+      s.done.getOrElse {
+        val r = rows.filter(col("v") >= s.lo && col("v") <= s.hi)
+          .orderBy(col("v")).offset((s.k - 1).toInt).limit(1).head()
+        r.getDouble(0)
+      }
+    }
+    val out = spark.createDataFrame(
+      ps.zip(resolved).sortBy(_._1).map { case (p, v) => Row(p, v) }.asJava, outSchema)
+    Quantiles(out, certified, round)
   }
 }

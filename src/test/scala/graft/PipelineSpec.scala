@@ -649,6 +649,78 @@ class PipelineSpec extends SparkSuite {
       "certified heavy hitters must ignore physical layout")
   }
 
+  test("heavyHittersMg: the per-partition summary is actually cap-bounded") {
+    import graft.ops.Sketch
+    // The memory claim, pinned: 5000 distinct singletons in ONE
+    // partition with cap=64 must surface ≤ 64 candidates — if the
+    // Misra-Gries eviction never fires (the boxed-null unboxing trap:
+    // a primitive-valued HashMap returns 0L for absent keys, making
+    // the absent branch unreachable), this reads 5000 and fails.
+    val df = (0 until 5000).map(i => f"k$i%04d").toDF("k").coalesce(1)
+    val hh = Sketch.heavyHittersMg(df, "k", 5, 64)
+    assert(hh.nCandidates <= 64,
+      s"one partition at cap=64 must keep <= 64 candidates, saw ${hh.nCandidates}")
+    assert(!hh.certified && hh.nTotal == 5000L)
+    // heavy keys must still SURVIVE the real eviction: one key at 40%
+    // of a 1-partition stream with cap=4 is always a candidate
+    val skew = (Seq.fill(400)("hot") ++ (0 until 600).map(i => s"s$i"))
+    val hs = Sketch.heavyHittersMg(skew.toDF("k").coalesce(1), "k", 1, 4)
+    assert(hs.certified && hs.top.collect().head.getString(0) == "hot")
+  }
+
+  test("exactQuantiles: descent == canonical global sort on events, and is layout-invariant") {
+    import graft.ops.Sketch
+    val d = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$d/events.parquet").select(col("value"))
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    // tiny cap + buckets force at least one real descent round
+    val q = Sketch.exactQuantiles(ev, "value", ps, buckets = 16, cap = 8)
+    assert(q.certified, "events values must resolve through the bounded path")
+    assert(q.rounds >= 1, "cap=8 on this SF must require at least one histogram round")
+    val got = q.result.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    // canonical: collect + sort (tiny SF), k = floor((n-1)p)+1
+    val all = ev.filter(col("value").isNotNull).collect().map(_.getDouble(0)).sorted
+    val want = ps.sorted.map(p => (p, all(math.floor((all.length - 1) * p).toInt)))
+    assert(got == want, s"descent must equal the sorted order statistics\n$got\n$want")
+    val q7 = Sketch.exactQuantiles(ev.repartition(7), "value", ps, buckets = 16, cap = 8)
+    assert(q7.result.collect().toSeq == q.result.collect().toSeq,
+      "exact quantiles must ignore physical layout")
+  }
+
+  test("exactQuantiles: massive ties resolve via the single-valued-bucket shortcut") {
+    import graft.ops.Sketch
+    // 10k copies of 3 values with cap FAR below any tie group: only the
+    // bmin==bmax shortcut can resolve these, never the bounded collect
+    val vals = Seq.fill(4000)(1.0) ++ Seq.fill(5000)(2.0) ++ Seq.fill(1000)(9.0)
+    val df = vals.toDF("v").repartition(6)
+    val q = Sketch.exactQuantiles(df, "v", Seq(0.1, 0.5, 0.95), buckets = 8, cap = 10)
+    assert(q.certified, "all-ties data must certify through the shortcut")
+    assert(q.result.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      Seq((0.1, 1.0), (0.5, 2.0), (0.95, 9.0)))
+  }
+
+  test("exactQuantiles: maxRounds=0 forces the sort fallback and the answer is unchanged") {
+    import graft.ops.Sketch
+    val vals = (0 until 1000).map(i => (i * 37 % 1000).toDouble)
+    val df = vals.toDF("v").repartition(5)
+    val bounded = Sketch.exactQuantiles(df, "v", Seq(0.5, 0.9), buckets = 32, cap = 50)
+    assert(bounded.certified)
+    val fb = Sketch.exactQuantiles(df, "v", Seq(0.5, 0.9), buckets = 32, cap = 50,
+      maxRounds = 0)
+    assert(!fb.certified, "maxRounds=0 with pop>cap must take the fallback")
+    assert(fb.result.collect().toSeq == bounded.result.collect().toSeq,
+      "the fallback changes the plan, never the answer")
+    // p=0 / p=1 endpoints and null handling
+    val withNulls = vals.map(v => Option(v)) ++ Seq(None, None)
+    val qn = Sketch.exactQuantiles(withNulls.toDF("v"), "v", Seq(0.0, 1.0),
+      buckets = 16, cap = 2000)
+    assert(qn.result.collect().map(_.getDouble(1)).toSeq == Seq(0.0, 999.0))
+    intercept[IllegalArgumentException](
+      Sketch.exactQuantiles(df, "v", Seq(1.5), buckets = 16, cap = 10))
+    intercept[IllegalArgumentException](
+      Sketch.exactQuantiles(df, "v", Nil, buckets = 16, cap = 10))
+  }
+
   test("round-13 decision ops are invariant under adversarial repartitioning") {
     // same contract as the round-12 gate, for this round's ops: every
     // decision (clean text, dedup verdict, importance weight, BM25
