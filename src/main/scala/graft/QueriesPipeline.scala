@@ -681,6 +681,78 @@ object QueriesPipeline {
               |FROM (SELECT unnest($TOKS) AS tok FROM documents)
               |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
 
+    // Token-budget corpus selection (ops/Sketch.budgetSelect): keep the
+    // best-quality docs until a 13k-token budget is spent — the
+    // data-curation step that turns "score every doc" into an actual
+    // training corpus. The canonical plan is the oracle's windowed
+    // cumsum over (score DESC, doc_id ASC) — a single-partition global
+    // sort; the shipped plan finds the budget boundary by the same
+    // histogram descent as evt_pctile_cert (exact Long token sums,
+    // tie-score groups resolved by a second descent over doc_id) and
+    // then FILTERS the corpus with a two-scalar broadcast predicate at
+    // scan speed. Scores are rounded to 2dp on both engines — ties are
+    // deliberate, so the id-order tie cut is exercised, not just
+    // possible. buckets/cap are set far below the corpus so every SF
+    // takes real descent rounds rather than a one-shot collect.
+    "doc_token_budget" -> Q(
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+          round(TF.qualityScore(col("text")) + lit(1e-9), 2).as("score"),
+          TF.tokenCount(col("text")).cast("long").as("ntok"))
+        val sel = graft.ops.Sketch.budgetSelect(base, "score", "ntok",
+          "doc_id", budget = 13000L, buckets = 64, cap = 32)
+        base.filter(sel.predicate(col("score"), col("doc_id")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  round(1e-9 + greatest(least(
+              |    least(length(text)::DOUBLE / 500.0, 1.0)*0.4
+              |    + least((CASE WHEN len(toks) > 0 THEN
+              |        len(list_filter(toks, x -> x IN ('the','and','of','to','in','a','is','it','on','for')))::DOUBLE
+              |          / len(toks) ELSE 0 END)*5.0, 1.0)*0.3
+              |    + (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |        / greatest(length(text), 1))*0.2
+              |    + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              |        / greatest(length(text), 1))*0.1,
+              |    1.0), 0.0), 2) AS score,
+              |  len(toks)::BIGINT AS ntok FROM t),
+              |o AS (SELECT *, sum(ntok) OVER (ORDER BY score DESC, doc_id ASC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM m)
+              |SELECT doc_id, score, ntok FROM o WHERE cum <= 13000
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source cap (functions/CapKAgg): at most 5 docs per source,
+    // chosen by salted hash60 (id tie-break) — the RefinedWeb-style
+    // domain cap that stops any one site from dominating a crawl. The
+    // oracle is the canonical `row_number OVER (PARTITION BY source
+    // ORDER BY hv, doc_id) <= 5` window; the shipped plan is a typed
+    // Aggregator whose ≤ 5-pair buffer merges associatively, so
+    // map-side partial aggregation prunes to ≤ K rows per (source ×
+    // partition) BEFORE the exchange — the window plan would shuffle
+    // and sort the whole corpus. posexplode of the (h, id)-ordered
+    // result replays the oracle's rank exactly.
+    "doc_source_cap" -> Q(
+      (s, d) => {
+        val capAgg = udaf(new graft.functions.CapKAgg(5),
+          org.apache.spark.sql.Encoders.product[graft.functions.CapIn])
+        val h = TF.hash60(concat(lit("cap:"), col("doc_id").cast("string")))
+        docs(s, d)
+          .select(col("source"), h.as("h"), col("doc_id").as("id"))
+          .groupBy("source").agg(capAgg(col("h"), col("id")).as("kept"))
+          .select(col("source"), posexplode(col("kept")))
+          .select(col("source"), col("col").as("doc_id"),
+            (col("pos") + 1).cast("long").as("rn"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH h AS (SELECT source, doc_id,
+              |    ${H60.format("'cap:' || doc_id")} AS hv FROM documents),
+              |r AS (SELECT source, doc_id,
+              |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+              |  FROM h)
+              |SELECT source, doc_id, rn FROM r WHERE rn <= 5
+              |ORDER BY source, doc_id""".stripMargin)),
+
     // Source-mixture reweighting: per-source doc/token counts, the
     // source's share of corpus tokens, and the sampling weight that would
     // flatten the mixture to uniform-over-sources (weight = target share /

@@ -54,7 +54,10 @@ object SparkEntry {
       "evt_difference", "evt_distinct_consec",
       // round 13 fourth batch: a sub-0.25 s stable scan rotated out for
       // the doc_heavy_tokens addition
-      "evt_cumsum")
+      "evt_cumsum",
+      // round 13 fifth batch: three sub-0.55 s stable scans rotated out
+      // for evt_pctile_cert / doc_token_budget / doc_source_cap
+      "evt_buffer10", "q_events_daily", "q_distinct_parts")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -263,4 +263,154 @@ object Sketch {
       ps.zip(resolved).sortBy(_._1).map { case (p, v) => Row(p, v) }.asJava, outSchema)
     Quantiles(out, certified, round)
   }
+
+  /** Where a weighted budget runs out when rows are consumed best-first.
+    * The keep set is exactly `predicate(score, id)`: every row strictly
+    * better than the cut, plus the cut-score rows up to (exclusive) the
+    * first id that no longer fits. `certified` true = both descent
+    * phases resolved through bounded collects; false = the narrowed
+    * range needed the windowed-cumsum fallback (same rows either way). */
+  final case class BudgetSelection(scoreCut: Double, idCutExcl: Long,
+      keepAll: Boolean, certified: Boolean, rounds: Int) {
+    import org.apache.spark.sql.Column
+    def predicate(score: Column, id: Column): Column =
+      if (keepAll) lit(true)
+      else score > scoreCut || (score === scoreCut && id < idCutExcl)
+  }
+
+  /** Greedy prefix selection under a weight budget — "take documents in
+    * quality order until the token budget is spent", the Llama-style
+    * data-curation step. Semantically identical to the windowed cumsum
+    * `keep rows where sum(w) OVER (ORDER BY score DESC, id ASC) <=
+    * budget` — but THAT plan is a single-partition global sort. Here
+    * the same histogram-descent machinery as [[exactQuantiles]] finds
+    * the budget boundary: each round one aggregate (≤ buckets partial
+    * rows, exact Long weight sums) narrows the score range holding the
+    * boundary; a boundary landing inside a tied score group descends
+    * again over the group's ids; a final ≤ cap-row collect walks off
+    * the exact cut. The result is a two-scalar broadcast predicate —
+    * the corpus is then FILTERED at scan speed, never sorted.
+    * Weights must be non-negative longs; `idCol` must be unique
+    * per row (the tie-break). */
+  def budgetSelect(rows0: DataFrame, scoreCol: String, wCol: String,
+      idCol: String, budget: Long, buckets: Int = 8192, cap: Int = 100000,
+      maxRounds: Int = 6): BudgetSelection = {
+    require(budget >= 0, s"budgetSelect: budget=$budget must be >= 0")
+    require(buckets >= 2 && cap >= 1 && maxRounds >= 0,
+      s"budgetSelect: buckets=$buckets cap=$cap maxRounds=$maxRounds")
+    val rows = rows0.select(col(scoreCol).cast("double").as("s"),
+      col(wCol).cast("long").as("w"), col(idCol).cast("long").as("id"))
+      .filter(col("s").isNotNull && col("w").isNotNull)
+    val h0 = rows.agg(count(lit(1)).as("n"), sum("w").as("tw"),
+      min("s").as("lo"), max("s").as("hi")).head()
+    val n = h0.getLong(0)
+    if (n == 0L || budget >= h0.getLong(1))
+      return BudgetSelection(Double.NaN, 0L, keepAll = true, certified = true, 0)
+    var bRem = budget          // budget left entering the current range
+    var lo = h0.getDouble(2); var hi = h0.getDouble(3)
+    var pop = n
+    var rounds = 0
+    var tieScore: Option[Double] = None
+    // ── phase 1: descend on score (consumption order: score DESC) ──
+    def hist(frame: DataFrame, v: String, flo: Double, fhi: Double): Array[Row] =
+      frame.filter(col(v) >= flo && col(v) <= fhi)
+        .select(col(v), col("w"),
+          least(lit(buckets - 1), greatest(lit(0),
+            floor((col(v) - lit(flo)) / (lit(fhi) - lit(flo)) * buckets)
+              .cast("int"))).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cnt"), sum("w").as("sw"),
+          min(v).as("bmin"), max(v).as("bmax"))
+        .collect().sortBy(_.getInt(0))
+    var progress = true
+    while (tieScore.isEmpty && pop > cap && rounds < maxRounds && progress && lo < hi) {
+      rounds += 1
+      val bs = hist(rows, "s", lo, hi)
+      var j = bs.length - 1       // walk buckets DESCENDING by score
+      var placed = false
+      while (j >= 0 && !placed) {
+        val sw = bs(j).getLong(2)
+        if (bRem >= sw) { bRem -= sw; j -= 1 }
+        else {
+          val bmin = bs(j).getDouble(3); val bmax = bs(j).getDouble(4)
+          if (bmin == bmax) tieScore = Some(bmin)
+          else {
+            progress = bs(j).getLong(1) < pop || bmin > lo || bmax < hi
+            lo = bmin; hi = bmax; pop = bs(j).getLong(1)
+          }
+          placed = true
+        }
+      }
+      require(placed, "budgetSelect: boundary escaped the tracked range — " +
+        "data changed between passes?")
+    }
+    if (tieScore.isEmpty && pop <= cap) {
+      // bounded resolution: the boundary is among ≤ cap rows
+      val loc = rows.filter(col("s") >= lo && col("s") <= hi)
+        .select("s", "w", "id").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        .sortBy { case (s, _, id) => (-s, id) }
+      var i = 0
+      while (i < loc.length && bRem >= loc(i)._2) { bRem -= loc(i)._2; i += 1 }
+      require(i < loc.length, "budgetSelect: collected range fully fit the " +
+        "budget — weight accounting drifted")
+      return BudgetSelection(loc(i)._1, loc(i)._3, keepAll = false,
+        certified = true, rounds)
+    }
+    if (tieScore.isDefined) {
+      // ── phase 2: the boundary is inside one tied score group —
+      // descend on id (consumption order: id ASC) within the group ──
+      val s0 = tieScore.get
+      val grp = rows.filter(col("s") === s0)
+      val g0 = grp.agg(count(lit(1)).as("n"), min("id").as("ilo"),
+        max("id").as("ihi")).head()
+      var ipop = g0.getLong(0)
+      var ilo = g0.getLong(1).toDouble; var ihi = g0.getLong(2).toDouble
+      var prog2 = true
+      while (ipop > cap && rounds < maxRounds && prog2 && ilo < ihi) {
+        rounds += 1
+        val bs = hist(grp.withColumn("idd", col("id").cast("double")), "idd", ilo, ihi)
+        var j = 0                 // walk buckets ASCENDING by id
+        var placed = false
+        while (j < bs.length && !placed) {
+          val sw = bs(j).getLong(2)
+          if (bRem >= sw) { bRem -= sw; j += 1 }
+          else {
+            prog2 = bs(j).getLong(1) < ipop ||
+              bs(j).getDouble(3) > ilo || bs(j).getDouble(4) < ihi
+            ilo = bs(j).getDouble(3); ihi = bs(j).getDouble(4)
+            ipop = bs(j).getLong(1)
+            placed = true
+          }
+        }
+        require(placed, "budgetSelect: tie-group boundary escaped the range")
+      }
+      if (ipop <= cap) {
+        val loc = grp.filter(col("id").cast("double") >= ilo &&
+            col("id").cast("double") <= ihi)
+          .select("w", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+        var i = 0
+        while (i < loc.length && bRem >= loc(i)._1) { bRem -= loc(i)._1; i += 1 }
+        require(i < loc.length, "budgetSelect: tie group fully fit — " +
+          "weight accounting drifted")
+        return BudgetSelection(s0, loc(i)._2, keepAll = false,
+          certified = true, rounds)
+      }
+    }
+    // ── fallback: windowed cumsum over the NARROWED range only (exact;
+    // single-partition window, but over pop rows, not the corpus) ──
+    val range = tieScore match {
+      case Some(s0) => rows.filter(col("s") === s0)
+      case None     => rows.filter(col("s") >= lo && col("s") <= hi)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cut = range.withColumn("cum", sum("w").over(win))
+      .filter(col("cum") > bRem)
+      .orderBy(col("s").desc, col("id").asc).limit(1)
+      .select("s", "id").head()
+    BudgetSelection(cut.getDouble(0), cut.getLong(1), keepAll = false,
+      certified = false, rounds)
+  }
 }

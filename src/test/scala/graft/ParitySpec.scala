@@ -673,4 +673,47 @@ class ParitySpec extends SparkSuite {
       s"streaming != batch: only-stream=${streamOut -- batchOut}, " +
         s"only-batch=${batchOut -- streamOut}")
   }
+
+  test("SourceCapStream: h-ordered micro-batches == doc_source_cap, and commitment is irrevocable") {
+    // fifth decision family with a live leg (after SemDeDup,
+    // kNN-classify, DSIR, RRF): the domain cap as a stream. Feeding
+    // arrivals in global (h, doc_id) order across TWO micro-batches
+    // must reproduce the oracle-gated batch op's kept set AND ranks;
+    // the step-level golden pins the production semantics the batch op
+    // cannot express — a late smaller-hash arrival never evicts a
+    // committed doc.
+    import graft.functions.{TextFunctions => TF}
+    import graft.streaming.{DocCapArrival, SourceCapStream}
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batchRows = Queries.registry.toMap.apply("doc_source_cap").fn(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val arrivals = Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        TF.hash60(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, id, h) => DocCapArrival(s, id, h) }
+      .sortBy(a => (a.h, a.doc_id)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocCapArrival]
+    val q = SourceCapStream.decisions(mem.toDS(), 5)
+      .writeStream.format("memory").queryName("cap_par").outputMode("append").start()
+    val (g1, g2) = arrivals.splitAt(arrivals.length / 2)
+    Seq(g1, g2).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val kept = spark.table("cap_par").where(col("keep"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(kept == batchRows,
+      s"h-ordered streaming cap must equal the batch op incl. ranks: " +
+        s"only-stream=${kept -- batchRows}, only-batch=${batchRows -- kept}")
+    // the drops are real rows too: every arrival gets a decision
+    assert(spark.table("cap_par").count() == arrivals.size.toLong)
+    // no retraction: once a source's cap is full, a smaller-hash late
+    // arrival is dropped (rn=0), and within a micro-batch the (h, id)
+    // sort decides commitment order deterministically
+    val b1 = SourceCapStream.step(0L, (1L to 6L).map(i => DocCapArrival("s", i, 100 + i)), 5)
+    assert(b1._1 == 5L && b1._2.count(_.keep) == 5 && !b1._2.last.keep)
+    val b2 = SourceCapStream.step(b1._1, Seq(DocCapArrival("s", 99L, 1L)), 5)
+    assert(!b2._2.head.keep && b2._2.head.rn == 0L, "commitment is irrevocable")
+  }
 }

@@ -721,6 +721,103 @@ class PipelineSpec extends SparkSuite {
       Sketch.exactQuantiles(df, "v", Nil, buckets = 16, cap = 10))
   }
 
+  /** Canonical greedy-prefix reference for budgetSelect. */
+  private def budgetRef(rows: Seq[(Double, Long, Long)], budget: Long): Set[Long] = {
+    var rem = budget
+    val kept = scala.collection.mutable.Set[Long]()
+    var cut = false
+    rows.sortBy { case (s, _, id) => (-s, id) }.foreach { case (_, w, id) =>
+      if (!cut) { if (rem >= w) { rem -= w; kept += id } else cut = true }
+    }
+    kept.toSet
+  }
+
+  test("budgetSelect: descent cut == canonical windowed cumsum, and is layout-invariant") {
+    import graft.ops.Sketch
+    // deterministic pseudo-random scores with deliberate 2dp ties
+    val rows = (0L until 800L).map { id =>
+      (math.round((id * 131 % 97) / 97.0 * 100) / 100.0, (id * 17 % 30) + 1, id)
+    }
+    val df = rows.toDF("s", "w", "id").repartition(6)
+    val sel = Sketch.budgetSelect(df, "s", "w", "id", budget = 4000L,
+      buckets = 16, cap = 24)
+    assert(sel.certified && sel.rounds >= 1, s"must descend: $sel")
+    val kept = df.filter(sel.predicate(col("s"), col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == budgetRef(rows, 4000L), "descent must equal the greedy prefix")
+    val sel7 = Sketch.budgetSelect(df.repartition(11), "s", "w", "id",
+      budget = 4000L, buckets = 16, cap = 24)
+    assert((sel7.scoreCut, sel7.idCutExcl, sel7.keepAll) ==
+      (sel.scoreCut, sel.idCutExcl, sel.keepAll),
+      "the cut must ignore physical layout")
+  }
+
+  test("budgetSelect: a tied score group bigger than cap resolves by id descent") {
+    import graft.ops.Sketch
+    // 500 rows all at score 0.5 (one giant tie group), a few above, a
+    // few below; the budget lands INSIDE the tie group, whose size far
+    // exceeds cap — only the phase-2 id descent can resolve the cut
+    val rows = (0L until 10L).map(id => (0.9, 5L, id)) ++
+      (100L until 600L).map(id => (0.5, 3L, id)) ++
+      (700L until 710L).map(id => (0.1, 2L, id))
+    val df = rows.toDF("s", "w", "id").repartition(5)
+    // budget: 10*5 above + 200 into the ties -> cut at the 67th tie row
+    val sel = Sketch.budgetSelect(df, "s", "w", "id", budget = 250L,
+      buckets = 8, cap = 16)
+    assert(sel.certified, s"tie descent must stay bounded: $sel")
+    assert(sel.scoreCut == 0.5)
+    val kept = df.filter(sel.predicate(col("s"), col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == budgetRef(rows, 250L))
+    // 200/3 = 66 full tie rows fit -> ids 100..165 kept, cut at 166
+    assert(sel.idCutExcl == 166L)
+  }
+
+  test("budgetSelect: keep-all, zero budget, zero-weight rows, and the forced fallback") {
+    import graft.ops.Sketch
+    val rows = (0L until 100L).map(id => ((id % 10).toDouble, id % 4, id))
+    val df = rows.toDF("s", "w", "id").repartition(3)
+    val total = rows.map(_._2).sum
+    val all = Sketch.budgetSelect(df, "s", "w", "id", total, buckets = 8, cap = 8)
+    assert(all.keepAll && all.certified && all.rounds == 0)
+    assert(df.filter(all.predicate(col("s"), col("id"))).count() == 100L)
+    // zero budget: only leading zero-weight rows fit (they cost nothing)
+    val zb = Sketch.budgetSelect(df, "s", "w", "id", 0L, buckets = 8, cap = 8)
+    val keptZ = df.filter(zb.predicate(col("s"), col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptZ == budgetRef(rows, 0L))
+    // forced fallback: maxRounds=0 with pop>cap must window only the
+    // tracked range and return the identical cut
+    val bounded = Sketch.budgetSelect(df, "s", "w", "id", 70L, buckets = 8, cap = 8)
+    val fb = Sketch.budgetSelect(df, "s", "w", "id", 70L, buckets = 8, cap = 8,
+      maxRounds = 0)
+    assert(!fb.certified)
+    assert((fb.scoreCut, fb.idCutExcl) == (bounded.scoreCut, bounded.idCutExcl),
+      "the fallback changes the plan, never the cut")
+    intercept[IllegalArgumentException](
+      Sketch.budgetSelect(df, "s", "w", "id", -1L, buckets = 8, cap = 8))
+  }
+
+  test("CapKAgg: any reduce/merge split keeps the K smallest pairs, buffer stays K-bounded") {
+    import graft.functions.{CapIn, CapKAgg}
+    val agg = new CapKAgg(4)
+    // deliberate h collisions (mod 101) so the id tie-break is load-bearing
+    val pairs = (0 until 200).map(i => CapIn(((i * 7919) % 101).toLong, i.toLong))
+    val want = pairs.sortBy(p => (p.h, p.id)).take(4).map(_.id)
+    // several partition shapes: every split must agree with the global sort
+    for (chunk <- Seq(1, 7, 37, 200)) {
+      val bufs = pairs.grouped(chunk).toSeq
+        .map(g => g.foldLeft(agg.zero)((b, p) => agg.reduce(b, p)))
+      bufs.foreach(b => assert(b.length <= 2 * 4,
+        s"map-side buffer must hold <= K pairs, saw ${b.length / 2}"))
+      val merged = bufs.reduce((a, b) => agg.merge(a, b))
+      assert(agg.finish(merged) == want, s"chunk=$chunk")
+      val mergedR = bufs.reverse.reduce((a, b) => agg.merge(a, b))
+      assert(agg.finish(mergedR) == want, s"reverse merge order, chunk=$chunk")
+    }
+    intercept[IllegalArgumentException](new CapKAgg(0))
+  }
+
   test("round-13 decision ops are invariant under adversarial repartitioning") {
     // same contract as the round-12 gate, for this round's ops: every
     // decision (clean text, dedup verdict, importance weight, BM25

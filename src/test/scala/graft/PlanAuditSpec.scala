@@ -536,4 +536,40 @@ class PlanAuditSpec extends SparkSuite {
     assert(rp.contains("BroadcastHashJoin") && rp.contains("LeftSemi"),
       s"candidate recount must prune via broadcast semi-join:\n$rp")
   }
+
+  test("evt_pctile_cert: certified quantiles return a local relation, no corpus lineage") {
+    // like doc_heavy_tokens: the order statistics were resolved during
+    // the descent passes; the RESULT frame must be the materialized
+    // (p, value) rows, not a plan that re-runs histogram rounds per
+    // consumer
+    val p = plan("evt_pctile_cert")
+    assert(p.contains("LocalTableScan"),
+      s"certified quantiles must return materialized rows:\n$p")
+    assert(!p.contains("Exchange"),
+      "the certified quantile result must carry no corpus lineage")
+  }
+
+  test("doc_token_budget: the keep side is a broadcast-scalar filter, never a window") {
+    // the descent resolved the cut to two scalars; the returned frame
+    // must be scan -> filter -> output sort. A Window node here means
+    // the single-partition cumsum plan leaked back in
+    val p = plan("doc_token_budget")
+    assert(!p.contains("Window"),
+      s"budget keep set must not window the corpus:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("ENSURE_REQUIREMENTS")),
+      "budget filter grew a required hash exchange — no longer scan-speed")
+  }
+
+  test("doc_source_cap: cap rides partial ObjectHashAggregate, never a per-key window sort") {
+    // the Aggregator must plan as partial + final ObjectHashAggregate
+    // (map-side combine prunes to <= K pairs per key per partition
+    // BEFORE the exchange); a Window/Sort pair here is the corpus-sized
+    // row_number plan the op exists to avoid
+    val p = plan("doc_source_cap")
+    assert(!p.contains("Window"),
+      s"per-source cap must not be a window plan:\n$p")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"CapKAgg must aggregate partial+final:\n$p")
+  }
 }
