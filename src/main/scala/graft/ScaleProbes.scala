@@ -44,6 +44,23 @@ object ScaleProbes {
     val deepScored = graft.functions.Similarity.deepScoredHome(e, dq, 64)
       .agg(org.apache.spark.sql.functions.avg("scored")).head.getDouble(0)
     println(f"[probe] $sfDir deep3_scored_per_vec=$deepScored%.1f (nTop=$c3)")
+    // histogram-descent mechanism at growing n (optional 2nd arg = row
+    // count): rounds and wall for exact p50/p90/p99 over a deterministic
+    // hash-valued range — the quantile twin of the minhash candidate
+    // probe. rounds is the design number (≤ maxRounds by construction);
+    // the wall should be rounds × one-scan, i.e. linear per decade.
+    args.drop(1).headOption.map(_.toLong).filter(_ > 0).foreach { nq =>
+      import org.apache.spark.sql.functions._
+      val vals = spark.range(nq).select(
+        (abs(hash(col("id"))).cast("double") / 1000.0).as("v"))
+      val t0 = System.nanoTime()
+      val q = graft.ops.Sketch.exactQuantiles(vals, "v", Seq(0.5, 0.9, 0.99),
+        buckets = 1024, cap = 4096)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val got = q.result.collect().map(r => f"${r.getDouble(0)}:${r.getDouble(1)}%.1f")
+      println(f"[probe] quantiles n=$nq rounds=${q.rounds} certified=${q.certified} " +
+        f"wall=$wall%.1f s ${got.mkString(" ")}")
+    }
     spark.stop()
   }
 }
