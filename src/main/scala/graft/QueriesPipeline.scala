@@ -527,6 +527,25 @@ object QueriesPipeline {
     * trick from doc_dup_spans), and reassembly rides the one doc_id
     * exchange every text op shares. Segment text crosses an exchange
     * once (~64 B/row) — full documents never do. */
+  /** Exact corpus-wide quality percentile per doc without a corpus
+    * sort — see the `doc_quality_pctile` registry entry for the plan
+    * rationale (2dp score ⇒ ≤ 101 distinct values ⇒ the whole CDF is a
+    * broadcast-sized aggregate; percent_rank = below/(n-1)). */
+  private[graft] def qualityPctile(g: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = g.select(col("doc_id"),
+      round(TF.qualityScore(col("text")) + lit(1e-9), 2).as("score"))
+    val cdf = scored.groupBy("score").agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum("cnt").over(
+        W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("cnt").over(W.partitionBy()))
+    scored.join(broadcast(cdf.select("score", "below", "n")), Seq("score"))
+      .select(col("doc_id"), col("score"),
+        r4(when(col("n") === 1L, lit(0.0)).otherwise(
+          col("below").cast("double") / (col("n") - 1))).as("pctile"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def segmentDedup(g: DataFrame, segLen: Int): DataFrame = {
     val t = g.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
     val nSeg = greatest(expr(s"(size(toks) + ${segLen - 1}) div $segLen"), lit(1))
@@ -868,6 +887,37 @@ object QueriesPipeline {
               |    len_score*0.4 + least(stop_ratio*5.0,1.0)*0.3
               |    + (1.0-punct_ratio)*0.2 + (1.0-digit_ratio)*0.1, 1.0), 0.0),4) AS quality
               |FROM m ORDER BY 1""".stripMargin)),
+
+    // Exact corpus-wide quality percentile per doc WITHOUT a corpus
+    // sort: the oracle is `percent_rank() OVER (ORDER BY score)` — a
+    // global sort, the plan shape this library bans — but the 2dp score
+    // domain has ≤ 101 distinct values BY CONSTRUCTION, so the full
+    // CDF is a tiny aggregate: one groupBy(score) count (partial agg —
+    // the exchange carries ≤ 101 rows per partition), a running
+    // below-count window over the ≤ 101-row frame (the doc_mixwts
+    // single-partition-window-over-aggregates discipline), and a
+    // broadcast join back to the corpus. percent_rank = (minrank-1)/
+    // (n-1) = below/(n-1), ties sharing the min rank — read straight
+    // off the CDF. At 100 TB: one scoring scan + two KB-sized
+    // exchanges; the curriculum/filter stages that consume percentile
+    // features never pay a sort.
+    "doc_quality_pctile" -> Q(
+      (s, d) => qualityPctile(docs(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+              |m AS (SELECT doc_id,
+              |  round(1e-9 + greatest(least(
+              |    least(length(text)::DOUBLE / 500.0, 1.0)*0.4
+              |    + least((CASE WHEN len(toks) > 0 THEN
+              |        len(list_filter(toks, x -> x IN ('the','and','of','to','in','a','is','it','on','for')))::DOUBLE
+              |          / len(toks) ELSE 0 END)*5.0, 1.0)*0.3
+              |    + (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |        / greatest(length(text), 1))*0.2
+              |    + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              |        / greatest(length(text), 1))*0.1,
+              |    1.0), 0.0), 2) AS score FROM t)
+              |SELECT doc_id, score,
+              |  round(1e-9 + percent_rank() OVER (ORDER BY score), 4) AS pctile
+              |FROM m ORDER BY doc_id""".stripMargin)),
 
     "doc_lang_guess" -> Q(
       (s, d) => docs(s, d).select(col("doc_id"), col("lang"),

@@ -57,7 +57,10 @@ object SparkEntry {
       "evt_cumsum",
       // round 13 fifth batch: three sub-0.55 s stable scans rotated out
       // for evt_pctile_cert / doc_token_budget / doc_source_cap
-      "evt_buffer10", "q_events_daily", "q_distinct_parts")
+      "evt_buffer10", "q_events_daily", "q_distinct_parts",
+      // round 13 sixth batch: a sub-0.45 s stable projection (plan
+      // unchanged since round 5) rotated out for doc_quality_pctile
+      "mm_frame_sample")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -716,4 +716,55 @@ class ParitySpec extends SparkSuite {
     val b2 = SourceCapStream.step(b1._1, Seq(DocCapArrival("s", 99L, 1L)), 5)
     assert(!b2._2.head.keep && b2._2.head.rn == 0L, "commitment is irrevocable")
   }
+
+  test("BudgetStream: score-ordered micro-batches == doc_token_budget, and spend is irrevocable") {
+    // sixth decision family with a live leg: budgeted selection as a
+    // stream. Feeding arrivals in the batch order (score DESC, doc_id)
+    // across TWO micro-batches must reproduce the oracle-gated batch
+    // op's kept set; the step-level goldens pin the prefix rule (an
+    // overflowing arrival still charges the budget) and the
+    // no-retraction contract (a late high-scorer cannot reclaim spend).
+    import graft.functions.{TextFunctions => TF}
+    import graft.streaming.{BudgetStream, DocBudgetArrival}
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val batchKept = Queries.registry.toMap.apply("doc_token_budget").fn(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val arrivals = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        round(TF.qualityScore(col("text")) + lit(1e-9), 2).as("score"),
+        TF.tokenCount(col("text")).cast("long").as("ntok"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (id, sc, nt) => DocBudgetArrival(id, sc, nt) }
+      .sortBy(a => (-a.score, a.doc_id)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocBudgetArrival]
+    val q = BudgetStream.decisions(mem.toDS(), 13000L)
+      .writeStream.format("memory").queryName("budget_par").outputMode("append").start()
+    val (g1, g2) = arrivals.splitAt(arrivals.length / 2)
+    Seq(g1, g2).foreach { g => mem.addData(g); q.processAllAvailable() }
+    q.stop()
+    val kept = spark.table("budget_par").where(col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept,
+      s"score-ordered streaming budget must equal the batch keep set: " +
+        s"only-stream=${kept -- batchKept}, only-batch=${batchKept -- kept}")
+    // every arrival gets a decision, and cum is the oracle's running sum
+    assert(spark.table("budget_par").count() == arrivals.size.toLong)
+    val cums = spark.table("budget_par").orderBy("cum")
+      .select("cum").as[Long].collect()
+    assert(cums.toSeq == arrivals.scanLeft(0L)(_ + _.ntok).tail.sorted.toSeq,
+      "cum must replay the ordered prefix sums")
+    // prefix rule: the overflowing doc is dropped but still charges the
+    // budget, so a smaller later doc that would fit alone is dropped too
+    val p1 = BudgetStream.step(0L,
+      Seq(DocBudgetArrival(1, 0.9, 6), DocBudgetArrival(2, 0.8, 6),
+        DocBudgetArrival(3, 0.7, 5), DocBudgetArrival(4, 0.6, 1)), 10L)
+    assert(p1._2.map(_.keep) == Seq(true, false, false, false) && p1._1 == 18L,
+      "overflow charges the prefix sum (oracle's cum<=budget), later fits do not revive")
+    // no retraction: a late 0.99-scorer arrives after the budget is
+    // spent and is dropped — batch would have ranked it first
+    val p2 = BudgetStream.step(p1._1, Seq(DocBudgetArrival(9, 0.99, 1)), 10L)
+    assert(!p2._2.head.keep, "spend is irrevocable")
+  }
 }

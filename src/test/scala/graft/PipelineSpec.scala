@@ -845,6 +845,9 @@ class PipelineSpec extends SparkSuite {
       rows(QueriesPipeline.bm25Scores(g7, Seq("spark", "stream", "join"))
         .select(col("doc_id"), round(col("sc") + lit(1e-9), 4).as("sc"))),
       "BM25 scores (the RRF sparse leg) must ignore physical layout")
+    assert(rows(QueriesPipeline.qualityPctile(g)) ==
+      rows(QueriesPipeline.qualityPctile(g7)),
+      "quality percentiles must ignore physical layout")
   }
 
   test("hierQuantizer/deepQuantizer drop memberless top branches (no out-of-training row loss)") {
@@ -1240,5 +1243,26 @@ class PipelineSpec extends SparkSuite {
     assert(a == c, "a saturated Bloom changed the answer — false negatives exist")
     assert(b == c, "the sized Bloom changed the answer")
     assert(c.nonEmpty, "vacuity guard: the sf0.001 batch must contain new fingerprints")
+  }
+
+  test("doc_quality_pctile: CDF-join percentiles equal the banned global-window plan") {
+    // the registry plan derives percent_rank from a <=101-row broadcast
+    // CDF; this golden runs the BANNED plan — percent_rank() over a
+    // corpus-wide window — as the reference implementation on real data
+    // (sf0.001 has score ties, asserted below, so the min-rank tie rule
+    // is exercised) and demands bit-equal rounded output
+    val d = "/root/testdata/sf0.001"
+    val got = Queries.registry.toMap.apply("doc_quality_pctile").fn(spark, d)
+      .as[(Long, Double, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+    val ref = graft.Tables.documents(spark, d).select(col("doc_id"),
+        round(TF.qualityScore(col("text")) + lit(1e-9), 2).as("score"))
+      .withColumn("pctile", round(lit(1e-9) + percent_rank().over(w), 4))
+      .orderBy("doc_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == ref, "CDF percentiles must equal window percent_rank")
+    val scores = got.map(_._2)
+    assert(scores.distinct.size < scores.size, "fixture must contain score ties")
+    assert(got.map(_._3).exists(p => p > 0.0 && p < 1.0), "vacuity guard")
   }
 }

@@ -572,4 +572,34 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
       s"CapKAgg must aggregate partial+final:\n$p")
   }
+
+  test("doc_quality_pctile: percent_rank from a tiny CDF, never a corpus sort") {
+    // the oracle's percent_rank() OVER (ORDER BY score) is a global
+    // corpus sort; the shipped plan may window ONLY the <= 101-row
+    // score-CDF aggregate (so every Window/SinglePartition sits above a
+    // HashAggregate) and must join the CDF back by broadcast. The
+    // corpus-sized frame crosses no required hash exchange at all —
+    // scoring is a projection and the join side is broadcast.
+    val p = plan("doc_quality_pctile")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the score CDF must broadcast back to the corpus:\n$p")
+    // windows are allowed only over the aggregated frame: every Window
+    // line must appear after a HashAggregate in its subtree — cheap
+    // structural proxy: the plan must contain a HashAggregate, and the
+    // corpus side (below the broadcast join's streamed side) must not
+    // sort. A corpus Sort would show as a SortExec above the file scan
+    // on the streamed side; the only sorts allowed are the final
+    // doc_id output sort and the CDF-frame window sort.
+    assert(p.contains("HashAggregate"), s"CDF aggregate missing:\n$p")
+    // the one required hash exchange is the CDF aggregate's, keyed on
+    // score (<= 101 distinct keys — KB-sized); a doc_id-keyed required
+    // exchange would mean the CORPUS is being shuffled
+    val ensures = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && l.contains("ENSURE_REQUIREMENTS")).toSeq
+    assert(ensures.size == 1 && ensures.head.contains("score"),
+      s"exactly one required hash exchange, keyed on score, got:\n${ensures.mkString("\n")}\n$p")
+    val singles = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(singles <= 2,
+      s"only the CDF window/total may single-partition (<=101 rows), got $singles:\n$p")
+  }
 }
