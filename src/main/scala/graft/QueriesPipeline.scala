@@ -2863,6 +2863,94 @@ object QueriesPipeline {
               |  sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
               |  coalesce(string_agg(CASE WHEN nd < 2 THEN seg END, ' ' ORDER BY gi), '')
               |    AS clean_text
-              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BPE tokenizer training (Sennrich et al. 2016) — the first 6 merge
+    // rounds over the corpus word-frequency table. The oracle replays
+    // each round as chained CTEs: pair counts from the evolving
+    // symbol-sequence table, argmax with the (freq desc, pair asc)
+    // tie-break, merge application via a list_reduce that reproduces
+    // the trainer's leftmost-nonoverlapping scan exactly. Scale shape:
+    // the corpus appears ONLY in the word-count hash aggregate (one
+    // map-side-combined exchange of (word, cnt) pairs); the capped top-V
+    // collect is a TakeOrderedAndProject (per-partition top-V, never a
+    // global sort) and the merge loop runs over model-sized state — see
+    // Bpe.scala's scaladoc for the 100 TB argument.
+    "doc_bpe_train" -> Q(
+      (s, d) => {
+        val m = graft.functions.Bpe.trainFromCorpus(docs(s, d), col("text"), BpeR)
+        import s.implicits._
+        m.merges.map(mg => (mg.rank, mg.lhs, mg.rhs, mg.freq))
+          .toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
+      },
+      Some {
+        val sel = (1 to BpeR).map(i =>
+          if (i == 1) s"SELECT 1 AS rank, l AS lhs, r AS rhs, f AS freq FROM k1"
+          else s"SELECT $i, l, r, f FROM k$i").mkString("\nUNION ALL ")
+        s"WITH ${bpeCtes(trainOnly = true)}\n$sel\nORDER BY rank"
+      }),
+
+    // BPE encoding of the corpus under the 6-merge model: per-doc token
+    // and subword counts. Encoding touches each DISTINCT word once (the
+    // word table, not the corpus) and broadcast-joins back to the
+    // per-doc token counts — the corpus-side work is the same hash
+    // aggregate the trainer ran, and the greedy min-rank segmentation is
+    // provably the trained representation for in-vocabulary words (see
+    // BpeModel's scaladoc), which the oracle exploits by reading
+    // segment lengths straight off the round-6 word table.
+    "doc_bpe_encode" -> Q(
+      (s, d) => {
+        val g = docs(s, d)
+        val m = graft.functions.Bpe.trainFromCorpus(g, col("text"), BpeR)
+        val wt = graft.functions.Bpe.encodeWordTable(
+          graft.functions.Bpe.wordCounts(g)(col("text")).select("word"), m)
+          .select(col("word"), col("n_syms").cast("long").as("n_syms"))
+        val tokc = g.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        tokc.join(broadcast(wt), "word")
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_tok"), sum(col("n") * col("n_syms")).as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tokc AS (SELECT doc_id, word, count(*)::BIGINT AS n
+              |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM documents) GROUP BY 1,2),
+              |${bpeCtes(trainOnly = false)}
+              |SELECT t.doc_id, sum(t.n)::BIGINT AS n_tok,
+              |  sum(t.n * len(w.syms))::BIGINT AS n_bpe
+              |FROM tokc t JOIN w$BpeR w USING (word) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** Registry BPE merge-round count (both entries + the oracle chain).
+    * A def, not a val: `entries` above evaluates during object init,
+    * BEFORE any val declared below it would be assigned (a val here
+    * reads as 0 and silently erases the oracle's training rounds). */
+  private def BpeR = 6
+
+  /** The BPE training replay as DuckDB CTEs: word counts → char symbol
+    * sequences (+ '</w>') → [[BpeR]] rounds of (pair-count, argmax,
+    * merge). `trainOnly` stops after the last round's pick k_R; the
+    * encode oracle carries the merge application through to w_R. Symbols
+    * never contain spaces (`\w`-class chars + the marker), so ' ' is a
+    * safe pair/reduce delimiter and `ORDER BY pr ASC` equals the
+    * trainer's (lhs asc, rhs asc) tie-break. */
+  private def bpeCtes(trainOnly: Boolean): String = {
+    val base = Seq(
+      s"wc AS (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)",
+      "w0 AS (SELECT word, cnt, list_append(list_transform(range(1, length(word)+1), i -> word[i:i]), '</w>') AS syms FROM wc)")
+    val rounds = (0 until BpeR).flatMap { i =>
+      val merge =
+        s"""w${i + 1} AS (SELECT word, cnt, list_filter(string_split(list_reduce(
+           |    list_transform(syms, s -> ' ' || s),
+           |    (acc, x) -> CASE WHEN x = ' ' || k.r AND acc[-(length(k.l)+1):] = ' ' || k.l
+           |      THEN acc[1:length(acc)-length(k.l)-1] || ' ' || k.l || k.r
+           |      ELSE acc || x END), ' '), s -> s <> '') AS syms FROM w$i, k${i + 1} k)""".stripMargin
+      Seq(
+        s"""p${i + 1} AS (SELECT pr, sum(cnt)::BIGINT AS f FROM (SELECT cnt,
+           |    unnest(list_transform(range(1, greatest(len(syms)-1,0)+1),
+           |      j -> syms[j] || ' ' || syms[j+1])) AS pr FROM w$i) GROUP BY 1)""".stripMargin,
+        s"k${i + 1} AS (SELECT split_part(pr,' ',1) AS l, split_part(pr,' ',2) AS r, f FROM p${i + 1} ORDER BY f DESC, pr ASC LIMIT 1)") ++
+        (if (trainOnly && i == BpeR - 1) Nil else Seq(merge))
+    }
+    (base ++ rounds).mkString(",\n")
+  }
 }

@@ -60,7 +60,12 @@ object SparkEntry {
       "evt_buffer10", "q_events_daily", "q_distinct_parts",
       // round 13 sixth batch: a sub-0.45 s stable projection (plan
       // unchanged since round 5) rotated out for doc_quality_pctile
-      "mm_frame_sample")
+      "mm_frame_sample",
+      // round 13 seventh batch: two sub-0.55 s stable entries (the TPC-H
+      // q03 broadcast join and the VWAP window pair, plans unchanged
+      // since the early rounds; doc_dedup_* is never-excludable) rotated
+      // out for doc_bpe_train / doc_bpe_encode
+      "q03_shipping_priority", "mkt_vwap")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Byte-pair-encoding tokenizer: distributed word-count training corpus,
+  * driver-side merge loop (the model), distributed encode over the
+  * DISTINCT-WORD table.
+  *
+  * Recipe: Sennrich, Haddow & Birch 2016 ("Neural Machine Translation of
+  * Rare Words with Subword Units") — the standard subword trainer every
+  * LLM data pipeline runs downstream of dedup/quality filtering. The
+  * reference engine has no tokenizer-training surface (its text ops stop
+  * at token streams, cf. `crates/wingfoil/src/ops.rs`); this op is part of
+  * the training-data-pipeline extension the build mandates.
+  *
+  * Scale shape (100 TB): BPE training state is a WORD-FREQUENCY table, not
+  * the corpus — `wordCounts` is one codegen'd hash aggregate whose exchange
+  * carries (word, count) pairs after map-side combine (Heaps' law: the
+  * distinct-word table grows ~n^0.5 of the corpus). The trainer collects
+  * only the top-`maxWords` rows by frequency (TakeOrderedAndProject — each
+  * partition ships at most `maxWords` rows, never a global sort), bounded
+  * by [[BpeMaxTrainWords]] exactly like the ANN side's
+  * [[Similarity.QuantizerModelMaxDoubles]]: the capped table IS the model
+  * input, and truncating the low-frequency tail is the published practice
+  * (rare words fall back to character merges). The merge LOOP is inherently
+  * global-sequential (each round's argmax depends on the last round's
+  * merge), so it runs on the driver over the capped table with incremental
+  * pair bookkeeping — O(affected-word length) per round, not O(table) —
+  * and the resulting [[BpeModel]] is a few thousand string pairs that
+  * broadcast to executors inside the encode closure. Encoding never maps
+  * the corpus row-by-row: [[encodeWordTable]] encodes each DISTINCT word
+  * once and the caller broadcast-joins the result back to token counts,
+  * so the corpus-side cost is the same hash aggregate the trainer ran.
+  */
+object Bpe {
+
+  /** End-of-word marker appended as a standalone symbol (Sennrich §3.2's
+    * `</w>`): '<', '/', '>' are non-`\w`, so the marker can never collide
+    * with corpus characters produced by the `\W+` tokenizer. */
+  val EndMark = "</w>"
+
+  /** Driver-side cap on the trainable word table (rows). 1M words ×
+    * ~10 chars ≈ tens of MB on the driver — the same loud-require
+    * discipline as the quantizer model caps. */
+  val BpeMaxTrainWords: Int = 1 << 20
+
+  final case class Merge(rank: Int, lhs: String, rhs: String, freq: Long)
+
+  /** Ordered merge table. Encoding applies merges lowest-rank-first,
+    * leftmost-nonoverlapping — provably identical to replaying the
+    * training rounds in order, because a merge can only create new
+    * adjacencies INVOLVING its own output symbol (two pre-existing
+    * symbols never become adjacent by someone else's merge), so no
+    * earlier-rank pair ever reappears after its round. */
+  final case class BpeModel(merges: IndexedSeq[Merge]) {
+    @transient private lazy val rank: Map[(String, String), Int] =
+      merges.iterator.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+
+    /** Greedy min-rank BPE segmentation of one word (plus [[EndMark]]). */
+    def encodeWord(w: String): Array[String] = {
+      var s: Array[String] = charSyms(w)
+      var done = s.length < 2
+      while (!done) {
+        var bi = Int.MaxValue
+        var bl: String = null; var br: String = null
+        var j = 0
+        while (j < s.length - 1) {
+          rank.get((s(j), s(j + 1))).foreach { i =>
+            if (i < bi) { bi = i; bl = s(j); br = s(j + 1) }
+          }
+          j += 1
+        }
+        if (bl == null) done = true
+        else { s = mergePair(s, bl, br); done = s.length < 2 }
+      }
+      s
+    }
+  }
+
+  private def charSyms(w: String): Array[String] = {
+    val out = new Array[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { out(i) = w.substring(i, i + 1); i += 1 }
+    out(w.length) = EndMark
+    out
+  }
+
+  /** One merge pass: leftmost-nonoverlapping replacement of the adjacent
+    * pair (l, r) with the concatenated symbol — [a,a,a] under (a,a)
+    * becomes [aa, a], matching the oracle's list_reduce replay. */
+  private[graft] def mergePair(s: Array[String], l: String, r: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < s.length) {
+      if (j < s.length - 1 && s(j) == l && s(j + 1) == r) { out += l + r; j += 2 }
+      else { out += s(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** (word, cnt) table for a (…, text) frame: the one corpus-sized
+    * aggregate in the family (map-side combined; the exchange carries
+    * distinct words per partition, never token instances). */
+  def wordCounts(doc: DataFrame): Column => DataFrame = { textCol =>
+    doc.select(explode(TextFunctions.tokens(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Driver merge loop over a capped (word, cnt) array. Pair counts follow
+    * Sennrich's get_stats: every adjacent POSITION counts (overlapping
+    * runs included), weighted by word frequency; ties break on
+    * (freq desc, lhs asc, rhs asc) — the deterministic order the oracle
+    * replays as `ORDER BY f DESC, pair ASC` (space sorts below `\w`).
+    * Incremental bookkeeping: each round touches only the words that
+    * contain the chosen pair. */
+  def train(wc: Array[(String, Long)], nMerges: Int): IndexedSeq[Merge] = {
+    val words: Array[Array[String]] = wc.map(t => charSyms(t._1))
+    val counts: Array[Long] = wc.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nc = pairCount.getOrElse(p, 0L) + sign * counts(i)
+        if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var r = 0
+    while (r < nMerges && pairCount.nonEmpty) {
+      var bl: String = null; var br: String = null; var bf = -1L
+      pairCount.foreach { case ((l, rr), f) =>
+        if (f > bf || (f == bf && (l < bl || (l == bl && rr < br)))) {
+          bl = l; br = rr; bf = f
+        }
+      }
+      merges += Merge(r + 1, bl, br, bf)
+      // pairWords sets go stale as words mutate — re-verify on use
+      val affected = pairWords.getOrElse((bl, br), mutable.BitSet.empty).toArray
+      affected.foreach { i =>
+        val s = words(i)
+        var has = false
+        var j = 0
+        while (!has && j < s.length - 1) { has = s(j) == bl && s(j + 1) == br; j += 1 }
+        if (has) {
+          addPairs(i, -1L)
+          words(i) = mergePair(s, bl, br)
+          addPairs(i, 1L)
+        }
+      }
+      r += 1
+    }
+    merges.toIndexedSeq
+  }
+
+  /** End-to-end trainer: word-count aggregate → top-`maxWords` by
+    * (cnt desc, word asc) via TakeOrderedAndProject → driver merge loop. */
+  def trainFromCorpus(doc: DataFrame, textCol: Column, nMerges: Int,
+      maxWords: Int = BpeMaxTrainWords): BpeModel = {
+    require(maxWords > 0 && maxWords <= BpeMaxTrainWords,
+      s"bpe: maxWords=$maxWords outside (0, $BpeMaxTrainWords] — the trainable " +
+        "word table is driver-resident model input; raise the cap consciously " +
+        "or pre-aggregate a coarser vocabulary")
+    val top = wordCounts(doc)(textCol)
+      .orderBy(desc("cnt"), asc("word")).limit(maxWords)
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    BpeModel(train(top, nMerges))
+  }
+
+  /** Encode a (word) frame: adds `syms` (the BPE segmentation) and
+    * `n_syms`. The model rides the closure (bounded by construction);
+    * callers join this DISTINCT-word frame back to per-doc token counts —
+    * broadcast-sized whenever the vocabulary is, which is the regime the
+    * trainer cap enforces. */
+  def encodeWordTable(words: DataFrame, model: BpeModel): DataFrame = {
+    val enc = udf((w: String) => model.encodeWord(w))
+    words.withColumn("syms", enc(col("word")))
+      .withColumn("n_syms", size(col("syms")))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.Bpe
+import graft.functions.Bpe.{BpeModel, Merge}
+import org.apache.spark.sql.functions._
+
+/** BPE trainer/encoder goldens: the Sennrich-1 worked example by hand,
+  * the overlap-counting and leftmost-nonoverlap merge contracts, the
+  * encode≡training-replay equivalence on the real corpus, the frequency
+  * cap, and OOV encoding. The registry entries (doc_bpe_train/_encode)
+  * gate the distributed legs against the DuckDB replay. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def wc(pairs: (String, Long)*): Array[(String, Long)] = pairs.toArray
+
+  test("trainer reproduces the hand-computed merge sequence with the (freq, pair) tie-break") {
+    // corpus: low x2, lower x1, newest x3 (hand-verified):
+    //   round 1: (w,e) f=4  — lower has 1, each newest has 1 (n-e-W-E-s-t)
+    //   round 2: tie at 3 between (e,we),(l,o),(n,e),(s,t),(t,</w>),(we,s)
+    //            -> lexicographically smallest pair (e,we)
+    val m = Bpe.train(wc("low" -> 2L, "lower" -> 1L, "newest" -> 3L), 2)
+    assert(m == IndexedSeq(Merge(1, "w", "e", 4L), Merge(2, "e", "we", 3L)))
+  }
+
+  test("pair counting is per-position (overlaps included); merging is leftmost-nonoverlapping") {
+    // 'aaa' -> [a,a,a,</w>]: (a,a) counts 2 (positions 1 and 2), wins
+    // round 1; the merge pass yields [aa,a,</w>] (leftmost first, no
+    // overlap), so round 2 ties (a,</w>) vs (aa,a) at 1 -> 'a </w>' sorts
+    // below 'aa a' (space < 'a') -> (a,</w>)
+    val m = Bpe.train(wc("aaa" -> 1L), 2)
+    assert(m == IndexedSeq(Merge(1, "a", "a", 2L), Merge(2, "a", Bpe.EndMark, 1L)))
+  }
+
+  test("encodeWord equals replaying the training merges in rank order (the equivalence the oracle rests on)") {
+    val g = Tables.documents(spark, "/root/testdata/sf0.001").select("text")
+    val model = Bpe.trainFromCorpus(g, col("text"), nMerges = 24)
+    assert(model.merges.size == 24)
+    def replay(w: String): Seq[String] = {
+      var s: Array[String] = (w.map(_.toString) :+ Bpe.EndMark).toArray
+      model.merges.foreach(m => s = Bpe.mergePair(s, m.lhs, m.rhs))
+      s.toSeq
+    }
+    val words = Bpe.wordCounts(g)(col("text")).select("word")
+      .as[String].collect()
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(model.encodeWord(w).toSeq == replay(w),
+        s"greedy min-rank encode diverged from the training replay on '$w'")
+    }
+  }
+
+  test("maxWords cap trains on the top-V words by (cnt desc, word asc) only") {
+    val g = Seq("zz zz zz yy yy xq").toDF("text")
+    // cap=2 keeps zz(3), yy(2); round 1 over {zz x3, yy x2} ties (z,z)
+    // and (z,</w>) at 3 -> r-asc tie-break: '<' sorts below 'z', so the
+    // marker pair wins (and the oracle's ORDER BY pr agrees: space <
+    // every \w char)
+    val m = Bpe.trainFromCorpus(g, col("text"), nMerges = 1, maxWords = 2)
+    assert(m.merges == IndexedSeq(Merge(1, "z", Bpe.EndMark, 3L)))
+    val uncapped = Bpe.trainFromCorpus(g, col("text"), nMerges = 1)
+    assert(uncapped.merges == IndexedSeq(Merge(1, "z", Bpe.EndMark, 3L)),
+      "xq's singleton pairs must not change the capped winner either")
+  }
+
+  test("OOV words encode greedily under the learned merges") {
+    val model = BpeModel(IndexedSeq(Merge(1, "a", "b", 9L), Merge(2, "ab", "c", 5L)))
+    assert(model.encodeWord("abc").toSeq == Seq("abc", Bpe.EndMark))
+    assert(model.encodeWord("abab").toSeq == Seq("ab", "ab", Bpe.EndMark))
+    assert(model.encodeWord("xyz").toSeq ==
+      Seq("x", "y", "z", Bpe.EndMark), "no applicable merge -> chars + marker")
+  }
+
+  test("encodeWordTable carries the segmentation and its length; cap require is loud") {
+    val model = BpeModel(IndexedSeq(Merge(1, "a", "b", 2L)))
+    val out = Bpe.encodeWordTable(Seq("ab", "ba").toDF("word"), model)
+      .orderBy("word").as[(String, Seq[String], Int)].collect()
+    assert(out.toSeq == Seq(
+      ("ab", Seq("ab", Bpe.EndMark), 2),
+      ("ba", Seq("b", "a", Bpe.EndMark), 3)))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainFromCorpus(Seq("x").toDF("text"), col("text"), 1,
+        maxWords = Bpe.BpeMaxTrainWords + 1)
+    }
+    assert(e.getMessage.contains("driver-resident"))
+  }
+
+  test("trainer stops early when no pairs remain") {
+    // single 1-char word: [q, </w>] has one pair; after merging it the
+    // table is all single symbols — requesting 5 merges yields 2
+    val m = Bpe.train(wc("q" -> 1L), 5)
+    assert(m == IndexedSeq(Merge(1, "q", Bpe.EndMark, 1L)))
+  }
+}

@@ -602,4 +602,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(singles <= 2,
       s"only the CDF window/total may single-partition (<=101 rows), got $singles:\n$p")
   }
+
+  test("bpe: vocab cap is per-partition top-V (TakeOrdered), never a global sort") {
+    // the trainer's only corpus-sized action is the word-count aggregate;
+    // the maxWords cap must plan as TakeOrderedAndProject (each partition
+    // ships at most V rows to the driver merge) — an Exchange
+    // rangepartitioning here would mean the WORD TABLE is being globally
+    // sorted just to take its head
+    val top = graft.functions.Bpe.wordCounts(Tables.documents(spark, d))(col("text"))
+      .orderBy(desc("cnt"), asc("word")).limit(graft.functions.Bpe.BpeMaxTrainWords)
+    val tp = top.queryExecution.executedPlan.toString
+    assert(tp.contains("TakeOrderedAndProject"),
+      s"capped vocab collect lost its top-V shape:\n$tp")
+    assert(!tp.contains("Exchange rangepartitioning"),
+      s"vocab cap must not globally sort the word table:\n$tp")
+  }
+
+  test("doc_bpe_encode: word table broadcasts; corpus aggregates ride the doc_id partitioning") {
+    // encode touches each DISTINCT word once and broadcast-joins back to
+    // per-doc token counts: the encoded word table must be the BUILD side
+    // of a BroadcastHashJoin (a SortMergeJoin would shuffle the corpus on
+    // word), and the per-doc aggregates must reuse the documents table's
+    // doc_id partitioning (subset rule) — the only required hash exchange
+    // in the plan is the word-distinct inside the broadcast subtree
+    val p = plan("doc_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"encoded word table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle on word:\n$p")
+    val ensures = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && l.contains("ENSURE_REQUIREMENTS")).toSeq
+    assert(ensures.size == 1 && ensures.head.contains("word"),
+      s"exactly one required hash exchange (the word distinct), got:\n${ensures.mkString("\n")}")
+    val range = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(range == 1, s"only the output orderBy may range-partition, got $range:\n$p")
+  }
 }
