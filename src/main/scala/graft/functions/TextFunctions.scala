@@ -51,11 +51,19 @@ object TextFunctions {
     * so the tokenizer/hash chain cannot drift between the batch Column
     * form and the stream-side closure (both are pinned bit-identical to
     * tokens/ngrams/hash60 by PipelineSpec). */
+  /** The [[tokens]] chain as a plain JVM function (lower + `\W+` split +
+    * drop empties) — shared with stream-side closures (BpeStream,
+    * DsirStream via [[ngramHashesJvm]]) so the tokenizer cannot drift
+    * between the batch Column form and streaming twins; pinned
+    * bit-identical to the Column chain by PipelineSpec. */
+  def tokensJvm(t: String): Array[String] =
+    if (t == null) Array.empty[String]
+    else t.toLowerCase(java.util.Locale.ROOT).split("\\W+").filter(_.nonEmpty)
+
   def ngramHashesJvm(t: String, n: Int): Array[Long] = {
     if (t == null) Array.empty[Long]
     else {
-      val toks = t.toLowerCase(java.util.Locale.ROOT)
-        .split("\\W+").filter(_.nonEmpty)
+      val toks = tokensJvm(t)
       if (toks.length < n) Array.empty[Long]
       else {
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -767,4 +767,33 @@ class ParitySpec extends SparkSuite {
     val p2 = BudgetStream.step(p1._1, Seq(DocBudgetArrival(9, 0.99, 1)), 10L)
     assert(!p2._2.head.keep, "spend is irrevocable")
   }
+
+  test("BPE encode streaming: frozen-model per-arrival projection == batch word-table join") {
+    // the tokenizer family's streaming leg: the batch op encodes the
+    // DISTINCT-word table once and broadcast-joins back; the live form
+    // encodes each arrival directly under the frozen model. Row-for-row
+    // equality across TWO micro-batches proves (a) the two encode paths
+    // agree (join-side trained table vs closure-side greedy min-rank)
+    // and (b) batch boundaries cannot matter (the leg is stateless).
+    import graft.functions.Bpe
+    import graft.streaming.BpeStream
+    val d = "/root/testdata/sf0.001"
+    val g = Tables.documents(spark, d).select("doc_id", "text")
+    val model = Bpe.trainFromCorpus(g, col("text"), nMerges = 6) // the registry config
+    val batch = Queries.registry.toMap.apply("doc_bpe_encode").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = g.as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows.forall(_._2.trim.nonEmpty), "parity precondition: no empty docs at this SF")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = BpeStream.encodeCounts(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("bpe_par").outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    Seq(b1, b2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val stream = spark.table("bpe_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && stream == batch,
+      s"streaming != batch: only-stream=${stream -- batch}, only-batch=${batch -- stream}")
+  }
 }
