@@ -2917,7 +2917,57 @@ object QueriesPipeline {
               |${bpeCtes(trainOnly = false)}
               |SELECT t.doc_id, sum(t.n)::BIGINT AS n_tok,
               |  sum(t.n * len(w.syms))::BIGINT AS n_bpe
-              |FROM tokc t JOIN w$BpeR w USING (word) GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM tokc t JOIN w$BpeR w USING (word) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Tokenizer generalization report: train BPE on every source EXCEPT
+    // the held-out src7, then encode src7 and report per-doc token /
+    // subword / OOV-token counts (fertility and OOV rate are the two
+    // numbers that decide when a production tokenizer retrains). The
+    // synthetic sources share one vocabulary, so the query PLANTS a
+    // deterministic OOV word per eval doc (' zq<doc_id%13>x' — the
+    // doc_pii_scrub augmentation discipline: both engines plant the
+    // identical token). The oracle can encode even the out-of-vocabulary
+    // words: it pushes the eval split's distinct words through the SAME
+    // frozen picks k_1..k_6 in rank order, exact for any word by the
+    // BpeModel ordered-replay equivalence. Scale shape: the train side
+    // is the word-count aggregate; the eval side encodes its DISTINCT
+    // words once; vocabulary membership joins against the DRIVER-
+    // RESIDENT capped vocab (model output — no second corpus scan).
+    "doc_bpe_oov" -> Q(
+      (s, d) => {
+        val g = docs(s, d)
+        val (m, vocab) = graft.functions.Bpe.trainFromCorpusWithVocab(
+          g.where(col("source") =!= "src7"), col("text"), BpeR)
+        import s.implicits._
+        val vocabDf = vocab.map(_._1).toSeq.toDF("word").withColumn("inv", lit(true))
+        val ev = g.where(col("source") === "src7").select(col("doc_id"),
+          concat(col("text"), lit(" zq"), (col("doc_id") % 13).cast("string"),
+            lit("x")).as("etext"))
+        val tokc = ev.select(col("doc_id"), explode(TF.tokens(col("etext"))).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        val wt = graft.functions.Bpe.encodeWordTable(tokc.select("word").distinct(), m)
+          .select(col("word"), col("n_syms").cast("long").as("n_syms"))
+        tokc.join(broadcast(wt), "word")
+          .join(broadcast(vocabDf), Seq("word"), "left_outer")
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_tok"),
+            sum(col("n") * col("n_syms")).as("n_bpe"),
+            sum(when(col("inv").isNull, col("n")).otherwise(lit(0L))).as("n_oov"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ed AS (SELECT doc_id, text || ' zq' || (doc_id % 13)::VARCHAR || 'x' AS text
+              |  FROM documents WHERE source = 'src7'),
+              |tokc AS (SELECT doc_id, word, count(*)::BIGINT AS n
+              |  FROM (SELECT doc_id, unnest($TOKS) AS word FROM ed) GROUP BY 1,2),
+              |${bpeCtes(trainOnly = true, trainWhere = " WHERE source <> 'src7'")},
+              |ew AS (SELECT DISTINCT word, 1::BIGINT AS cnt FROM tokc),
+              |${bpeEvalCtes("ew")}
+              |SELECT t.doc_id, sum(t.n)::BIGINT AS n_tok,
+              |  sum(t.n * len(e.syms))::BIGINT AS n_bpe,
+              |  sum(CASE WHEN v.word IS NULL THEN t.n ELSE 0 END)::BIGINT AS n_oov
+              |FROM tokc t JOIN e$BpeR e USING (word)
+              |LEFT JOIN (SELECT word FROM wc) v USING (word)
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Registry BPE merge-round count (both entries + the oracle chain).
@@ -2926,31 +2976,51 @@ object QueriesPipeline {
     * reads as 0 and silently erases the oracle's training rounds). */
   private def BpeR = 6
 
-  /** The BPE training replay as DuckDB CTEs: word counts → char symbol
-    * sequences (+ '</w>') → [[BpeR]] rounds of (pair-count, argmax,
-    * merge). `trainOnly` stops after the last round's pick k_R; the
-    * encode oracle carries the merge application through to w_R. Symbols
-    * never contain spaces (`\w`-class chars + the marker), so ' ' is a
-    * safe pair/reduce delimiter and `ORDER BY pr ASC` equals the
-    * trainer's (lhs asc, rhs asc) tie-break. */
-  private def bpeCtes(trainOnly: Boolean): String = {
+  /** One BPE merge application as a CTE: `dst` = `src` with round `k`'s
+    * pair merged, the trainer's leftmost-nonoverlapping scan replayed by
+    * a list_reduce over delimiter-prefixed symbols. */
+  private def bpeMergeCte(src: String, dst: String, k: String): String =
+    s"""$dst AS (SELECT word, cnt, list_filter(string_split(list_reduce(
+       |    list_transform(syms, s -> ' ' || s),
+       |    (acc, x) -> CASE WHEN x = ' ' || k.r AND acc[-(length(k.l)+1):] = ' ' || k.l
+       |      THEN acc[1:length(acc)-length(k.l)-1] || ' ' || k.l || k.r
+       |      ELSE acc || x END), ' '), s -> s <> '') AS syms FROM $src, $k k)""".stripMargin
+
+  /** Char-symbol bootstrap (+ '</w>' marker) for a (word[, cnt]) CTE. */
+  private def bpeSymsCte(dst: String, from: String): String =
+    s"$dst AS (SELECT word, cnt, list_append(list_transform(range(1, length(word)+1), i -> word[i:i]), '</w>') AS syms FROM $from)"
+
+  /** The BPE training replay as DuckDB CTEs: word counts (over the
+    * `trainWhere` split) → char symbol sequences → [[BpeR]] rounds of
+    * (pair-count, argmax, merge). `trainOnly` stops after the last
+    * round's pick k_R; the encode oracle carries the merge application
+    * through to w_R. Symbols never contain spaces (`\w`-class chars +
+    * the marker), so ' ' is a safe pair/reduce delimiter and
+    * `ORDER BY pr ASC` equals the trainer's (lhs asc, rhs asc)
+    * tie-break. */
+  private def bpeCtes(trainOnly: Boolean, trainWhere: String = ""): String = {
     val base = Seq(
-      s"wc AS (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest($TOKS) AS word FROM documents) GROUP BY 1)",
-      "w0 AS (SELECT word, cnt, list_append(list_transform(range(1, length(word)+1), i -> word[i:i]), '</w>') AS syms FROM wc)")
+      s"wc AS (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest($TOKS) AS word FROM documents$trainWhere) GROUP BY 1)",
+      bpeSymsCte("w0", "wc"))
     val rounds = (0 until BpeR).flatMap { i =>
-      val merge =
-        s"""w${i + 1} AS (SELECT word, cnt, list_filter(string_split(list_reduce(
-           |    list_transform(syms, s -> ' ' || s),
-           |    (acc, x) -> CASE WHEN x = ' ' || k.r AND acc[-(length(k.l)+1):] = ' ' || k.l
-           |      THEN acc[1:length(acc)-length(k.l)-1] || ' ' || k.l || k.r
-           |      ELSE acc || x END), ' '), s -> s <> '') AS syms FROM w$i, k${i + 1} k)""".stripMargin
       Seq(
         s"""p${i + 1} AS (SELECT pr, sum(cnt)::BIGINT AS f FROM (SELECT cnt,
            |    unnest(list_transform(range(1, greatest(len(syms)-1,0)+1),
            |      j -> syms[j] || ' ' || syms[j+1])) AS pr FROM w$i) GROUP BY 1)""".stripMargin,
         s"k${i + 1} AS (SELECT split_part(pr,' ',1) AS l, split_part(pr,' ',2) AS r, f FROM p${i + 1} ORDER BY f DESC, pr ASC LIMIT 1)") ++
-        (if (trainOnly && i == BpeR - 1) Nil else Seq(merge))
+        (if (trainOnly && i == BpeR - 1) Nil
+         else Seq(bpeMergeCte(s"w$i", s"w${i + 1}", s"k${i + 1}")))
     }
     (base ++ rounds).mkString(",\n")
   }
+
+  /** Eval-side encode chain: the held-out split's distinct words pushed
+    * through the SAME frozen picks k_1..k_R in rank order — valid for
+    * OUT-OF-VOCABULARY words too, because ordered single-pass
+    * application equals greedy min-rank encoding for ANY word (the
+    * BpeModel equivalence; no earlier-rank pair can reappear). */
+  private def bpeEvalCtes(evalFrom: String): String =
+    (Seq(bpeSymsCte("e0", evalFrom)) ++
+      (0 until BpeR).map(i => bpeMergeCte(s"e$i", s"e${i + 1}", s"k${i + 1}")))
+      .mkString(",\n")
 }

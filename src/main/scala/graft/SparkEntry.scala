@@ -61,11 +61,12 @@ object SparkEntry {
       // round 13 sixth batch: a sub-0.45 s stable projection (plan
       // unchanged since round 5) rotated out for doc_quality_pctile
       "mm_frame_sample",
-      // round 13 seventh batch: two sub-0.55 s stable entries (the TPC-H
-      // q03 broadcast join and the VWAP window pair, plans unchanged
-      // since the early rounds; doc_dedup_* is never-excludable) rotated
-      // out for doc_bpe_train / doc_bpe_encode
-      "q03_shipping_priority", "mkt_vwap")
+      // round 13 seventh batch: three sub-0.55 s stable entries (the
+      // TPC-H q03 broadcast join, the VWAP window pair, the sessionize
+      // window chain — plans unchanged since the early rounds;
+      // doc_dedup_* is never-excludable) rotated out for doc_bpe_train /
+      // doc_bpe_encode / doc_bpe_oov
+      "q03_shipping_priority", "mkt_vwap", "evt_sessionize_1h")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

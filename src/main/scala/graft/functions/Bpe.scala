@@ -117,10 +117,18 @@ object Bpe {
     * Incremental bookkeeping: each round touches only the words that
     * contain the chosen pair. */
   def train(wc: Array[(String, Long)], nMerges: Int): IndexedSeq[Merge] = {
+    require(wc.forall(_._2 > 0L), "bpe.train: word counts must be positive")
     val words: Array[Array[String]] = wc.map(t => charSyms(t._1))
     val counts: Array[Long] = wc.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // inverted index pair -> word indices. A plain append list, NOT a
+    // BitSet: BitSets are dense in the INDEX space (one high-index word
+    // costs maxIdx/8 bytes per pair), while total list entries are
+    // bounded by total pair positions ~ vocab x avg word length.
+    // Entries can repeat (a pair occurring twice in one word) and go
+    // stale as words mutate; the apply loop re-verifies before use and
+    // mergePair removes ALL occurrences, so re-visits are no-ops.
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
 
     def addPairs(i: Int, sign: Long): Unit = {
       val s = words(i)
@@ -129,7 +137,10 @@ object Bpe {
         val p = (s(j), s(j + 1))
         val nc = pairCount.getOrElse(p, 0L) + sign * counts(i)
         if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
-        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        if (sign > 0) {
+          val b = pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+          if (b.isEmpty || b.last != i) b += i
+        }
         j += 1
       }
     }
@@ -145,8 +156,9 @@ object Bpe {
         }
       }
       merges += Merge(r + 1, bl, br, bf)
-      // pairWords sets go stale as words mutate — re-verify on use
-      val affected = pairWords.getOrElse((bl, br), mutable.BitSet.empty).toArray
+      // stale/duplicate indices are re-verified before use (see above)
+      val affected = pairWords.remove((bl, br))
+        .getOrElse(mutable.ArrayBuffer.empty[Int])
       affected.foreach { i =>
         val s = words(i)
         var has = false
@@ -166,7 +178,16 @@ object Bpe {
   /** End-to-end trainer: word-count aggregate → top-`maxWords` by
     * (cnt desc, word asc) via TakeOrderedAndProject → driver merge loop. */
   def trainFromCorpus(doc: DataFrame, textCol: Column, nMerges: Int,
-      maxWords: Int = BpeMaxTrainWords): BpeModel = {
+      maxWords: Int = BpeMaxTrainWords): BpeModel =
+    trainFromCorpusWithVocab(doc, textCol, nMerges, maxWords)._1
+
+  /** [[trainFromCorpus]] plus the capped (word, cnt) table the merges
+    * were trained on — the full tokenizer artifact (merges AND vocab,
+    * the pair every published tokenizer format ships), so vocabulary-
+    * membership checks (OOV rates, coverage reports) never re-scan the
+    * corpus: the vocab is driver-resident model output by construction. */
+  def trainFromCorpusWithVocab(doc: DataFrame, textCol: Column, nMerges: Int,
+      maxWords: Int = BpeMaxTrainWords): (BpeModel, Array[(String, Long)]) = {
     require(maxWords > 0 && maxWords <= BpeMaxTrainWords,
       s"bpe: maxWords=$maxWords outside (0, $BpeMaxTrainWords] — the trainable " +
         "word table is driver-resident model input; raise the cap consciously " +
@@ -174,7 +195,7 @@ object Bpe {
     val top = wordCounts(doc)(textCol)
       .orderBy(desc("cnt"), asc("word")).limit(maxWords)
       .collect().map(row => (row.getString(0), row.getLong(1)))
-    BpeModel(train(top, nMerges))
+    (BpeModel(train(top, nMerges)), top)
   }
 
   /** Encode a (word) frame: adds `syms` (the BPE segmentation) and
