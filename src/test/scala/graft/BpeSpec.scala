@@ -85,6 +85,61 @@ class BpeSpec extends SparkSuite {
     assert(e.getMessage.contains("driver-resident"))
   }
 
+  test("incremental trainer == naive recompute-from-scratch reference on adversarial corpora") {
+    // the inverted-index bookkeeping (stale entries, duplicate indices,
+    // per-round deltas) is the only nontrivial driver code in the
+    // family; this pins it against a reference trainer that recounts
+    // EVERY pair from the whole word table each round. The {a,b}
+    // alphabet maximizes pair collisions and overlapping runs (aaaa...)
+    // — exactly the cases incremental deltas get wrong.
+    import scala.collection.mutable
+    def naive(wc: Array[(String, Long)], nMerges: Int): IndexedSeq[Merge] = {
+      var words = wc.map(t => (t._1.map(_.toString) :+ Bpe.EndMark).toArray)
+      val counts = wc.map(_._2)
+      val out = mutable.ArrayBuffer.empty[Merge]
+      var r = 0
+      var go = true
+      while (r < nMerges && go) {
+        val pc = mutable.HashMap.empty[(String, String), Long]
+        for (i <- words.indices; j <- 0 until words(i).length - 1) {
+          val p = (words(i)(j), words(i)(j + 1))
+          pc(p) = pc.getOrElse(p, 0L) + counts(i)
+        }
+        if (pc.isEmpty) go = false
+        else {
+          val ((l, rr), f) = pc.toSeq.minBy { case ((l, rr), f) => (-f, l, rr) }
+          out += Merge(r + 1, l, rr, f)
+          words = words.map(w => Bpe.mergePair(w, l, rr))
+          r += 1
+        }
+      }
+      out.toIndexedSeq
+    }
+    val ab = (1 to 4).flatMap(n =>
+      (0 until (1 << n)).map(m =>
+        (0 until n).map(b => if (((m >> b) & 1) == 0) 'a' else 'b').mkString))
+    val cases: Seq[Array[(String, Long)]] = Seq(
+      ab.zipWithIndex.map { case (w, i) => (w, 1L + (i % 3)) }.toArray, // heavy ties
+      ab.zipWithIndex.collect { case (w, i) if i % 2 == 0 => (w, 1L + (i % 5)) }.toArray,
+      Array.tabulate(5)(i => ("a" * (i + 1), (i + 1).toLong)),          // pure runs
+      ab.map(w => (w, 1L)).toArray)                                     // total tie storm
+    cases.zipWithIndex.foreach { case (wc, ci) =>
+      val got = Bpe.train(wc.map(identity), 12)
+      val exp = naive(wc.map(identity), 12)
+      assert(got == exp, s"case $ci: incremental=$got naive=$exp")
+    }
+    // encode equivalence over every length<=5 {a,b} word under case-0's
+    // 12-merge model (OOV lengths included)
+    val model = Bpe.BpeModel(Bpe.train(cases.head.map(identity), 12))
+    val all5 = (1 to 5).flatMap(n => (0 until (1 << n)).map(m =>
+      (0 until n).map(b => if (((m >> b) & 1) == 0) 'a' else 'b').mkString))
+    all5.foreach { w =>
+      var s: Array[String] = (w.map(_.toString) :+ Bpe.EndMark).toArray
+      model.merges.foreach(mg => s = Bpe.mergePair(s, mg.lhs, mg.rhs))
+      assert(model.encodeWord(w).toSeq == s.toSeq, s"encode!=replay on '$w'")
+    }
+  }
+
   test("trainer stops early when no pairs remain") {
     // single 1-char word: [q, </w>] has one pair; after merging it the
     // table is all single symbols — requesting 5 merges yields 2
