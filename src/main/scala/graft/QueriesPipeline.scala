@@ -2902,6 +2902,12 @@ object QueriesPipeline {
       (s, d) => {
         val g = docs(s, d)
         val m = graft.functions.Bpe.trainFromCorpus(g, col("text"), BpeR)
+        // the oracle reads segment lengths off the replayed round-R word
+        // table; greedy encode equals that replay only under the checked
+        // preconditions (see BpeModel's scaladoc) — fail loudly, never
+        // desync the engines silently
+        require(m.replayExact,
+          "doc_bpe_encode: trained model escapes the replay-equivalence preconditions")
         val wt = graft.functions.Bpe.encodeWordTable(
           graft.functions.Bpe.wordCounts(g)(col("text")).select("word"), m)
           .select(col("word"), col("n_syms").cast("long").as("n_syms"))
@@ -2938,6 +2944,11 @@ object QueriesPipeline {
         val g = docs(s, d)
         val (m, vocab) = graft.functions.Bpe.trainFromCorpusWithVocab(
           g.where(col("source") =!= "src7"), col("text"), BpeR)
+        // the oracle pushes OOV words through the rank-order e-chain;
+        // greedy encode equals that replay only under the checked
+        // preconditions (BpeModel scaladoc) — fail loudly on escape
+        require(m.replayExact,
+          "doc_bpe_oov: trained model escapes the replay-equivalence preconditions")
         import s.implicits._
         val vocabDf = vocab.map(_._1).toSeq.toDF("word").withColumn("inv", lit(true))
         val ev = g.where(col("source") === "src7").select(col("doc_id"),

@@ -50,11 +50,33 @@ object Bpe {
   final case class Merge(rank: Int, lhs: String, rhs: String, freq: Long)
 
   /** Ordered merge table. Encoding applies merges lowest-rank-first,
-    * leftmost-nonoverlapping — provably identical to replaying the
-    * training rounds in order, because a merge can only create new
-    * adjacencies INVOLVING its own output symbol (two pre-existing
-    * symbols never become adjacent by someone else's merge), so no
-    * earlier-rank pair ever reappears after its round. */
+    * leftmost-nonoverlapping — identical to replaying the training
+    * rounds in order ([[replayWord]]) UNDER TWO MODEL-ONLY
+    * PRECONDITIONS, machine-checked by [[replayExact]]:
+    *
+    *  1. **derivable operands**: each merge's lhs/rhs is a single char,
+    *     [[EndMark]], or the output of an earlier-rank merge (trained
+    *     models satisfy this by construction — a pair can only be
+    *     counted between symbols that exist); and
+    *  2. **injective outputs**: no two merges concatenate to the same
+    *     string. Symbols are STRINGS, so two distinct merges can
+    *     produce the same text — (a,ab) and (aa,b) both yield "aab" —
+    *     and then a later-rank merge re-creates a symbol that
+    *     participates in an earlier-rank pair, which greedy encode
+    *     applies but the ordered replay (and the DuckDB e-chain
+    *     oracle) would not.
+    *
+    * Under (1), any new adjacency created by merge k involves merge
+    * k's own output symbol; under (2), that output string cannot equal
+    * any operand of an earlier-rank pair (that operand would be a
+    * char, EndMark, or a DIFFERENT merge's identical output) — so no
+    * earlier-rank pair ever reappears after its round, and the greedy
+    * min-rank encode consumes merges in exactly replay order.
+    * BpeSpec's adversarial golden exhibits the divergence when (1) is
+    * violated; queries whose oracle replays the merge chain
+    * (doc_bpe_encode/doc_bpe_oov) `require(replayExact)` so a model
+    * that escapes the preconditions fails loudly, never silently
+    * desyncing the engines. */
   final case class BpeModel(merges: IndexedSeq[Merge]) {
     @transient private lazy val rank: Map[(String, String), Int] =
       merges.iterator.map(m => (m.lhs, m.rhs) -> m.rank).toMap
@@ -77,6 +99,32 @@ object Bpe {
         else { s = mergePair(s, bl, br); done = s.length < 2 }
       }
       s
+    }
+
+    /** Single-pass rank-order replay — the DuckDB e-chain's semantics:
+      * each merge applied once, lowest rank first, leftmost-
+      * nonoverlapping. Equals [[encodeWord]] iff [[replayExact]]. */
+    def replayWord(w: String): Array[String] = {
+      var s: Array[String] = charSyms(w)
+      merges.foreach { m => if (s.length >= 2) s = mergePair(s, m.lhs, m.rhs) }
+      s
+    }
+
+    /** Machine check of the two preconditions under which greedy
+      * min-rank encode == rank-order replay (see the class scaladoc):
+      * every operand is a char / [[EndMark]] / an earlier merge's
+      * output, and no two merges produce the same output string.
+      * Model-only — O(|merges|), no corpus access. */
+    def replayExact: Boolean = {
+      val outs = new mutable.HashSet[String]
+      var ok = true
+      merges.foreach { m =>
+        def derivable(sym: String): Boolean =
+          sym.length == 1 || sym == EndMark || outs.contains(sym)
+        ok &&= derivable(m.lhs) && derivable(m.rhs)
+        ok &&= outs.add(m.lhs + m.rhs) // false = duplicate output string
+      }
+      ok
     }
   }
 

@@ -250,10 +250,17 @@ object Sketch {
     }
     // Fallback (maxRounds exhausted with pop still > cap): exact
     // distributed sort of the NARROWED range — offset+limit, never a
-    // full-corpus sort unless round 0 never ran.
+    // full-corpus sort unless round 0 never ran. offset() takes an Int:
+    // a narrowed range still holding > 2^31 rows (maxRounds=0, or
+    // adversarial ties at the 100 TB scale) would wrap the rank into a
+    // negative offset — fail loudly instead (the caller's fix is more
+    // rounds or a bigger cap, both of which keep the plan bounded).
     val certified = states.forall(_.done.isDefined)
     val resolved = states.map { s =>
       s.done.getOrElse {
+        require(s.k - 1 <= Int.MaxValue,
+          s"exactQuantiles: fallback rank ${s.k} exceeds Int offset range — " +
+            "raise maxRounds/buckets so the descent narrows below 2^31 rows")
         val r = rows.filter(col("v") >= s.lo && col("v") <= s.hi)
           .orderBy(col("v")).offset((s.k - 1).toInt).limit(1).head()
         r.getDouble(0)
@@ -302,15 +309,27 @@ object Sketch {
       col(wCol).cast("long").as("w"), col(idCol).cast("long").as("id"))
       .filter(col("s").isNotNull && col("w").isNotNull)
     val h0 = rows.agg(count(lit(1)).as("n"), sum("w").as("tw"),
-      min("s").as("lo"), max("s").as("hi")).head()
+      min("s").as("lo"), max("s").as("hi"), min("w").as("wmin")).head()
     val n = h0.getLong(0)
-    if (n == 0L || budget >= h0.getLong(1))
+    if (n == 0L)
+      return BudgetSelection(Double.NaN, 0L, keepAll = true, certified = true, 0)
+    // A negative weight would silently corrupt every bucket sum and the
+    // boundary walk (wrong keep set, no error) — validate in the same h0
+    // aggregate that sizes the problem, at zero extra passes.
+    require(h0.getLong(4) >= 0L,
+      s"budgetSelect: negative weight ${h0.getLong(4)} in $wCol — weights " +
+        "must be non-negative (the greedy prefix sum is otherwise undefined)")
+    if (budget >= h0.getLong(1))
       return BudgetSelection(Double.NaN, 0L, keepAll = true, certified = true, 0)
     var bRem = budget          // budget left entering the current range
     var lo = h0.getDouble(2); var hi = h0.getDouble(3)
     var pop = n
     var rounds = 0
-    var tieScore: Option[Double] = None
+    // All-equal scores (lo == hi from the start) skip phase 1 entirely —
+    // seed the tie group so the phase-2 id descent engages instead of
+    // falling through to the windowed-cumsum fallback over the FULL
+    // corpus (the exact single-partition shape this op exists to avoid).
+    var tieScore: Option[Double] = if (lo == hi) Some(lo) else None
     // ── phase 1: descend on score (consumption order: score DESC) ──
     def hist(frame: DataFrame, v: String, flo: Double, fhi: Double): Array[Row] =
       frame.filter(col(v) >= flo && col(v) <= fhi)
@@ -358,17 +377,30 @@ object Sketch {
     }
     if (tieScore.isDefined) {
       // ── phase 2: the boundary is inside one tied score group —
-      // descend on id (consumption order: id ASC) within the group ──
+      // descend on id (consumption order: id ASC) within the group.
+      // Bucketing is LONG arithmetic throughout (fixed-width buckets via
+      // integral `div`): a double-cast id loses exactness past 2^53 and
+      // two distinct ids could collapse into one boundary value. ──
       val s0 = tieScore.get
       val grp = rows.filter(col("s") === s0)
       val g0 = grp.agg(count(lit(1)).as("n"), min("id").as("ilo"),
         max("id").as("ihi")).head()
       var ipop = g0.getLong(0)
-      var ilo = g0.getLong(1).toDouble; var ihi = g0.getLong(2).toDouble
+      var ilo = g0.getLong(1); var ihi = g0.getLong(2)
       var prog2 = true
       while (ipop > cap && rounds < maxRounds && prog2 && ilo < ihi) {
         rounds += 1
-        val bs = hist(grp.withColumn("idd", col("id").cast("double")), "idd", ilo, ihi)
+        val span = ihi - ilo
+        require(span >= 0L, s"budgetSelect: id span [$ilo, $ihi] exceeds " +
+          "Long.MaxValue — re-range ids before tie-group descent")
+        // width ≥ 1 and > span/buckets, so b = (id-ilo) div width lies in
+        // [0, buckets-1]; monotone and exact on the full Long domain.
+        val width = span / buckets + 1L
+        val bs = grp.filter(col("id") >= ilo && col("id") <= ihi)
+          .selectExpr("w", "id", s"CAST((id - ${ilo}L) DIV ${width}L AS INT) AS b")
+          .groupBy("b").agg(count(lit(1)).as("cnt"), sum("w").as("sw"),
+            min("id").as("bmin"), max("id").as("bmax"))
+          .collect().sortBy(_.getInt(0))
         var j = 0                 // walk buckets ASCENDING by id
         var placed = false
         while (j < bs.length && !placed) {
@@ -376,8 +408,8 @@ object Sketch {
           if (bRem >= sw) { bRem -= sw; j += 1 }
           else {
             prog2 = bs(j).getLong(1) < ipop ||
-              bs(j).getDouble(3) > ilo || bs(j).getDouble(4) < ihi
-            ilo = bs(j).getDouble(3); ihi = bs(j).getDouble(4)
+              bs(j).getLong(3) > ilo || bs(j).getLong(4) < ihi
+            ilo = bs(j).getLong(3); ihi = bs(j).getLong(4)
             ipop = bs(j).getLong(1)
             placed = true
           }
@@ -385,8 +417,7 @@ object Sketch {
         require(placed, "budgetSelect: tie-group boundary escaped the range")
       }
       if (ipop <= cap) {
-        val loc = grp.filter(col("id").cast("double") >= ilo &&
-            col("id").cast("double") <= ihi)
+        val loc = grp.filter(col("id") >= ilo && col("id") <= ihi)
           .select("w", "id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
         var i = 0

@@ -146,4 +146,35 @@ class BpeSpec extends SparkSuite {
     val m = Bpe.train(wc("q" -> 1L), 5)
     assert(m == IndexedSeq(Merge(1, "q", Bpe.EndMark, 1L)))
   }
+
+  test("adversarial golden: the replay-equivalence proof hole is real and machine-checked") {
+    // Symbols are strings, so a merge table can name an operand that
+    // only a LATER-rank merge creates: with r1=(aa,b), r2=(a,a) the
+    // greedy encode of 'aab' applies r2 then revisits r1 ([aab </w>]),
+    // while the rank-order replay (the DuckDB e-chain) finds no 'aa'
+    // symbol at round 1 and stops at [aa b </w>] — divergence.
+    val hole = BpeModel(IndexedSeq(Merge(1, "aa", "b", 9L), Merge(2, "a", "a", 5L)))
+    assert(!hole.replayExact, "the derivability check must flag the hole")
+    assert(hole.encodeWord("aab").toSeq == Seq("aab", Bpe.EndMark))
+    assert(hole.replayWord("aab").toSeq == Seq("aa", "b", Bpe.EndMark))
+    // Same-string-different-path: (a,ab) and (aa,b) both output 'aab';
+    // duplicate output strings void the uniqueness the proof leans on,
+    // so the check rejects them even when each operand is derivable.
+    val dup = BpeModel(IndexedSeq(
+      Merge(1, "a", "b", 9L), Merge(2, "a", "ab", 7L),
+      Merge(3, "a", "a", 5L), Merge(4, "aa", "b", 3L)))
+    assert(!dup.replayExact, "duplicate output strings must be flagged")
+    // And the real thing: trained models satisfy derivability by
+    // construction; the registry corpus also trains injective outputs,
+    // so the queries' require(replayExact) holds — and replayWord
+    // agrees with greedy encode on every trained word.
+    val g = Tables.documents(spark, "/root/testdata/sf0.001").select("text")
+    val model = Bpe.trainFromCorpus(g, col("text"), nMerges = 24)
+    assert(model.replayExact, "the trained registry model must pass the check")
+    val words = Bpe.wordCounts(g)(col("text")).select("word").as[String].collect()
+    words.foreach { w =>
+      assert(model.encodeWord(w).toSeq == model.replayWord(w).toSeq,
+        s"greedy and replay must agree under replayExact on '$w'")
+    }
+  }
 }

@@ -798,6 +798,50 @@ class PipelineSpec extends SparkSuite {
       Sketch.budgetSelect(df, "s", "w", "id", -1L, buckets = 8, cap = 8))
   }
 
+  test("budgetSelect: a negative weight fails loudly instead of corrupting the cut") {
+    import graft.ops.Sketch
+    val rows = (0L until 50L).map(id => ((id % 5).toDouble, id % 7, id)) :+
+      (2.0, -3L, 50L)
+    val df = rows.toDF("s", "w", "id")
+    val e = intercept[IllegalArgumentException](
+      Sketch.budgetSelect(df, "s", "w", "id", 60L, buckets = 8, cap = 8))
+    assert(e.getMessage.contains("negative weight"))
+  }
+
+  test("budgetSelect: all-equal scores engage the id descent, never the corpus fallback") {
+    import graft.ops.Sketch
+    // lo == hi from the start used to skip phase 1 without seeding the
+    // tie group: the op fell through to the windowed-cumsum fallback
+    // over the FULL corpus (certified=false). Now phase 2 runs.
+    val rows = (0L until 500L).map(id => (0.7, 3L, id))
+    val df = rows.toDF("s", "w", "id").repartition(5)
+    val sel = Sketch.budgetSelect(df, "s", "w", "id", budget = 300L,
+      buckets = 8, cap = 16)
+    assert(sel.certified, s"all-equal scores must certify via id descent: $sel")
+    assert(sel.rounds >= 1, "the id descent must actually run")
+    val kept = df.filter(sel.predicate(col("s"), col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == budgetRef(rows, 300L))
+    assert(sel.idCutExcl == 100L) // 300/3 = 100 rows fit
+  }
+
+  test("budgetSelect: id descent stays exact past 2^53 (long bucketing, no double cast)") {
+    import graft.ops.Sketch
+    // a tie group whose ids live above 2^62: consecutive longs up there
+    // are NOT representable as doubles (2^62 ulp = 512), so the old
+    // double-cast bucketing could merge distinct ids at the boundary.
+    val base = 1L << 62
+    val rows = (0L until 400L).map(i => (0.5, 2L, base + i))
+    val df = rows.toDF("s", "w", "id").repartition(4)
+    val sel = Sketch.budgetSelect(df, "s", "w", "id", budget = 154L,
+      buckets = 8, cap = 16)
+    assert(sel.certified, s"huge-id tie descent must stay bounded: $sel")
+    val kept = df.filter(sel.predicate(col("s"), col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == budgetRef(rows, 154L))
+    assert(sel.idCutExcl == base + 77L) // 154/2 = 77 rows fit exactly
+  }
+
   test("CapKAgg: any reduce/merge split keeps the K smallest pairs, buffer stays K-bounded") {
     import graft.functions.{CapIn, CapKAgg}
     val agg = new CapKAgg(4)
