@@ -2978,7 +2978,67 @@ object QueriesPipeline {
               |  sum(CASE WHEN v.word IS NULL THEN t.n ELSE 0 END)::BIGINT AS n_oov
               |FROM tokc t JOIN e$BpeR e USING (word)
               |LEFT JOIN (SELECT word FROM wc) v USING (word)
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BYTE-LEVEL BPE training (the GPT-2/Llama-lineage mode): pretokens
+    // keep their case, punctuation and attached leading space (the
+    // lossless ' ?\S+|\s+' pretokenizer — concatenation reconstructs
+    // the text exactly), and the bootstrap symbols are UTF-8 BYTES as
+    // hex pairs, so there is nothing a tokenizer can't represent and
+    // no OOV at all. The oracle replays the same 6 rounds over
+    // hex-pair symbol lists (encode(word) → hex → 2-char slices);
+    // hex symbols are space-free so the chained list_reduce replay and
+    // the (freq DESC, pair ASC) tie-break carry over unchanged. Scale
+    // shape identical to doc_bpe_train: the corpus appears only in the
+    // pretoken-count aggregate, top-V via TakeOrderedAndProject, merge
+    // loop over driver-resident model state.
+    "doc_bpe_train_bytes" -> Q(
+      (s, d) => {
+        val m = graft.functions.Bpe.trainFromCorpusBytes(docs(s, d), col("text"), BpeR)
+        import s.implicits._
+        m.merges.map(mg => (mg.rank, mg.lhs, mg.rhs, mg.freq))
+          .toDF("rank", "lhs", "rhs", "freq").orderBy("rank")
+      },
+      Some {
+        val sel = (1 to BpeR).map(i =>
+          if (i == 1) s"SELECT 1 AS rank, l AS lhs, r AS rhs, f AS freq FROM k1"
+          else s"SELECT $i, l, r, f FROM k$i").mkString("\nUNION ALL ")
+        s"WITH ${bpeCtes(trainOnly = true, bytes = true)}\n$sel\nORDER BY rank"
+      }),
+
+    // Byte-level BPE encoding: per-doc pretoken and byte-BPE symbol
+    // counts under the 6-merge byte model. Every pretoken is in-vocab
+    // by construction (bytes cover everything), so fertility
+    // (n_bpe/n_tok) is the tokenizer-health number with no OOV column.
+    // Same distributed shape as doc_bpe_encode: encode the DISTINCT
+    // pretoken table once, broadcast-join back to per-doc counts.
+    "doc_bpe_encode_bytes" -> Q(
+      (s, d) => {
+        val g = docs(s, d)
+        val m = graft.functions.Bpe.trainFromCorpusBytes(g, col("text"), BpeR)
+        // the oracle reads segment lengths off the replayed round-R
+        // table — same machine-checked equivalence contract as
+        // doc_bpe_encode (BpeModel scaladoc)
+        require(m.replayExact,
+          "doc_bpe_encode_bytes: trained model escapes the replay-equivalence preconditions")
+        val wt = graft.functions.Bpe.encodeWordTable(
+          graft.functions.Bpe.pretokenCounts(g)(col("text")).select("word"), m)
+          .select(col("word"), col("n_syms").cast("long").as("n_syms"))
+        val tokc = g.select(col("doc_id"),
+            explode(regexp_extract_all(col("text"),
+              lit(graft.functions.Bpe.BytePretokenRegex), lit(0))).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        tokc.join(broadcast(wt), "word")
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_tok"), sum(col("n") * col("n_syms")).as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tokc AS (SELECT doc_id, word, count(*)::BIGINT AS n
+              |  FROM (SELECT doc_id, unnest($PRETOKS) AS word FROM documents) GROUP BY 1,2),
+              |${bpeCtes(trainOnly = false, bytes = true)}
+              |SELECT t.doc_id, sum(t.n)::BIGINT AS n_tok,
+              |  sum(t.n * len(w.syms))::BIGINT AS n_bpe
+              |FROM tokc t JOIN w$BpeR w USING (word) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Registry BPE merge-round count (both entries + the oracle chain).
@@ -3001,6 +3061,21 @@ object QueriesPipeline {
   private def bpeSymsCte(dst: String, from: String): String =
     s"$dst AS (SELECT word, cnt, list_append(list_transform(range(1, length(word)+1), i -> word[i:i]), '</w>') AS syms FROM $from)"
 
+  /** DuckDB twin of Bpe.BytePretokenRegex over `text` (lossless GPT-2
+    * style pretokens — leading space attached, whitespace runs kept).
+    * A def, not a val: `entries` evaluates during object init, before
+    * any val declared below it (the BpeR trap — a val here interpolates
+    * as null into every byte-mode oracle). */
+  private def PRETOKS = """regexp_extract_all(text, ' ?\S+|\s+')"""
+
+  /** Byte-symbol bootstrap for a (word[, cnt]) CTE: UTF-8 bytes as
+    * lowercase hex pairs — DuckDB's encode→hex, sliced 2 chars at a
+    * time, mirrors Bpe.byteSyms exactly. No end marker (byte mode). */
+  private def bpeByteSymsCte(dst: String, from: String): String =
+    s"""$dst AS (SELECT word, cnt, list_transform(range(1, length(hx)//2 + 1),
+       |    i -> hx[2*i-1:2*i]) AS syms
+       |  FROM (SELECT word, cnt, lower(hex(encode(word))) AS hx FROM $from))""".stripMargin
+
   /** The BPE training replay as DuckDB CTEs: word counts (over the
     * `trainWhere` split) → char symbol sequences → [[BpeR]] rounds of
     * (pair-count, argmax, merge). `trainOnly` stops after the last
@@ -3009,10 +3084,11 @@ object QueriesPipeline {
     * the marker), so ' ' is a safe pair/reduce delimiter and
     * `ORDER BY pr ASC` equals the trainer's (lhs asc, rhs asc)
     * tie-break. */
-  private def bpeCtes(trainOnly: Boolean, trainWhere: String = ""): String = {
+  private def bpeCtes(trainOnly: Boolean, trainWhere: String = "",
+      bytes: Boolean = false): String = {
     val base = Seq(
-      s"wc AS (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest($TOKS) AS word FROM documents$trainWhere) GROUP BY 1)",
-      bpeSymsCte("w0", "wc"))
+      s"wc AS (SELECT word, count(*)::BIGINT AS cnt FROM (SELECT unnest(${if (bytes) PRETOKS else TOKS}) AS word FROM documents$trainWhere) GROUP BY 1)",
+      if (bytes) bpeByteSymsCte("w0", "wc") else bpeSymsCte("w0", "wc"))
     val rounds = (0 until BpeR).flatMap { i =>
       Seq(
         s"""p${i + 1} AS (SELECT pr, sum(cnt)::BIGINT AS f FROM (SELECT cnt,

@@ -66,7 +66,14 @@ object SparkEntry {
       // window chain — plans unchanged since the early rounds;
       // doc_dedup_* is never-excludable) rotated out for doc_bpe_train /
       // doc_bpe_encode / doc_bpe_oov
-      "q03_shipping_priority", "mkt_vwap", "evt_sessionize_1h")
+      "q03_shipping_priority", "mkt_vwap", "evt_sessionize_1h",
+      // round 14: three sub-0.7 s stable entries (the mm feature-stub
+      // projection, plan unchanged since round 6; the EWMA half-life
+      // variant of the same per-tick scan as evt_ewma, which stays on
+      // the line; the OHLCV window agg, stable since round 3 —
+      // book_top/book_depth3 keep the market family on the line)
+      // rotated out for doc_bpe_train_bytes / doc_bpe_encode_bytes
+      "mm_features", "evt_ewma_hl", "mkt_ohlc")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

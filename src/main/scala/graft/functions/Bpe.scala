@@ -42,12 +42,38 @@ object Bpe {
     * with corpus characters produced by the `\W+` tokenizer. */
   val EndMark = "</w>"
 
+  /** Byte-level pretokenization regex (GPT-2 lineage, simplified): each
+    * match is either a non-space run with its single leading space
+    * attached (" word" — the boundary rides INSIDE the token) or a
+    * leftover whitespace run. Leftmost-greedy in both Java regex and
+    * RE2, so Spark's regexp_extract_all and DuckDB's agree, and
+    * concatenating the pretokens reconstructs the text EXACTLY — no
+    * pretokenization loss (case, punctuation, unicode, every space all
+    * preserved), unlike the `\W+` word mode. */
+  val BytePretokenRegex = """ ?\S+|\s+"""
+
   /** Driver-side cap on the trainable word table (rows). 1M words ×
     * ~10 chars ≈ tens of MB on the driver — the same loud-require
     * discipline as the quantizer model caps. */
   val BpeMaxTrainWords: Int = 1 << 20
 
   final case class Merge(rank: Int, lhs: String, rhs: String, freq: Long)
+
+  /** Byte-level bootstrap: the pretoken's UTF-8 bytes as lowercase
+    * hex-pair symbols ("he" → ["68","65"]). No [[EndMark]] — the word
+    * boundary is already in the token (the leading space byte "20").
+    * Hex pairs are `\w`-only and space-free, so the oracle's
+    * space-delimited list_reduce replay carries over unchanged. */
+  def byteSyms(w: String): Array[String] = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = f"${bs(i) & 0xff}%02x"; i += 1 }
+    out
+  }
+
+  private def isHexPair(s: String): Boolean =
+    s.length == 2 && s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
 
   /** Ordered merge table. Encoding applies merges lowest-rank-first,
     * leftmost-nonoverlapping — identical to replaying the training
@@ -77,13 +103,17 @@ object Bpe {
     * (doc_bpe_encode/doc_bpe_oov) `require(replayExact)` so a model
     * that escapes the preconditions fails loudly, never silently
     * desyncing the engines. */
-  final case class BpeModel(merges: IndexedSeq[Merge]) {
+  final case class BpeModel(merges: IndexedSeq[Merge], byteLevel: Boolean = false) {
     @transient private lazy val rank: Map[(String, String), Int] =
       merges.iterator.map(m => (m.lhs, m.rhs) -> m.rank).toMap
 
-    /** Greedy min-rank BPE segmentation of one word (plus [[EndMark]]). */
+    private def bootstrap(w: String): Array[String] =
+      if (byteLevel) byteSyms(w) else charSyms(w)
+
+    /** Greedy min-rank BPE segmentation of one word ([[charSyms]] +
+      * [[EndMark]] bootstrap, or [[byteSyms]] when `byteLevel`). */
     def encodeWord(w: String): Array[String] = {
-      var s: Array[String] = charSyms(w)
+      var s: Array[String] = bootstrap(w)
       var done = s.length < 2
       while (!done) {
         var bi = Int.MaxValue
@@ -105,7 +135,7 @@ object Bpe {
       * each merge applied once, lowest rank first, leftmost-
       * nonoverlapping. Equals [[encodeWord]] iff [[replayExact]]. */
     def replayWord(w: String): Array[String] = {
-      var s: Array[String] = charSyms(w)
+      var s: Array[String] = bootstrap(w)
       merges.foreach { m => if (s.length >= 2) s = mergePair(s, m.lhs, m.rhs) }
       s
     }
@@ -119,9 +149,14 @@ object Bpe {
       val outs = new mutable.HashSet[String]
       var ok = true
       merges.foreach { m =>
+        // base symbols: single chars + the marker (word mode) or hex
+        // pairs (byte mode); outputs concatenate >= 2 base symbols so
+        // they can never masquerade as a base symbol themselves
         def derivable(sym: String): Boolean =
-          sym.length == 1 || sym == EndMark || outs.contains(sym)
+          (if (byteLevel) isHexPair(sym)
+           else sym.length == 1 || sym == EndMark) || outs.contains(sym)
         ok &&= derivable(m.lhs) && derivable(m.rhs)
+        ok &&= (m.lhs + m.rhs) != EndMark // an output aliasing the marker
         ok &&= outs.add(m.lhs + m.rhs) // false = duplicate output string
       }
       ok
@@ -157,6 +192,16 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Byte-mode twin of [[wordCounts]]: (pretoken, cnt) under the
+    * lossless [[BytePretokenRegex]] — same one-corpus-scan map-side-
+    * combined hash aggregate, but case/whitespace/punctuation survive
+    * into the vocabulary (the property byte-level BPE exists for). */
+  def pretokenCounts(doc: DataFrame): Column => DataFrame = { textCol =>
+    doc.select(explode(regexp_extract_all(textCol,
+        lit(BytePretokenRegex), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Driver merge loop over a capped (word, cnt) array. Pair counts follow
     * Sennrich's get_stats: every adjacent POSITION counts (overlapping
     * runs included), weighted by word frequency; ties break on
@@ -164,9 +209,10 @@ object Bpe {
     * replays as `ORDER BY f DESC, pair ASC` (space sorts below `\w`).
     * Incremental bookkeeping: each round touches only the words that
     * contain the chosen pair. */
-  def train(wc: Array[(String, Long)], nMerges: Int): IndexedSeq[Merge] = {
+  def train(wc: Array[(String, Long)], nMerges: Int,
+      bootstrap: String => Array[String] = charSyms): IndexedSeq[Merge] = {
     require(wc.forall(_._2 > 0L), "bpe.train: word counts must be positive")
-    val words: Array[Array[String]] = wc.map(t => charSyms(t._1))
+    val words: Array[Array[String]] = wc.map(t => bootstrap(t._1))
     val counts: Array[Long] = wc.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     // inverted index pair -> word indices. A plain append list, NOT a
@@ -236,14 +282,27 @@ object Bpe {
     * corpus: the vocab is driver-resident model output by construction. */
   def trainFromCorpusWithVocab(doc: DataFrame, textCol: Column, nMerges: Int,
       maxWords: Int = BpeMaxTrainWords): (BpeModel, Array[(String, Long)]) = {
+    val top = cappedTop(wordCounts(doc)(textCol), maxWords)
+    (BpeModel(train(top, nMerges)), top)
+  }
+
+  /** Byte-level end-to-end trainer: pretoken-count aggregate →
+    * top-`maxWords` TakeOrderedAndProject → driver merge loop over
+    * hex-pair byte symbols. Identical scale shape to the word trainer —
+    * only the bootstrap and the (lossless) pretokenizer differ. */
+  def trainFromCorpusBytes(doc: DataFrame, textCol: Column, nMerges: Int,
+      maxWords: Int = BpeMaxTrainWords): BpeModel = {
+    val top = cappedTop(pretokenCounts(doc)(textCol), maxWords)
+    BpeModel(train(top, nMerges, byteSyms), byteLevel = true)
+  }
+
+  private def cappedTop(wc: DataFrame, maxWords: Int): Array[(String, Long)] = {
     require(maxWords > 0 && maxWords <= BpeMaxTrainWords,
       s"bpe: maxWords=$maxWords outside (0, $BpeMaxTrainWords] — the trainable " +
         "word table is driver-resident model input; raise the cap consciously " +
         "or pre-aggregate a coarser vocabulary")
-    val top = wordCounts(doc)(textCol)
-      .orderBy(desc("cnt"), asc("word")).limit(maxWords)
+    wc.orderBy(desc("cnt"), asc("word")).limit(maxWords)
       .collect().map(row => (row.getString(0), row.getLong(1)))
-    (BpeModel(train(top, nMerges)), top)
   }
 
   /** Encode a (word) frame: adds `syms` (the BPE segmentation) and

@@ -147,6 +147,42 @@ class BpeSpec extends SparkSuite {
     assert(m == IndexedSeq(Merge(1, "q", Bpe.EndMark, 1L)))
   }
 
+  test("byte-level mode: lossless pretokens, multi-byte symbols, replay equivalence") {
+    // Lossless pretokenization: concatenation reconstructs the text
+    // exactly — case, punctuation, tabs, newlines, multi-space, unicode
+    val texts = Seq("Hello,  World!\n\tmulti  space", "héllo 🚀 café",
+      "a", " leading", "trailing ", "")
+    texts.foreach { t =>
+      val pre = Bpe.BytePretokenRegex.r.findAllIn(t).toSeq
+      assert(pre.mkString == t, s"pretokens must reconstruct '$t' exactly")
+    }
+    // byteSyms: UTF-8 bytes as lowercase hex pairs; multi-byte chars
+    // split into their real bytes ('é' = c3 a9, '🚀' = f0 9f 9a 80)
+    assert(Bpe.byteSyms(" Hé").toSeq == Seq("20", "48", "c3", "a9"))
+    assert(Bpe.byteSyms("🚀").toSeq == Seq("f0", "9f", "9a", "80"))
+    // trained byte model: byteLevel rides the model, replayExact's base
+    // symbols are hex pairs, and greedy == replay on every pretoken —
+    // including OOV-at-train-time unicode (bytes cover everything)
+    val g = Seq("Na Na Na Batman", "Na Na hey hey", "héllo héllo 🚀").toDF("text")
+    val m = Bpe.trainFromCorpusBytes(g, col("text"), nMerges = 8)
+    assert(m.byteLevel && m.merges.nonEmpty)
+    assert(m.replayExact, "trained byte model must pass the machine check")
+    val pres = Bpe.pretokenCounts(g)(col("text")).select("word").as[String].collect()
+    (pres :+ " zürich⚡never-seen").foreach { w =>
+      assert(m.encodeWord(w).toSeq == m.replayWord(w).toSeq,
+        s"byte-mode greedy and replay must agree on '$w'")
+      // decode the CONCATENATED hex (a merge may join bytes mid-char)
+      val hex = m.encodeWord(w).mkString
+      assert(new String(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray,
+          java.nio.charset.StandardCharsets.UTF_8) == w,
+        s"byte-mode segmentation must round-trip the pretoken '$w'")
+    }
+    // hex-pair base check: a char-mode-shaped operand is NOT derivable
+    // in byte mode (single char 'a' is not a hex pair)
+    val bad = BpeModel(IndexedSeq(Merge(1, "a", "b", 1L)), byteLevel = true)
+    assert(!bad.replayExact)
+  }
+
   test("adversarial golden: the replay-equivalence proof hole is real and machine-checked") {
     // Symbols are strings, so a merge table can name an operand that
     // only a LATER-rank merge creates: with r1=(aa,b), r2=(a,a) the
