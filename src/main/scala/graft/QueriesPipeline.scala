@@ -3038,8 +3038,170 @@ object QueriesPipeline {
               |${bpeCtes(trainOnly = false, bytes = true)}
               |SELECT t.doc_id, sum(t.n)::BIGINT AS n_tok,
               |  sum(t.n * len(w.syms))::BIGINT AS n_bpe
-              |FROM tokc t JOIN w$BpeR w USING (word) GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM tokc t JOIN w$BpeR w USING (word) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // THE COMPOSED END-TO-END CURATION PIPELINE — the chain a real
+    // 100 TB user runs as one job, gated as ONE oracle entry (the
+    // registry gates every stage in isolation; this entry gates their
+    // COMPOSITION — exchange/cache reuse across stages, one scoring
+    // scan feeding four decision stages, no redundant corpus reads):
+    //   1. score (one projection: fingerprint, 2dp quality, lang,
+    //      Gopher bits, token count) over the non-eval corpus
+    //   2. quality + language + Gopher gate (scan-side filter)
+    //   3. exact dedup among survivors (keep = min doc_id per fp)
+    //   4. n-gram decontamination vs the held-out eval split (src19)
+    //   5. token-budget selection (Sketch.budgetSelect descent — the
+    //      corpus is FILTERED by a two-scalar predicate, never sorted)
+    //   6-7. pack into 25-doc shards by global salted rank (the
+    //      two-phase doc_shard form: no global window over the corpus)
+    // The oracle is the chained CTE of the stage oracles — each
+    // fragment is the verified SQL of its standalone entry. Corpus
+    // reads end-to-end: THREE (scoring scan, corpus shingle scan, eval
+    // shingle scan) — everything else runs over the cached score/keep
+    // frames (plan-gated in PlanAuditSpec).
+    "doc_curate_e2e" -> Q(
+      (s, d) => curateE2e(s, d).out,
+      Some(s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks,
+              |    string_split(text, chr(10)) AS lines
+              |  FROM documents WHERE source <> 'src19'),
+              |te AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE source = 'src19'),
+              |gm AS (SELECT doc_id, text, toks,
+              |    len(toks) AS ntok,
+              |    CASE WHEN len(toks) > 0 THEN
+              |      list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+              |      ELSE 0 END AS meanlen,
+              |    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+              |    CASE WHEN len(lines) > 0 THEN
+              |      len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+              |        / len(lines) ELSE 0 END AS bulletfrac
+              |  FROM t),
+              |m AS (SELECT doc_id,
+              |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+              |    round(1e-9 + greatest(least(
+              |      least(length(text)::DOUBLE / 500.0, 1.0)*0.4
+              |      + least((CASE WHEN len(toks) > 0 THEN
+              |          len(list_filter(toks, x -> x IN ('the','and','of','to','in','a','is','it','on','for')))::DOUBLE
+              |            / len(toks) ELSE 0 END)*5.0, 1.0)*0.3
+              |      + (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+              |          / greatest(length(text), 1))*0.2
+              |      + (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+              |          / greatest(length(text), 1))*0.1,
+              |      1.0), 0.0), 2) AS score,
+              |    (len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','it','that'))) > 0
+              |     AND len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','it','that'))) >=
+              |      greatest(
+              |        len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','un'))),
+              |        len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein','nicht','mit'))),
+              |        len(list_filter(toks, x -> x IN ('le','la','les','et','des','un','une','est'))),
+              |        len(list_filter(toks, x -> x IN ('de','shi','le','zai','you','wo','ta','men'))))) AS lgen,
+              |    (ntok >= 15 AND ntok <= 100000 AND meanlen >= 2.0 AND meanlen <= 10.0
+              |     AND symbols::DOUBLE <= 0.1 * greatest(ntok, 1)
+              |     AND bulletfrac < 0.9) AS gok,
+              |    ntok::BIGINT AS ntok
+              |  FROM gm),
+              |f AS (SELECT * FROM m WHERE score >= 0.5 AND lgen AND gok),
+              |k AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1),
+              |ded AS (SELECT doc_id, score, ntok FROM f JOIN k USING (fp)
+              |  WHERE doc_id = keep),
+              |gsh AS (SELECT doc_id, ${H60.format("sh")} AS h FROM (
+              |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t)),
+              |evsh AS (SELECT DISTINCT ${H60.format("sh")} AS h FROM (
+              |  SELECT unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM te)),
+              |contam AS (SELECT DISTINCT doc_id FROM gsh JOIN evsh USING (h)),
+              |kept2 AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |o AS (SELECT *, sum(ntok) OVER (ORDER BY score DESC, doc_id ASC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM kept2),
+              |k3 AS (SELECT doc_id, score, ntok FROM o WHERE cum <= 8000),
+              |kh AS (SELECT doc_id, score, ntok,
+              |    ${H60.format("'shard:' || doc_id")} AS h FROM k3),
+              |sh AS (SELECT doc_id, score, ntok,
+              |    row_number() OVER (ORDER BY h % 64, h, doc_id) AS grk FROM kh)
+              |SELECT doc_id, score, ntok, ((grk-1)//25)::BIGINT AS shard,
+              |  ((grk-1)%25)::BIGINT AS pos
+              |FROM sh ORDER BY doc_id""".stripMargin))
   )
+
+  /** The curation chain's stage frames, exposed so PlanAuditSpec can
+    * count corpus reads per stage: `base` = the one scoring scan,
+    * `contam` = the two shingle scans (corpus + eval), `kept2` = the
+    * post-dedup post-decontam frame the budget descent aggregates over
+    * (cache reads only), `out` = the sharded final corpus. */
+  private[graft] final case class CurateStages(base: DataFrame,
+      contam: DataFrame, kept2: DataFrame, out: DataFrame)
+
+  /** The doc_curate_e2e body — see the registry entry's scaladoc for
+    * the stage list. 100 TB shape: ONE scoring scan feeds the gate,
+    * the fp dedup, the budget descent and the final output through a
+    * persisted 6-narrow-column projection (~2% of corpus bytes — the
+    * doc_token_budget persist discipline); decontamination touches the
+    * corpus once more (shingle scan vs the broadcast eval hashes — the
+    * doc_decontaminate shape); the budget boundary is a two-scalar
+    * broadcast predicate (never a corpus sort); the final shard rank
+    * is the two-phase doc_shard form (no global window). The budget-
+    * selected output is persisted before sharding — it is the chain's
+    * product, bounded by the token budget by construction. */
+  private[graft] def curateE2e(s: SparkSession, d: String): CurateStages = {
+    val g = docs(s, d)
+    val corpus = g.where(col("source") =!= "src19")
+    val nTok = size(TF.tokens(col("text")))
+    val meanLen = TF.meanTokenLen(col("text"))
+    val symbols = length(col("text")) -
+      length(regexp_replace(col("text"), "[#…]", ""))
+    val lines = split(col("text"), "\n")
+    val bulletFrac = when(size(lines) > 0,
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / size(lines))
+      .otherwise(0.0)
+    val gok = (nTok >= 15 && nTok <= 100000) &&
+      (meanLen >= 2.0 && meanLen <= 10.0) &&
+      (symbols.cast("double") <= lit(0.1) * greatest(nTok, lit(1))) &&
+      (bulletFrac < 0.9)
+    // stage 1: the one scoring scan — every per-doc signal the chain needs
+    val base = cached(corpus.select(col("doc_id"),
+      TF.fingerprint(col("text")).as("fp"),
+      round(TF.qualityScore(col("text")) + lit(1e-9), 2).as("score"),
+      (TF.langGuess(col("text")) === "en").as("lgen"),
+      gok.as("gok"),
+      nTok.cast("long").as("ntok")))
+    // stages 2-3: gate + exact dedup among survivors (one fp exchange,
+    // shared by the aggregate and the keep-join)
+    val f = base.where(col("score") >= 0.5 && col("lgen") && col("gok"))
+    val keep = f.groupBy("fp").agg(min("doc_id").as("keep"))
+    val ded = f.join(keep, "fp").where(col("doc_id") === col("keep"))
+      .select("doc_id", "score", "ntok")
+    // stage 4: decontamination — eval shingle hashes broadcast into the
+    // corpus shingle scan; the contaminated-id set (eval-overlap docs,
+    // small by construction) broadcasts into an anti-join
+    val ev = hashedShingleRows(g.where(col("source") === "src19"), 4, Nil)
+      .select("h").distinct()
+    val contam = cached(hashedShingleRows(corpus, 4, Nil)
+      .join(broadcast(ev), "h").select("doc_id").distinct())
+    val kept2 = ded.join(broadcast(contam), Seq("doc_id"), "left_anti")
+    // stage 5: budget descent over the cached frames — no corpus access
+    val sel = graft.ops.Sketch.budgetSelect(kept2, "score", "ntok",
+      "doc_id", budget = 8000L, buckets = 64, cap = 32)
+    val kept3 = cached(kept2.filter(sel.predicate(col("score"), col("doc_id"))))
+    // stages 6-7: global salted rank into 25-doc shards, two-phase
+    val h = TF.hash60(concat(lit("shard:"), col("doc_id").cast("string")))
+    val hd = kept3.select(col("doc_id"), col("score"), col("ntok"),
+      h.as("h"), pmod(h, lit(64L)).as("b"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("h", "doc_id")
+    val ranked = hd.withColumn("rk", row_number().over(wIn).cast("long"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy("b").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .select("b", "off")
+    val out = ranked.join(broadcast(offs), "b")
+      .withColumn("grk", col("off") + col("rk"))
+      .select(col("doc_id"), col("score"), col("ntok"),
+        ((col("grk") - 1) / 25).cast("long").as("shard"),
+        ((col("grk") - 1) % 25).as("pos"))
+      .orderBy("doc_id")
+    CurateStages(base, contam, kept2, out)
+  }
 
   /** Registry BPE merge-round count (both entries + the oracle chain).
     * A def, not a val: `entries` above evaluates during object init,

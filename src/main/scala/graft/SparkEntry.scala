@@ -73,7 +73,11 @@ object SparkEntry {
       // the line; the OHLCV window agg, stable since round 3 —
       // book_top/book_depth3 keep the market family on the line)
       // rotated out for doc_bpe_train_bytes / doc_bpe_encode_bytes
-      "mm_features", "evt_ewma_hl", "mkt_ohlc")
+      "mm_features", "evt_ewma_hl", "mkt_ohlc",
+      // round 14 second batch: a sub-0.7 s stable feedback-epoch window
+      // chain (plan unchanged since round 9; its parity + golden gates
+      // stay) rotated out for the composed doc_curate_e2e entry
+      "evt_feedback_epochs")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -637,4 +637,62 @@ class PlanAuditSpec extends SparkSuite {
     val range = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
     assert(range == 1, s"only the output orderBy may range-partition, got $range:\n$p")
   }
+
+  test("doc_curate_e2e: 3 corpus reads end-to-end; later stages are cache-fed; " +
+      "no global corpus sort") {
+    // The composed chain's scale contract (the reason it exists as one
+    // entry): the corpus is READ exactly three times — the scoring scan,
+    // the corpus shingle scan, the eval shingle scan — and every later
+    // stage (dedup keep-join, decontam anti-join, budget descent, shard
+    // rank) runs over the persisted narrow projections. Physical leaves,
+    // not plan text: InMemoryRelation.toString embeds its child plan, so
+    // raw string counts double-count cached scans.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val st = QueriesPipeline.curateE2e(spark, d)
+    // AQE wrappers report no children — unwrap them so leaf counting
+    // sees the real scans
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec        => leaves(q.plan)
+      case o if o.children.nonEmpty => o.children.flatMap(leaves)
+      case leaf                     => Seq(leaf)
+    }
+    def fileScans(p: SparkPlan): Int =
+      leaves(p).count(_.isInstanceOf[FileSourceScanExec])
+    def cachedFileScans(p: SparkPlan): Seq[Int] =
+      leaves(p).collect { case m: InMemoryTableScanExec =>
+        fileScans(m.relation.cachedPlan) }
+    // stage 1: the scoring projection is ONE parquet scan, materialized once
+    val base = st.base.queryExecution.executedPlan
+    assert(fileScans(base) == 0 && cachedFileScans(base) == Seq(1),
+      s"base must be one cached corpus scan:\n$base")
+    // stage 4's probe side: corpus shingles + eval shingles = TWO scans
+    val contam = st.contam.queryExecution.executedPlan
+    assert(fileScans(contam) == 0 && cachedFileScans(contam) == Seq(2),
+      s"contam must be one cached (corpus + eval) shingle join:\n$contam")
+    // the frame the budget descent aggregates over: cache reads only —
+    // each descent round costs narrow-column cache scans, never a re-score
+    val kept2 = st.kept2.queryExecution.executedPlan
+    assert(fileScans(kept2) == 0,
+      s"budget-descent input must not touch parquet:\n$kept2")
+    // the final sharded output: cache-fed, one SinglePartition exchange
+    // (the 64-row bucket-offset ladder), offsets broadcast back, and no
+    // cartesian anywhere in the fused chain
+    val out = st.out.queryExecution.executedPlan
+    assert(fileScans(out) == 0, s"final stage must not re-read the corpus:\n$out")
+    val op = out.toString
+    assert(!op.contains("CartesianProduct") && !op.contains("BroadcastNestedLoopJoin"),
+      "no cartesian in the fused chain")
+    val single = op.linesIterator.count(_.contains("SinglePartition"))
+    assert(single == 1,
+      s"exactly one SinglePartition exchange (the offset ladder), got $single:\n$op")
+    assert(op.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
+    // the decontam anti-join must broadcast the contaminated-id set
+    val kp = st.kept2.queryExecution.executedPlan.toString
+    assert(kp.contains("BroadcastHashJoin") && kp.contains("LeftAnti"),
+      s"decontam must be a broadcast anti-join:\n$kp")
+    spark.catalog.clearCache()
+  }
 }
