@@ -796,4 +796,63 @@ class ParitySpec extends SparkSuite {
     assert(batch.nonEmpty && stream == batch,
       s"streaming != batch: only-stream=${stream -- batch}, only-batch=${batch -- stream}")
   }
+
+  test("HeavyHittersStream: certified top-k across micro-batches == doc_heavy_tokens") {
+    // seventh decision family with a live leg — and the most natural:
+    // Misra-Gries IS a streaming sketch. Per-bucket summaries fold in
+    // THREE micro-batches of token arrivals; with caps sized to the
+    // vocabulary (decs == 0 everywhere, machine-checked), the merged
+    // summaries ARE the exact wordcount and the certified top-20 equals
+    // the oracle-gated batch op's rows INCLUDING counts and tie-breaks.
+    import graft.functions.{TextFunctions => TF}
+    import graft.streaming.{BucketSummary, HeavyHittersStream, TokArrival}
+    val d = "/root/testdata/sf0.001"
+    val batch = Queries.registry.toMap.apply("doc_heavy_tokens").fn(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val arrivals = Tables.documents(spark, d)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .withColumn("b", pmod(TF.hash60(col("tok")), lit(4L)).cast("int"))
+      .as[(String, Int)].collect().map { case (t, b) => TokArrival(t, b) }.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TokArrival]
+    val q = HeavyHittersStream.summaries(mem.toDS(), cap = 64)
+      .writeStream.format("memory").queryName("hh_par").outputMode("append").start()
+    arrivals.grouped(math.max(1, arrivals.size / 3 + 1)).foreach { g =>
+      mem.addData(g); q.processAllAvailable()
+    }
+    q.stop()
+    // latest summary per bucket = the emission with max n (n grows
+    // strictly with every arrival the bucket sees)
+    val latest = spark.table("hh_par")
+      .as[BucketSummary].collect().groupBy(_.b)
+      .map { case (_, ss) => ss.maxBy(_.n) }.toSeq
+    assert(latest.forall(_.decs == 0L),
+      "parity precondition: caps sized to the vocabulary (exact mode)")
+    val (top, certified) = HeavyHittersStream.certifiedTopK(latest, 20)
+    assert(certified, "exact-mode top-k must certify")
+    assert(top.map { case (t, lo, hi) => assert(lo == hi); (t, lo) } == batch,
+      s"certified streaming top-20 must equal the batch op row-for-row")
+    // state bound + bound mode: a cap-2 replay of a skewed stream keeps
+    // <= cap entries ALWAYS, tracks decs, and its bounds contain the
+    // true counts; the certificate either proves the set or says no
+    val toks = Seq.fill(30)("hot") ++ (1 to 25).map(i => s"t$i") ++ Seq.fill(9)("warm")
+    var st = HeavyHittersStream.MgState(0L, 0L, Nil, Nil)
+    toks.grouped(7).foreach { g =>
+      st = HeavyHittersStream.step(st, g, cap = 2)
+      assert(st.toks.size <= 2, s"summary must stay cap-bounded: $st")
+    }
+    assert(st.decs > 0L, "the eviction branch must have run")
+    val truth = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    st.toks.zip(st.cnts).foreach { case (t, chat) =>
+      assert(chat <= truth(t) && truth(t) <= chat + st.decs,
+        s"MG invariant violated for $t: chat=$chat decs=${st.decs} true=${truth(t)}")
+    }
+    val (top1, cert1) = HeavyHittersStream.certifiedTopK(
+      Seq(BucketSummary(0, toks.size.toLong, st.decs, st.toks, st.cnts)), 1)
+    if (cert1) assert(top1.head._1 == "hot", "a certified set must be the true set")
+    // duplicate-bucket misuse fails loudly
+    intercept[IllegalArgumentException](HeavyHittersStream.certifiedTopK(
+      Seq(BucketSummary(0, 1, 0, Seq("a"), Seq(1L)),
+        BucketSummary(0, 2, 0, Seq("b"), Seq(2L))), 1))
+  }
 }
