@@ -3048,8 +3048,11 @@ object QueriesPipeline {
     //   1. score (one projection: fingerprint, 2dp quality, lang,
     //      Gopher bits, token count) over the non-eval corpus
     //   2. quality + language + Gopher gate (scan-side filter)
-    //   3. exact dedup among survivors (keep = min doc_id per fp)
-    //   4. n-gram decontamination vs the held-out eval split (src19)
+    //   3. n-gram decontamination vs the held-out eval split (src19) —
+    //      BEFORE dedup, so a contaminated doc never suppresses its
+    //      clean near-twin (and the live CurateStream twin runs the
+    //      same order by construction)
+    //   4. exact dedup among clean survivors (keep = min doc_id per fp)
     //   5. token-budget selection (Sketch.budgetSelect descent — the
     //      corpus is FILTERED by a two-scalar predicate, never sorted)
     //   6-7. pack into 25-doc shards by global salted rank (the
@@ -3100,9 +3103,6 @@ object QueriesPipeline {
               |    ntok::BIGINT AS ntok
               |  FROM gm),
               |f AS (SELECT * FROM m WHERE score >= 0.5 AND lgen AND gok),
-              |k AS (SELECT fp, min(doc_id) AS keep FROM f GROUP BY 1),
-              |ded AS (SELECT doc_id, score, ntok FROM f JOIN k USING (fp)
-              |  WHERE doc_id = keep),
               |gsh AS (SELECT doc_id, ${H60.format("sh")} AS h FROM (
               |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
               |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t)),
@@ -3110,7 +3110,10 @@ object QueriesPipeline {
               |  SELECT unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
               |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM te)),
               |contam AS (SELECT DISTINCT doc_id FROM gsh JOIN evsh USING (h)),
-              |kept2 AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |fc AS (SELECT * FROM f WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |k AS (SELECT fp, min(doc_id) AS keep FROM fc GROUP BY 1),
+              |kept2 AS (SELECT doc_id, score, ntok FROM fc JOIN k USING (fp)
+              |  WHERE doc_id = keep),
               |o AS (SELECT *, sum(ntok) OVER (ORDER BY score DESC, doc_id ASC
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM kept2),
               |k3 AS (SELECT doc_id, score, ntok FROM o WHERE cum <= 8000),
@@ -3164,20 +3167,27 @@ object QueriesPipeline {
       (TF.langGuess(col("text")) === "en").as("lgen"),
       gok.as("gok"),
       nTok.cast("long").as("ntok")))
-    // stages 2-3: gate + exact dedup among survivors (one fp exchange,
-    // shared by the aggregate and the keep-join)
+    // stage 2: gate (scan-side filter over the cached projection)
     val f = base.where(col("score") >= 0.5 && col("lgen") && col("gok"))
-    val keep = f.groupBy("fp").agg(min("doc_id").as("keep"))
-    val ded = f.join(keep, "fp").where(col("doc_id") === col("keep"))
-      .select("doc_id", "score", "ntok")
-    // stage 4: decontamination — eval shingle hashes broadcast into the
-    // corpus shingle scan; the contaminated-id set (eval-overlap docs,
-    // small by construction) broadcasts into an anti-join
+    // stage 3: decontamination BEFORE dedup — eval shingle hashes
+    // broadcast into the corpus shingle scan; the contaminated-id set
+    // (eval-overlap docs, small by construction) broadcasts into an
+    // anti-join. Order matters and is deliberate: decontaminating
+    // first means a contaminated doc never suppresses its CLEAN
+    // near-twin in the dedup stage (shuffled twins share the
+    // fingerprint but not the order-sensitive 4-grams), and it is the
+    // order the live CurateStream twin necessarily runs (stateless
+    // screens before the stateful dedup).
     val ev = hashedShingleRows(g.where(col("source") === "src19"), 4, Nil)
       .select("h").distinct()
     val contam = cached(hashedShingleRows(corpus, 4, Nil)
       .join(broadcast(ev), "h").select("doc_id").distinct())
-    val kept2 = ded.join(broadcast(contam), Seq("doc_id"), "left_anti")
+    val fClean = f.join(broadcast(contam), Seq("doc_id"), "left_anti")
+    // stage 4: exact dedup among the clean survivors (one fp exchange,
+    // shared by the aggregate and the keep-join)
+    val keep = fClean.groupBy("fp").agg(min("doc_id").as("keep"))
+    val kept2 = fClean.join(keep, "fp").where(col("doc_id") === col("keep"))
+      .select("doc_id", "score", "ntok")
     // stage 5: budget descent over the cached frames — no corpus access
     val sel = graft.ops.Sketch.budgetSelect(kept2, "score", "ntok",
       "doc_id", budget = 8000L, buckets = 64, cap = 32)
@@ -3201,6 +3211,17 @@ object QueriesPipeline {
         ((col("grk") - 1) % 25).as("pos"))
       .orderBy("doc_id")
     CurateStages(base, contam, kept2, out)
+  }
+
+  /** The per-doc arrival frame for the CurateStream twin: every signal
+    * the live chain needs, from the SAME stage frames the batch op
+    * builds — (doc_id, fp, score, ntok, gate, contam). */
+  private[graft] def curateArrivals(s: SparkSession, d: String): DataFrame = {
+    val st = curateE2e(s, d)
+    st.base.join(st.contam.withColumn("c", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("fp"), col("score"), col("ntok"),
+        (col("score") >= 0.5 && col("lgen") && col("gok")).as("gate"),
+        coalesce(col("c"), lit(false)).as("contam"))
   }
 
   /** Registry BPE merge-round count (both entries + the oracle chain).

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+
+/** One arriving doc for the live curation chain. Everything per-doc is
+  * computed in the stream's stateless map stage with the SAME Column
+  * expressions the batch op uses (QueriesPipeline.curateArrivals):
+  * `fp` the exact-dedup fingerprint, `score` the 2dp quality score,
+  * `ntok` the token count, `gate` the quality+language+Gopher keep
+  * decision, `contam` the frozen-eval-suite n-gram contamination flag
+  * (the [[DecontamStream]] screen — a stream-static lookup against the
+  * held-out split's broadcast shingle hashes). */
+final case class CurateArrival(doc_id: Long, fp: String, score: Double,
+    ntok: Long, gate: Boolean, contam: Boolean)
+
+/** Streaming twin of the COMPOSED `doc_curate_e2e` chain — the whole
+  * curation pipeline as it runs against a live crawl, not just its
+  * stages in isolation. Two stateful stages, split at a checkpointed
+  * sink boundary exactly as [[RunMode.checkpointStage]] documents
+  * (Structured Streaming rejects a second arbitrary-state operator in
+  * one query plan):
+  *
+  *  - **stage 1** ([[survivors]]): the stateless gate + decontamination
+  *    filters, then NATIVE streaming `dropDuplicates` on the
+  *    fingerprint — first-wins exact dedup, the same irrevocable-
+  *    commitment semantics as every live twin (a kept doc is never
+  *    retracted when its twin arrives later). State: one entry per
+  *    distinct surviving fingerprint — the stored side of incremental
+  *    dedup, which is what a dedup stream IS (same contract as the
+  *    doc_dedup_incremental streaming leg).
+  *  - **stage 2** ([[decisions]]): the [[BudgetStream]] token-budget
+  *    leg over the staged survivors — one Long of state, prefix rule,
+  *    spend irrevocable.
+  *
+  * Parity (ParitySpec): fed in CRAWL order (doc_id ASC) across
+  * micro-batches, stage 1's survivor set equals the batch chain's
+  * dedup output exactly — first-wins IS keep-min-doc_id under that
+  * feed. (Score order would NOT do: the fingerprint keys the DISTINCT
+  * token set, so dup partners can differ in length and therefore in
+  * quality score — a one-pass stream cannot satisfy both orders at
+  * once, which is a structural fact, not a gap.) The budget cut is a
+  * WINDOW-CLOSE decision: stage 2 drains the staged survivors when the
+  * crawl window ends, and its within-batch (score DESC, doc_id) sort
+  * restores the batch consumption order exactly — fed mid-window
+  * instead, it commits greedily in arrival order under the documented
+  * [[BudgetStream]] irrevocability contract. Sharding stays
+  * batch-side: a shard is an artifact of the corpus you KEEP, cut
+  * over the committed set once the stream is drained.
+  *
+  * Scale shape: stage 1 is map-side work + one fp exchange (the
+  * dropDuplicates hash); stage 2 serializes three narrow fields per
+  * surviving doc through a single-key group — shard the budget by
+  * source (the BudgetStream keyed form) when one counter is too hot. */
+object CurateStream {
+
+  /** Stage 1: gate + decontam (stateless) and first-wins fp dedup. */
+  def survivors(arrivals: Dataset[CurateArrival]): Dataset[CurateArrival] =
+    arrivals.filter(a => a.gate && !a.contam).dropDuplicates("fp")
+
+  /** Stage 2: budgeted selection over the staged survivors. Run as its
+    * OWN query reading stage 1's checkpointed sink. */
+  def decisions(staged: Dataset[CurateArrival], budget: Long): Dataset[BudgetDecision] = {
+    val spark = staged.sparkSession
+    import spark.implicits._
+    BudgetStream.decisions(
+      staged.map(a => DocBudgetArrival(a.doc_id, a.score, a.ntok)), budget)
+  }
+}

@@ -797,6 +797,57 @@ class ParitySpec extends SparkSuite {
       s"streaming != batch: only-stream=${stream -- batch}, only-batch=${batch -- stream}")
   }
 
+  test("CurateStream: the staged two-query chain == doc_curate_e2e's kept corpus") {
+    // the COMPOSED pipeline's live leg: gate + decontam + first-wins fp
+    // dedup (stage 1, own query, checkpointed parquet boundary — the
+    // RunMode.checkpointStage pattern) feeding the budget leg (stage 2,
+    // own query). Fed in CRAWL order (doc_id ASC) across TWO
+    // micro-batches, stage 1's first-wins dedup equals keep-min-doc_id;
+    // the budget stage drains the staged survivors at window close
+    // (its within-batch sort restores score order), so the chain's
+    // kept doc_ids must equal the composed batch op's output exactly.
+    import graft.streaming.{CurateArrival, CurateStream}
+    val d = "/root/testdata/sf0.001"
+    val batchKept = Queries.registry.toMap.apply("doc_curate_e2e").fn(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val arrivals = QueriesPipeline.curateArrivals(spark, d)
+      .as[CurateArrival].collect().sortBy(_.doc_id).toSeq
+    assert(arrivals.exists(a => !a.gate) || arrivals.exists(_.contam),
+      "fixture must exercise the filters")
+    implicit val sqlCtx = spark.sqlContext
+    val stageDir = java.nio.file.Files.createTempDirectory("curate_stage").toString
+    val mem = MemoryStream[CurateArrival]
+    val q1 = CurateStream.survivors(mem.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$stageDir/data")
+      .option("checkpointLocation", s"$stageDir/ckpt")
+      .outputMode("append").start()
+    val (g1, g2) = arrivals.splitAt(arrivals.length / 2)
+    // stage 1 streams live per micro-batch...
+    Seq(g1, g2).foreach { g => mem.addData(g); q1.processAllAvailable() }
+    // ...stage 2 starts at WINDOW CLOSE: its first trigger sees every
+    // staged file as ONE budget batch, whose internal (score DESC,
+    // doc_id) sort is exactly the batch consumption order
+    val staged = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[CurateArrival].schema)
+      .parquet(s"$stageDir/data").as[CurateArrival]
+    val q2 = CurateStream.decisions(staged, budget = 8000L)
+      .writeStream.format("memory").queryName("curate_par").outputMode("append").start()
+    q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val kept = spark.table("curate_par").where(col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && kept == batchKept,
+      s"staged streaming chain must equal the composed batch op: " +
+        s"only-stream=${kept -- batchKept}, only-batch=${batchKept -- kept}")
+    // stage-1 state semantics: first-wins dedup — the survivor of every
+    // dup group is the min doc_id under the (score, id)-ordered feed
+    val survivors = spark.read.parquet(s"$stageDir/data").as[CurateArrival].collect()
+    val byFp = survivors.groupBy(_.fp)
+    assert(byFp.values.forall(_.length == 1), "exactly one survivor per fingerprint")
+    spark.catalog.clearCache()
+  }
+
   test("HeavyHittersStream: certified top-k across micro-batches == doc_heavy_tokens") {
     // seventh decision family with a live leg — and the most natural:
     // Misra-Gries IS a streaming sketch. Per-bucket summaries fold in
