@@ -90,6 +90,15 @@ object Multimodal {
   val ImgW = 16
   val ImgH = 12
 
+  // ImageIO defaults to a DISK-backed stream cache: every write/read
+  // wraps its stream in a temp-FILE-cached ImageOutputStream/
+  // ImageInputStream, so each of the 5k-per-query codec calls pays
+  // filesystem I/O and the query's wall time couples to box disk
+  // state. The payloads here are small in-memory byte arrays — switch
+  // the JVM to the memory cache once, at class init (executors load
+  // this object before first use; process-global, idempotent).
+  private val _imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Planted pixel channels — the closed form BOTH engines evaluate.
     * floorMod, not %: Scala % follows the dividend's sign, so a negative
     * doc_id would plant negative channel values that corrupt the
