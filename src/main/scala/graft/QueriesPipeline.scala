@@ -3145,8 +3145,13 @@ object QueriesPipeline {
     * is the two-phase doc_shard form (no global window). The budget-
     * selected output is persisted before sharding — it is the chain's
     * product, bounded by the token budget by construction. */
-  private[graft] def curateE2e(s: SparkSession, d: String): CurateStages = {
-    val g = docs(s, d)
+  private[graft] def curateE2e(s: SparkSession, d: String): CurateStages =
+    curateFrames(docs(s, d))
+
+  /** [[curateE2e]] over any documents-shaped frame — the golden hook
+    * (PipelineSpec pins the decontam-before-dedup composition on a
+    * planted contaminated-doc + clean-twin fixture). */
+  private[graft] def curateFrames(g: DataFrame): CurateStages = {
     val corpus = g.where(col("source") =!= "src19")
     val nTok = size(TF.tokens(col("text")))
     val meanLen = TF.meanTokenLen(col("text"))

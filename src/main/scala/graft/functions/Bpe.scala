@@ -64,6 +64,13 @@ object Bpe {
     * boundary is already in the token (the leading space byte "20").
     * Hex pairs are `\w`-only and space-free, so the oracle's
     * space-delimited list_reduce replay carries over unchanged. */
+  /** JVM twin of the [[BytePretokenRegex]] Column chain — the byte-mode
+    * analog of TextFunctions.tokensJvm, for per-arrival streaming
+    * encode (BpeStream) where no Column pipeline runs. */
+  def pretokensJvm(text: String): Array[String] =
+    if (text == null) Array.empty
+    else BytePretokenRegex.r.findAllIn(text).toArray
+
   def byteSyms(w: String): Array[String] = {
     val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = new Array[String](bs.length)

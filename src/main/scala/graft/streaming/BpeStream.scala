@@ -27,7 +27,12 @@ object BpeStream {
     * docs — the batch op's join simply has no token rows for them). */
   def encodeCounts(docs: DataFrame, model: Bpe.BpeModel): DataFrame = {
     val f = udf { (text: String) =>
-      val toks = TextFunctions.tokensJvm(text)
+      // the tokenizer rides the model's mode: word models see the \W+
+      // token chain, byte models the lossless pretokenizer — feeding a
+      // byte model word tokens would silently strip the case/space
+      // information the mode exists to keep
+      val toks = if (model.byteLevel) Bpe.pretokensJvm(text)
+                 else TextFunctions.tokensJvm(text)
       var nBpe = 0L
       toks.foreach(t => nBpe += model.encodeWord(t).length)
       (toks.length.toLong, nBpe)

@@ -795,6 +795,21 @@ class ParitySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch.nonEmpty && stream == batch,
       s"streaming != batch: only-stream=${stream -- batch}, only-batch=${batch -- stream}")
+    // byte-level leg: the tokenizer rides the model's mode — a frozen
+    // BYTE model pretokenizes losslessly and must reproduce
+    // doc_bpe_encode_bytes row-for-row across the same two batches
+    val bmodel = Bpe.trainFromCorpusBytes(g, col("text"), nMerges = 6)
+    val bbatch = Queries.registry.toMap.apply("doc_bpe_encode_bytes").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val memB = MemoryStream[(Long, String)]
+    val qb = BpeStream.encodeCounts(memB.toDF().toDF("doc_id", "text"), bmodel)
+      .writeStream.format("memory").queryName("bpeb_par").outputMode("append").start()
+    Seq(b1, b2).foreach { b => memB.addData(b); qb.processAllAvailable() }
+    qb.stop()
+    val bstream = spark.table("bpeb_par")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bbatch.nonEmpty && bstream == bbatch,
+      s"byte streaming != batch: only-stream=${bstream -- bbatch}, only-batch=${bbatch -- bstream}")
   }
 
   test("CurateStream: the staged two-query chain == doc_curate_e2e's kept corpus") {

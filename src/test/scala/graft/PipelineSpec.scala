@@ -798,6 +798,34 @@ class PipelineSpec extends SparkSuite {
       Sketch.budgetSelect(df, "s", "w", "id", -1L, buckets = 8, cap = 8))
   }
 
+  test("curate chain: a contaminated doc never suppresses its clean fingerprint twin") {
+    // The stage-order golden (decontam BEFORE dedup): doc 1 shares a
+    // 4-gram with the eval split; doc 2 is its word-order twin (same
+    // fingerprint, no shared 4-gram with eval). Dedup-first would let
+    // the contaminated doc 1 win the fp group and then die in the
+    // decontam stage — losing BOTH. The shipped order drops doc 1
+    // first, so the clean twin survives.
+    val stop = "the and of to in a is it on for"
+    val pad = Seq.tabulate(20)(i => s"$stop word$i").mkString(" ")
+    val contamGram = "alpha bravo charlie delta"
+    val c = s"$contamGram $pad echo"           // shares the 4-gram with eval
+    val t = c.split(" ").reverse.mkString(" ") // same token multiset, reversed order
+    val ev = s"unrelated eval text $contamGram more eval things here"
+    val g = Seq(
+      (1L, c, "en", "src1"), (2L, t, "en", "src1"), (90L, ev, "en", "src19"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val st = QueriesPipeline.curateFrames(g)
+    val contamIds = st.contam.collect().map(_.getLong(0)).toSet
+    assert(contamIds == Set(1L), s"only the 4-gram-sharing doc is contaminated: $contamIds")
+    val kept = st.kept2.collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L),
+      s"the clean twin must survive the fp group its contaminated partner vacated: $kept")
+    // and the reversed twin really is a distinct text with the same fp
+    assert(c != t)
+    spark.catalog.clearCache()
+  }
+
   test("budgetSelect: a negative weight fails loudly instead of corrupting the cut") {
     import graft.ops.Sketch
     val rows = (0L until 50L).map(id => ((id % 5).toDouble, id % 7, id)) :+
