@@ -1238,53 +1238,78 @@ object QueriesPipeline {
     // per-doc ln sum is ≤ ~1e2 terms at 4dp — the evt_ewma_hl
     // same-argument-transcendental precedent).
     "doc_lm_ppl" -> Q(
+      (s, d) => lmPplScores(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH ${oracleLmPpl()}
+              |SELECT doc_id, n_bi, round(1e-9 + a, 4) AS nll FROM sc ORDER BY 1""".stripMargin)),
+
+    // Cross-dataset n-gram overlap matrix — the report a data-mixing
+    // stage runs BEFORE combining corpora: for every source pair, how
+    // many DISTINCT 4-gram shingles they share (high overlap → dedup
+    // across the pair before mixing, or drop one side). Scale shape:
+    // ONE exchange — the shingle rows hash-aggregate straight to
+    // (h, set-of-sources) via collect_set (duplicate-invariant, so no
+    // pre-distinct pass; map-side partial sets shrink the shuffle),
+    // and the pair explosion runs on the POST-aggregate frame, whose
+    // sets are ≤ #sources wide by construction. No self-join, no
+    // shingle re-shuffle; hot boilerplate shingles are one row each.
+    "doc_overlap_matrix" -> Q(
       (s, d) => {
-        val t = docs(s, d).select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        // `bi` feeds three subtrees (c2, c1, the scoring join) and is
-        // deliberately RECOMPUTED per subtree — measured best of three
-        // formulations at the 1000× decade (all at pinned 32 partitions):
-        // (a) this one, pure map-side recompute: 72.6 s @300× / 278 s
-        //     @1000× — CPU-redundant but zero memory risk (scan + explode
-        //     + md5 is embarrassingly parallel, nothing held);
-        // (b) persist(bi): 44.1 s @300× (−39%) but the corpus-sized cache
-        //     competes with execution memory at 1000× — 196 s with 16 s
-        //     GC at 32 partitions and AGGREGATE_OUT_OF_MEMORY at 256;
-        // (c) derive both count tables from one per-(doc,bigram)
-        //     multiplicity aggregation: no ReuseExchange materializes
-        //     (column pruning de-canonicalizes the two consumers'
-        //     subtrees) so the HEAVIER aggregation computes twice —
-        //     78.3 s @300× / 243 s @1000×.
-        // At 100 TB (a) is the only shape that cannot fall over: a
-        // per-query corpus-sized cache is an anti-pattern, and the
-        // recomputed work never touches the aggregation memory pool.
-        val bi = t.where(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(TF.ngrams(col("toks"), 2)).as("bg"))
-          .select(col("doc_id"),
-            TF.hash60(substring_index(col("bg"), " ", 1)).as("h1"),
-            TF.hash60(col("bg")).as("h2"))
-        val c2 = bi.groupBy("h2").agg(count(lit(1)).cast("double").as("c2"))
-        val c1 = bi.groupBy("h1").agg(count(lit(1)).cast("double").as("c1"))
-        val vocab = t.select(explode(col("toks")).as("w"))
-          .agg(countDistinct("w")).head.getLong(0).toDouble
-        bi.join(c2, "h2").join(c1, "h1")
-          .withColumn("t", -log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * lit(vocab))))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bi"), (sum("t") / count(lit(1))).as("a"))
-          .select(col("doc_id"), col("n_bi"), r4(col("a")).as("nll"))
+        val sets = hashedShingleRows(docs(s, d), 4, Seq("source"))
+          .groupBy("h").agg(sort_array(collect_set("source")).as("ss"))
+          .where(size(col("ss")) > 1)
+        sets.select(col("h"), explode(col("ss")).as("src_a"), col("ss"))
+          .select(col("h"), col("src_a"), explode(col("ss")).as("src_b"))
+          .where(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+              |g AS (SELECT DISTINCT source, ${H60.format("sh")} AS h FROM (
+              |  SELECT source, unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh FROM t))
+              |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared
+              |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // Perplexity-bucketed corpus split — the CCNet head/middle/tail
+    // cut (Wenzek et al. 2020 §4.3: rank by LM perplexity, split into
+    // terciles; head trains, tail drops, middle is the knob). The
+    // oracle's canonical form is ntile-over-a-global-sort; the shipped
+    // plan computes the two tercile BOUNDARIES by the certified
+    // histogram descent (ops/Sketch.exactQuantiles — same order
+    // statistic as the oracle's row_number cut, floor((n-1)p)+1) and
+    // buckets the corpus with a two-scalar broadcast CASE at scan
+    // speed. The per-doc (doc_id, nll) projection is persisted across
+    // the descent rounds (3 narrow columns, #docs rows — NOT
+    // corpus-sized; the doc_token_budget persist discipline), so the
+    // bigram-LM chain runs ONCE, not once per round. Ties share a
+    // bucket on both engines (values are 4dp-rounded and the CASE is
+    // <=-driven), so the cut is deterministic.
+    "doc_ppl_buckets" -> Q(
+      (s, d) => {
+        val scored = cached(lmPplScores(docs(s, d)))
+        val qs = graft.ops.Sketch.exactQuantiles(scored, "nll",
+          Seq(1.0 / 3, 2.0 / 3), buckets = 512, cap = 4096)
+        val bs = qs.result.orderBy("p").collect().map(_.getDouble(1))
+        scored.select(col("doc_id"), col("nll"),
+          when(col("nll") <= bs(0), "head")
+            .when(col("nll") <= bs(1), "middle")
+            .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-              |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 0)+1),
-              |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t WHERE len(toks) >= 2),
-              |bi AS (SELECT doc_id, ${H60.format("split_part(bg, ' ', 1)")} AS h1,
-              |    ${H60.format("bg")} AS h2 FROM bg),
-              |c2 AS (SELECT h2, count(*)::DOUBLE AS c2 FROM bi GROUP BY 1),
-              |c1 AS (SELECT h1, count(*)::DOUBLE AS c1 FROM bi GROUP BY 1),
-              |vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM (SELECT unnest(toks) AS w FROM t)),
-              |sc AS (SELECT doc_id, count(*) AS n_bi,
-              |    sum(-ln((c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vv)))) / count(*) AS a
-              |  FROM bi JOIN c2 USING (h2) JOIN c1 USING (h1) GROUP BY 1)
-              |SELECT doc_id, n_bi, round(1e-9 + a, 4) AS nll FROM sc ORDER BY 1""".stripMargin)),
+      Some(s"""WITH ${oracleLmPpl()},
+              |sc2 AS (SELECT doc_id, round(1e-9 + a, 4) AS nll FROM sc),
+              |o AS (SELECT doc_id, nll, row_number() OVER (ORDER BY nll) AS rn,
+              |    count(*) OVER () AS c FROM sc2),
+              |b AS (SELECT
+              |    max(CASE WHEN rn = floor((c-1) * (1.0/3)) + 1 THEN nll END) AS b1,
+              |    max(CASE WHEN rn = floor((c-1) * (2.0/3)) + 1 THEN nll END) AS b2
+              |  FROM o)
+              |SELECT doc_id, nll,
+              |  CASE WHEN nll <= (SELECT b1 FROM b) THEN 'head'
+              |       WHEN nll <= (SELECT b2 FROM b) THEN 'middle'
+              |       ELSE 'tail' END AS bucket
+              |FROM sc2 ORDER BY doc_id""".stripMargin)),
 
     // Hybrid sparse+dense retrieval fusion — reciprocal rank fusion
     // (Cormack, Clarke & Buettcher 2009, "Reciprocal Rank Fusion
@@ -3125,6 +3150,61 @@ object QueriesPipeline {
               |  ((grk-1)%25)::BIGINT AS pos
               |FROM sh ORDER BY doc_id""".stripMargin))
   )
+
+  /** The doc_lm_ppl scoring body — (doc_id, n_bi, nll) per doc with
+    * ≥ 1 bigram, nll 4dp-rounded. Shared by the registry entry and the
+    * doc_ppl_buckets tercile split.
+    *
+    * `bi` feeds three subtrees (c2, c1, the scoring join) and is
+    * deliberately RECOMPUTED per subtree — measured best of three
+    * formulations at the 1000× decade (all at pinned 32 partitions):
+    * (a) this one, pure map-side recompute: 72.6 s @300× / 278 s
+    *     @1000× — CPU-redundant but zero memory risk (scan + explode
+    *     + md5 is embarrassingly parallel, nothing held);
+    * (b) persist(bi): 44.1 s @300× (−39%) but the corpus-sized cache
+    *     competes with execution memory at 1000× — 196 s with 16 s
+    *     GC at 32 partitions and AGGREGATE_OUT_OF_MEMORY at 256;
+    * (c) derive both count tables from one per-(doc,bigram)
+    *     multiplicity aggregation: no ReuseExchange materializes
+    *     (column pruning de-canonicalizes the two consumers'
+    *     subtrees) so the HEAVIER aggregation computes twice —
+    *     78.3 s @300× / 243 s @1000×.
+    * At 100 TB (a) is the only shape that cannot fall over: a
+    * per-query corpus-sized cache is an anti-pattern, and the
+    * recomputed work never touches the aggregation memory pool. */
+  private[graft] def lmPplScores(g: DataFrame): DataFrame = {
+    val t = g.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    val bi = t.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(TF.ngrams(col("toks"), 2)).as("bg"))
+      .select(col("doc_id"),
+        TF.hash60(substring_index(col("bg"), " ", 1)).as("h1"),
+        TF.hash60(col("bg")).as("h2"))
+    val c2 = bi.groupBy("h2").agg(count(lit(1)).cast("double").as("c2"))
+    val c1 = bi.groupBy("h1").agg(count(lit(1)).cast("double").as("c1"))
+    val vocab = t.select(explode(col("toks")).as("w"))
+      .agg(countDistinct("w")).head.getLong(0).toDouble
+    bi.join(c2, "h2").join(c1, "h1")
+      .withColumn("t", -log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * lit(vocab))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"), (sum("t") / count(lit(1))).as("a"))
+      .select(col("doc_id"), col("n_bi"), r4(col("a")).as("nll"))
+  }
+
+  /** The shared bigram-LM oracle CTE chain (t → bg → bi → c2/c1 → vv →
+    * sc, with sc carrying the UNROUNDED mean `a`). A def — the BpeR
+    * object-init trap. */
+  private def oracleLmPpl(): String =
+    s"""t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 0)+1),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t WHERE len(toks) >= 2),
+       |bi AS (SELECT doc_id, ${H60.format("split_part(bg, ' ', 1)")} AS h1,
+       |    ${H60.format("bg")} AS h2 FROM bg),
+       |c2 AS (SELECT h2, count(*)::DOUBLE AS c2 FROM bi GROUP BY 1),
+       |c1 AS (SELECT h1, count(*)::DOUBLE AS c1 FROM bi GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM (SELECT unnest(toks) AS w FROM t)),
+       |sc AS (SELECT doc_id, count(*) AS n_bi,
+       |    sum(-ln((c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vv)))) / count(*) AS a
+       |  FROM bi JOIN c2 USING (h2) JOIN c1 USING (h1) GROUP BY 1)""".stripMargin
 
   /** The curation chain's stage frames, exposed so PlanAuditSpec can
     * count corpus reads per stage: `base` = the one scoring scan,

@@ -77,7 +77,13 @@ object SparkEntry {
       // round 14 second batch: a sub-0.7 s stable feedback-epoch window
       // chain (plan unchanged since round 9; its parity + golden gates
       // stay) rotated out for the composed doc_curate_e2e entry
-      "evt_feedback_epochs")
+      "evt_feedback_epochs",
+      // round 14 third batch: three sub-0.7 s stable entries (the
+      // funnel window chain — streaming twin + goldens stay; the
+      // combine merge variant — evt_merge stays on the line; the
+      // dynamic-group window chain, plan unchanged since round 6)
+      // rotated out for doc_overlap_matrix / doc_ppl_buckets
+      "evt_funnel", "evt_combine", "dyn_group")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

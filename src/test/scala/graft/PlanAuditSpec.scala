@@ -638,6 +638,37 @@ class PlanAuditSpec extends SparkSuite {
     assert(range == 1, s"only the output orderBy may range-partition, got $range:\n$p")
   }
 
+  test("doc_overlap_matrix: no self-join — pairs ride the set aggregate") {
+    // the naive form self-joins the (source, h) frame on h (two
+    // shuffles of the shingle volume + a skew-amplifying join on hot
+    // boilerplate shingles); the shipped plan aggregates straight to
+    // (h, set-of-sources) and explodes pairs from the ≤ #sources-wide
+    // sets POST-aggregate: zero joins, one shingle-volume exchange
+    // (h), one pair-count exchange over pair-sized rows
+    val p = plan("doc_overlap_matrix")
+    assert(!p.contains("Join"), s"pair generation must not join:\n$p")
+    // the shingle window's REPARTITION_BY_COL doc_id spread rides along
+    // (hashedShingleRows); the REQUIRED exchanges are the two aggregates
+    val hashEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS")).toSeq
+    assert(hashEx.size == 2 && hashEx.exists(_.contains("h#")) &&
+      hashEx.exists(_.contains("src_a")),
+      s"exactly the h aggregate + the pair count may hash-exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("doc_ppl_buckets: boundaries are broadcast literals; the split never sorts the corpus") {
+    // the oracle is ntile-over-a-global-sort; the shipped plan buckets
+    // with a two-literal CASE — the only rangepartitioning allowed is
+    // the output orderBy, and the descent's certification is gated at
+    // runtime (exactQuantiles' own specs own the mechanism)
+    val p = plan("doc_ppl_buckets")
+    val range = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(range == 1, s"only the output orderBy may range-partition, got $range:\n$p")
+    assert(!p.contains("ntile") && !p.contains("row_number"),
+      s"no rank window anywhere — the boundaries are collected scalars:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("doc_curate_e2e: 3 corpus reads end-to-end; later stages are cache-fed; " +
       "no global corpus sort") {
     // The composed chain's scale contract (the reason it exists as one
