@@ -346,6 +346,21 @@ object QueriesPipeline {
     (cand, meanSet)
   }
 
+  /** Scale-probe hook: the overlap matrix's mechanism numbers — how
+    * many shingle hashes are multi-source (rows surviving the set
+    * aggregate) and how many pair rows they explode into (the volume
+    * the final pair-count exchange carries). Pure functions of the
+    * input: decade-over-decade ratios measure design growth, not
+    * host noise. */
+  private[graft] def overlapProbe(s: SparkSession, d: String): (Long, Long) = {
+    val sets = hashedShingleRows(docs(s, d), 4, Seq("source"))
+      .groupBy("h").agg(collect_set("source").as("ss"))
+      .where(size(col("ss")) > 1)
+      .select(size(col("ss")).cast("long").as("k"))
+    val r = sets.agg(count(lit(1)), sum(expr("k * (k - 1) DIV 2"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val base = cached(
       minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true))
@@ -1287,7 +1302,17 @@ object QueriesPipeline {
     // <=-driven), so the cut is deterministic.
     "doc_ppl_buckets" -> Q(
       (s, d) => {
-        val scored = cached(lmPplScores(docs(s, d)))
+        // DISK_ONLY, not the default memory cache: the scored frame is
+        // tiny (#docs × 3 narrow cols) but materializing it into
+        // STORAGE memory while the bigram-LM joins are consuming
+        // EXECUTION memory measurably starves them — A/B at the 1000×
+        // decade (5M docs): memory cache 377.5 s vs the bare chain's
+        // 233.3 s same-window, disk cache recovers the gap (see
+        // COVERAGE round-14). Disk round-trips ~120 MB — noise next to
+        // the chain — and descent rounds read it back in ~1 s.
+        val scored = lmPplScores(docs(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        scored.count()
         val qs = graft.ops.Sketch.exactQuantiles(scored, "nll",
           Seq(1.0 / 3, 2.0 / 3), buckets = 512, cap = 4096)
         val bs = qs.result.orderBy("p").collect().map(_.getDouble(1))

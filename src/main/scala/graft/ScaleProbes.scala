@@ -19,6 +19,8 @@ object ScaleProbes {
     spark.sparkContext.setLogLevel("ERROR")
     val (cand, meanSet) = QueriesPipeline.minhashProbe(spark, sfDir)
     println(f"[probe] $sfDir minhash_banded_candidates=$cand mean_shingle_set=$meanSet%.1f")
+    val (multiH, pairRows) = QueriesPipeline.overlapProbe(spark, sfDir)
+    println(s"[probe] $sfDir overlap_multisource_hashes=$multiH overlap_pair_rows=$pairRows")
     // hier-descent cost at the registry dedup config (occupancy 64,
     // nTop ~ sqrt(k)): scored centroids per vector = nTop (in-closure)
     // + probed branches' leaves — deterministic frame counts, no

@@ -868,6 +868,14 @@ class PipelineSpec extends SparkSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == budgetRef(rows, 154L))
     assert(sel.idCutExcl == base + 77L) // 154/2 = 77 rows fit exactly
+    // negative ids: the descent's selectExpr interpolates ilo as a
+    // literal — a negative one must parse as (id - -2000L), not bind to
+    // the DIV
+    val neg = (0L until 300L).map(i => (0.5, 2L, -2000L + i)).toDF("s", "w", "id")
+      .repartition(3)
+    val seln = Sketch.budgetSelect(neg, "s", "w", "id", budget = 120L,
+      buckets = 8, cap = 16)
+    assert(seln.certified && seln.idCutExcl == -1940L) // 120/2 = 60 rows fit
   }
 
   test("CapKAgg: any reduce/merge split keeps the K smallest pairs, buffer stays K-bounded") {

@@ -58,6 +58,18 @@ class ScaleProbeSpec extends SparkSuite {
       s"mean shingle-set length $meanSet outside the small-constant band")
   }
 
+  test("overlapProbe: multi-source hashes and their pair-row volume agree with the matrix") {
+    val (multiH, pairRows) = QueriesPipeline.overlapProbe(spark, d)
+    assert(multiH > 0, "shared shingles must exist at the gate SF")
+    assert(pairRows >= multiH, "every multi-source hash yields >= 1 pair row")
+    // consistency with the registry op: the matrix's total shared count
+    // equals the probe's pair-row volume (each pair row is one (h, pair))
+    val total = Queries.registry.toMap.apply("doc_overlap_matrix").fn(spark, d)
+      .agg(sum("shared")).head.getLong(0)
+    assert(total == pairRows,
+      s"matrix total $total must equal the probe's pair rows $pairRows")
+  }
+
   test("probeFrameForTest: one row per vector, nProbe cells, packed payload") {
     val e = Tables.embeddings(spark, d)
     val n = e.count()
