@@ -2767,26 +2767,39 @@ object QueriesPipeline {
     "emb_kmeans" -> Q(
       (s, d) => Similarity.kmeansAssign(emb(s, d), nCent = 8, iters = 2,
         dimHint = AnnDim).orderBy("vec_id"),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
-             |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT 8),
-             |aff1 AS (SELECT e.vec_id AS id, cid,
-             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
-             |asg1 AS (SELECT id, cid AS cell FROM (
-             |    SELECT id, cid, row_number() OVER
-             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
-             |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
-             |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
-             |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
-             |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
-             |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
-             |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
-             |aff2 AS (SELECT e.vec_id AS id, cid,
-             |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
-             |asg2 AS (SELECT id, cid AS cell, cs FROM (
-             |    SELECT id, cid, cs, row_number() OVER
-             |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff2) WHERE rn = 1)
+      Some(s"""WITH ${oracleKmeans()}
              |SELECT id AS vec_id, cell, cs AS aff FROM asg2 ORDER BY 1""".stripMargin)),
+
+    // Cluster-balanced sampling — the topic-balance quota over the
+    // TRAINED k-means cells (the embedding-space counterpart of
+    // doc_source_cap's domain cap: no one semantic cluster may dominate
+    // the corpus). Assignment is the broadcast-model loop the other
+    // kmeans consumers share; the per-cell quota is the CapKAgg typed
+    // Aggregator — its associative ≤K-pair buffer prunes to ≤ K rows
+    // per (cell × partition) map-side, so the exchange carries
+    // ≤ K·cells·partitions rows where the canonical row_number window
+    // would shuffle and sort every vector. Selection is salted-hash
+    // (a deterministic uniform draw), id tie-break, rank replayed by
+    // posexplode — the doc_source_cap discipline over cells.
+    "emb_cluster_cap" -> Q(
+      (s, d) => {
+        val asg = Similarity.kmeansAssign(emb(s, d), nCent = 8, iters = 2,
+          dimHint = AnnDim).select(col("vec_id"), col("cell"))
+        val capAgg = udaf(new graft.functions.CapKAgg(25),
+          org.apache.spark.sql.Encoders.product[graft.functions.CapIn])
+        val h = TF.hash60(concat(lit("cbal:"), col("vec_id").cast("string")))
+        asg.select(col("cell"), h.as("h"), col("vec_id").as("id"))
+          .groupBy("cell").agg(capAgg(col("h"), col("id")).as("kept"))
+          .select(col("cell"), posexplode(col("kept")))
+          .select(col("cell"), col("col").as("vec_id"),
+            (col("pos") + 1).cast("long").as("rn"))
+          .orderBy("cell", "vec_id")
+      },
+      Some(s"""WITH ${oracleKmeans()},
+             |sel AS (SELECT cell, id, row_number() OVER (PARTITION BY cell
+             |    ORDER BY ${H60.format("'cbal:' || id")}, id) AS rn FROM asg2)
+             |SELECT cell, id AS vec_id, rn FROM sel WHERE rn <= 25
+             |ORDER BY cell, vec_id""".stripMargin)),
 
     // Incremental dedup: an incoming crawl batch (sources src18/src19)
     // dedupes against the EXISTING corpus (every other source) and within
@@ -3214,6 +3227,30 @@ object QueriesPipeline {
       .agg(count(lit(1)).as("n_bi"), (sum("t") / count(lit(1))).as("a"))
       .select(col("doc_id"), col("n_bi"), r4(col("a")).as("nll"))
   }
+
+  /** The shared 2-pass Lloyd k-means oracle CTE chain (e → cent0 →
+    * asg1 → cent1 → asg2, with asg2 = (id, cell, cs)). A def — the
+    * BpeR object-init trap. */
+  private def oracleKmeans(): String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 1 + len(v))) AS i FROM (SELECT v FROM e LIMIT 1)),
+      |cent0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT, vec_id LIMIT 8),
+      |aff1 AS (SELECT e.vec_id AS id, cid,
+      |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent0),
+      |asg1 AS (SELECT id, cid AS cell FROM (
+      |    SELECT id, cid, row_number() OVER
+      |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff1) WHERE rn = 1),
+      |flat1 AS (SELECT a.cell, d.i, e.v[d.i] AS w
+      |  FROM asg1 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d),
+      |cm1 AS (SELECT cell, list(m ORDER BY i) AS cv FROM (
+      |    SELECT cell, i, avg(w) AS m FROM flat1 GROUP BY 1, 2) GROUP BY 1),
+      |cent1 AS (SELECT c0.cid, coalesce(cm1.cv, c0.cv) AS cv
+      |  FROM cent0 c0 LEFT JOIN cm1 ON cm1.cell = c0.cid),
+      |aff2 AS (SELECT e.vec_id AS id, cid,
+      |    round(1e-9 + list_cosine_similarity(v, cv), 4) AS cs FROM e, cent1),
+      |asg2 AS (SELECT id, cid AS cell, cs FROM (
+      |    SELECT id, cid, cs, row_number() OVER
+      |      (PARTITION BY id ORDER BY cs DESC, cid) AS rn FROM aff2) WHERE rn = 1)""".stripMargin
 
   /** The shared bigram-LM oracle CTE chain (t → bg → bi → c2/c1 → vv →
     * sc, with sc carrying the UNROUNDED mean `a`). A def — the BpeR

@@ -83,7 +83,11 @@ object SparkEntry {
       // combine merge variant — evt_merge stays on the line; the
       // dynamic-group window chain, plan unchanged since round 6)
       // rotated out for doc_overlap_matrix / doc_ppl_buckets
-      "evt_funnel", "evt_combine", "dyn_group")
+      "evt_funnel", "evt_combine", "dyn_group",
+      // round 14 fourth batch: a sub-1 s stable timer-delay scan (plan
+      // unchanged since round 6; parity + golden gates stay) rotated
+      // out for emb_cluster_cap
+      "evt_delay_reset")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
