@@ -1286,6 +1286,100 @@ object QueriesPipeline {
               |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
               |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // Winnowing document fingerprints — Schleimer, Wilkerson & Aiken
+    // 2003 ("Winnowing: Local Algorithms for Document Fingerprinting",
+    // SIGMOD; the MOSS algorithm): over every window of w=5 consecutive
+    // positioned 4-gram hashes, select the leftmost minimum; the
+    // selected set is a position-aware fingerprint with guaranteed
+    // density 2/(w+1) that, unlike MinHash, localizes matches (any
+    // shared run of length >= w+k-1 tokens shares a selected hash —
+    // the plagiarism-detection contract). Output: selections per doc +
+    // an order-insensitive digest of the selected hashes. Scale shape:
+    // ONE doc_id exchange carries tokens (the ngramRows discipline);
+    // the k-gram leads, the per-start window minima, the full-window
+    // count and the rollup all ride it; no shuffle ever carries text.
+    "doc_winnow" -> Q(
+      (s, d) => {
+        val wWin = 5
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val tok = docs(s, d)
+          .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+          .toDF("doc_id", "pos", "tok")
+        val kg = (1 until 4).foldLeft(tok)((df, i) =>
+            df.withColumn(s"t$i", lead(col("tok"), i).over(w)))
+          .where(col("t3").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            TF.hash60(concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"))).as("h"))
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rowsBetween(0, wWin - 1)
+        val nw = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        val sel = kg
+          .withColumn("mn", min(struct(col("h"), col("pos"))).over(wf))
+          .withColumn("ng", count(lit(1)).over(nw))
+          .where(col("pos") <= col("ng") - wWin) // full windows only
+          .select(col("doc_id"), col("mn.h").as("h"), col("mn.pos").as("spos"))
+          .distinct()
+        sel.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            md5(concat_ws(",", sort_array(collect_list(col("h"))))).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+              |g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-3, 0)+1),
+              |    i -> ${H60.format("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]")}) AS hs
+              |  FROM t),
+              |sel AS (SELECT doc_id, hs, list_distinct(list_transform(range(1, len(hs) - 3),
+              |    i -> i - 1 + list_indexof(hs[i:i+4], list_min(hs[i:i+4])))) AS ps
+              |  FROM g WHERE len(hs) >= 5)
+              |SELECT doc_id, len(ps)::BIGINT AS n_fp,
+              |  md5(array_to_string(list_sort(list_transform(ps, p -> hs[p])), ',')) AS digest
+              |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-integrity contamination report — the REVERSE direction
+    // of doc_decontaminate: for every held-out eval doc (src19), how
+    // much of it leaks into the training corpus — distinct 4-grams hit,
+    // distinct corpus docs sharing them, and the leaked fraction. This
+    // is the report an eval-suite owner reads (which benchmark items
+    // are compromised and how badly), where decontamination is the
+    // report the corpus owner acts on. Scale shape identical to
+    // doc_decontaminate: the eval shingle table is small by
+    // construction and BROADCASTS into the single corpus shingle scan;
+    // both rollups group by eval id (bounded rows); corpus never
+    // shuffles on h.
+    "doc_eval_contam_report" -> Q(
+      (s, d) => {
+        val g = docs(s, d)
+        val evg = hashedShingleRows(g.where(col("source") === "src19"), 4, Nil)
+          .select(col("doc_id").as("eval_id"), col("h")).distinct()
+        val tot = evg.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+        val hits = hashedShingleRows(g.where(col("source") =!= "src19"), 4, Nil)
+          .join(broadcast(evg), "h")
+          .groupBy("eval_id")
+          .agg(countDistinct("h").as("n_hit"), countDistinct("doc_id").as("n_docs"))
+        tot.join(hits, Seq("eval_id"), "left_outer")
+          .select(col("eval_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            r4(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+              .as("coverage"))
+          .orderBy("eval_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+              |sh AS (SELECT doc_id, source, ${H60.format("s4")} AS h FROM (
+              |  SELECT doc_id, source, unnest(list_transform(range(1, greatest(len(toks)-3, 0)+1),
+              |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s4 FROM t)),
+              |ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src19'),
+              |tot AS (SELECT eval_id, count(*)::BIGINT AS n_grams FROM ev GROUP BY 1),
+              |hit AS (SELECT eval_id, count(DISTINCT ev.h)::BIGINT AS n_hit,
+              |    count(DISTINCT c.doc_id)::BIGINT AS n_docs
+              |  FROM ev JOIN (SELECT doc_id, h FROM sh WHERE source <> 'src19') c USING (h)
+              |  GROUP BY 1)
+              |SELECT eval_id, n_grams, coalesce(n_hit, 0) AS n_hit,
+              |  coalesce(n_docs, 0) AS n_docs,
+              |  round(1e-9 + coalesce(n_hit, 0)::DOUBLE / n_grams, 4) AS coverage
+              |FROM tot LEFT JOIN hit USING (eval_id) ORDER BY eval_id""".stripMargin)),
+
     // Perplexity-bucketed corpus split — the CCNet head/middle/tail
     // cut (Wenzek et al. 2020 §4.3: rank by LM perplexity, split into
     // terciles; head trains, tail drops, middle is the knob). The

@@ -87,7 +87,12 @@ object SparkEntry {
       // round 14 fourth batch: a sub-1 s stable timer-delay scan (plan
       // unchanged since round 6; parity + golden gates stay) rotated
       // out for emb_cluster_cap
-      "evt_delay_reset")
+      "evt_delay_reset",
+      // round 14 fifth batch: two sub-0.9 s stable TPC-H broadcast
+      // joins (plans unchanged since round 3; book_top/book_depth3 and
+      // the q_* scans keep join coverage on the line) rotated out for
+      // doc_eval_contam_report / doc_winnow
+      "q05_regional_revenue", "q10_returns")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
