@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotPacked
+import graft.functions.{DotPacked, DtwBand}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,5 +31,18 @@ object GraftExtensions {
         require(children.size == 2,
           s"dot_packed expects exactly 2 arguments, got ${children.size}")
         DotPacked(children.head, children(1))
+      }), (
+      FunctionIdentifier("dtw_band"),
+      new ExpressionInfo(classOf[DtwBand].getName, "dtw_band"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"dtw_band expects (series_a, series_b, band), got ${children.size} args")
+        val band = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"dtw_band: band must be an integer literal, got $other")
+        }
+        DtwBand(children.head, children(1), band)
       }))
 }

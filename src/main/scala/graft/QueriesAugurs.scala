@@ -309,6 +309,128 @@ object QueriesAugurs {
              |  round(1e-9 + fc + 1.96*sigma,4) AS hi
              |FROM f ORDER BY 1,2""".stripMargin)),
 
+    // DTW distance matrix (reference `augurs.rs:1038`): trailing-16
+    // window per user series, Sakoe-Chiba band 4. The oracle replays the
+    // banded DP cell-by-cell in a recursive CTE — one recursion step per
+    // (i,j) cell, all pairs advancing in lockstep — with the exact
+    // cost + min(prev_j, cur_{j-1}, prev_{j-1}) op order of Augurs.dtw,
+    // so the two engines' doubles agree before the shared r4 rounding
+    // (validated exactly at sf0.001 and sf0.01). Both sides pre-filter
+    // to series with >= 16 rows (band 4 assumes n == m == 16).
+    "aug_dtw" -> Q(
+      (s, d) => {
+        val t = Tables.events(s, d)
+        val ok = t.df.groupBy("user_id").agg(count(lit(1)).as("__n"))
+          .where(col("__n") >= 16).select("user_id")
+        val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
+        // persist before the global sort: orderBy's range-partitioner
+        // SAMPLING otherwise re-executes the whole O(k²)-pair DP pipeline
+        // a second time (measured: 6.7 s sorted vs 2.9 s unsorted at
+        // sf0.1). The harnesses clear the cache per query (Bench/Verify
+        // isolation); the frame is pair keys + one double — tiny.
+        val m = Augurs.dtwMatrix(t16, window = 16, band = 4)
+          .select(col("sid_a"), col("sid_b"), r4c(col("dtw")).as("dtw"))
+          .persist()
+        m.count()
+        m.orderBy("sid_a", "sid_b")
+      },
+      Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl
+             |  FROM ($E) GROUP BY 1),
+             |s AS (SELECT CAST(user_id AS VARCHAR) AS sid,
+             |    list_slice(fl, len(fl)-15, len(fl)) AS ser
+             |  FROM a WHERE len(fl) >= 16),
+             |pr AS (SELECT x.sid AS sid_a, y.sid AS sid_b, x.ser AS va, y.ser AS vb
+             |  FROM s x JOIN s y ON x.sid < y.sid),
+             |dp AS (
+             |  SELECT sid_a, sid_b, va, vb, 1 AS i, 1 AS j,
+             |    list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, 17), x -> CAST('infinity' AS DOUBLE))) AS p,
+             |    CAST([] AS DOUBLE[]) AS cur
+             |  FROM pr
+             |  UNION ALL
+             |  SELECT sid_a, sid_b, va, vb,
+             |    CASE WHEN j < hi THEN i ELSE i+1 END,
+             |    CASE WHEN j < hi THEN j+1 ELSE greatest(1, (i+1)-4) END,
+             |    CASE WHEN j < hi THEN p ELSE
+             |      list_transform(range(1, 18), x ->
+             |        CASE WHEN x > 1 AND x-1 >= greatest(1, i-4) AND x-1 <= hi
+             |          THEN nc[x-1-greatest(1, i-4)+1]
+             |          ELSE CAST('infinity' AS DOUBLE) END) END,
+             |    CASE WHEN j < hi THEN nc ELSE CAST([] AS DOUBLE[]) END
+             |  FROM (
+             |    SELECT *, least(16, i+4) AS hi,
+             |      list_append(cur, abs(va[i]-vb[j]) + least(least(p[j+1],
+             |        CASE WHEN j = greatest(1, i-4) THEN CAST('infinity' AS DOUBLE)
+             |          ELSE cur[len(cur)] END), p[j])) AS nc
+             |    FROM dp WHERE i <= 16) q)
+             |SELECT sid_a, sid_b, round(1e-9 + p[17], 4) AS dtw
+             |FROM dp WHERE i = 17 ORDER BY 1, 2""".stripMargin)),
+
+    // DBSCAN over the DTW matrix (reference `augurs.rs:1159`): eps=330,
+    // minPts=3 (incl. self) split the testdata three ways — core /
+    // border / noise — at both sf0.001 (5/2/8, 2 clusters) and sf0.01
+    // (100/12/38). The oracle rides the same DTW recursion, then:
+    // neighbor degree -> core set; component labels = min sid over
+    // core-core reachability (a dedup-UNION walk — exactly the
+    // min-root the Scala union-find converges to); border -> smallest
+    // core neighbor's root; noise -> '-1'.
+    "aug_cluster" -> Q(
+      (s, d) => {
+        val t = Tables.events(s, d)
+        val ok = t.df.groupBy("user_id").agg(count(lit(1)).as("__n"))
+          .where(col("__n") >= 16).select("user_id")
+        val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
+        Augurs.clusterDtw(t16, window = 16, eps = 330.0, minPts = 3, band = 4)
+          .orderBy("sid")
+      },
+      Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl
+             |  FROM ($E) GROUP BY 1),
+             |s AS (SELECT CAST(user_id AS VARCHAR) AS sid,
+             |    list_slice(fl, len(fl)-15, len(fl)) AS ser
+             |  FROM a WHERE len(fl) >= 16),
+             |pr AS (SELECT x.sid AS sid_a, y.sid AS sid_b, x.ser AS va, y.ser AS vb
+             |  FROM s x JOIN s y ON x.sid < y.sid),
+             |dp AS (
+             |  SELECT sid_a, sid_b, va, vb, 1 AS i, 1 AS j,
+             |    list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(range(1, 17), x -> CAST('infinity' AS DOUBLE))) AS p,
+             |    CAST([] AS DOUBLE[]) AS cur
+             |  FROM pr
+             |  UNION ALL
+             |  SELECT sid_a, sid_b, va, vb,
+             |    CASE WHEN j < hi THEN i ELSE i+1 END,
+             |    CASE WHEN j < hi THEN j+1 ELSE greatest(1, (i+1)-4) END,
+             |    CASE WHEN j < hi THEN p ELSE
+             |      list_transform(range(1, 18), x ->
+             |        CASE WHEN x > 1 AND x-1 >= greatest(1, i-4) AND x-1 <= hi
+             |          THEN nc[x-1-greatest(1, i-4)+1]
+             |          ELSE CAST('infinity' AS DOUBLE) END) END,
+             |    CASE WHEN j < hi THEN nc ELSE CAST([] AS DOUBLE[]) END
+             |  FROM (
+             |    SELECT *, least(16, i+4) AS hi,
+             |      list_append(cur, abs(va[i]-vb[j]) + least(least(p[j+1],
+             |        CASE WHEN j = greatest(1, i-4) THEN CAST('infinity' AS DOUBLE)
+             |          ELSE cur[len(cur)] END), p[j])) AS nc
+             |    FROM dp WHERE i <= 16) q),
+             |mat AS (SELECT sid_a, sid_b, p[17] AS dtw FROM dp WHERE i = 17),
+             |eg AS (SELECT sid_a AS u, sid_b AS v FROM mat WHERE dtw <= 330
+             |  UNION ALL SELECT sid_b, sid_a FROM mat WHERE dtw <= 330),
+             |deg AS (SELECT s.sid, 1 + count(eg.v) AS n_nbrs
+             |  FROM s LEFT JOIN eg ON eg.u = s.sid GROUP BY 1),
+             |core AS (SELECT sid FROM deg WHERE n_nbrs >= 3),
+             |ce AS (SELECT u, v FROM eg
+             |  WHERE u IN (SELECT sid FROM core) AND v IN (SELECT sid FROM core)),
+             |cc AS (SELECT sid AS st, sid AS t FROM core
+             |  UNION SELECT cc.st, ce.v FROM cc JOIN ce ON ce.u = cc.t),
+             |lbl AS (SELECT st AS sid, min(t) AS root FROM cc GROUP BY 1)
+             |SELECT s.sid,
+             |  CASE WHEN lbl.root IS NOT NULL THEN lbl.root
+             |    ELSE coalesce(
+             |      (SELECT l2.root FROM eg JOIN lbl l2 ON l2.sid = eg.v
+             |        WHERE eg.u = s.sid AND eg.v IN (SELECT sid FROM core)
+             |        ORDER BY eg.v LIMIT 1), '-1') END AS cluster
+             |FROM s LEFT JOIN lbl ON lbl.sid = s.sid ORDER BY 1""".stripMargin)),
+
     "aug_seasons" -> Q(
       (s, d) => Augurs.seasonsAutocorr(Tables.events(s, d), 12)
         .orderBy("user_id"),

@@ -3065,12 +3065,18 @@ object QueriesPipeline {
         // desync the engines silently
         require(m.replayExact,
           "doc_bpe_encode: trained model escapes the replay-equivalence preconditions")
-        val wt = graft.functions.Bpe.encodeWordTable(
-          graft.functions.Bpe.wordCounts(g)(col("text")).select("word"), m)
+        // same bounded-dictionary + map-side-fallback shape as
+        // doc_bpe_encode_bytes (BpeDictK scaladoc) — the word-mode
+        // distinct-token table has the identical replica-fold growth
+        val dict = graft.functions.Bpe.wordCounts(g)(col("text"))
+          .orderBy(desc("cnt"), asc("word")).limit(BpeDictK).select("word")
+        val wt = graft.functions.Bpe.encodeWordTable(dict, m)
           .select(col("word"), col("n_syms").cast("long").as("n_syms"))
+        val encLen = udf((w: String) => m.encodeWord(w).length.toLong)
         val tokc = g.select(col("doc_id"), explode(TF.tokens(col("text"))).as("word"))
           .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-        tokc.join(broadcast(wt), "word")
+        tokc.join(broadcast(wt), Seq("word"), "left_outer")
+          .withColumn("n_syms", coalesce(col("n_syms"), encLen(col("word"))))
           .groupBy("doc_id")
           .agg(sum("n").as("n_tok"), sum(col("n") * col("n_syms")).as("n_bpe"))
           .orderBy("doc_id")
@@ -3178,14 +3184,20 @@ object QueriesPipeline {
         // doc_bpe_encode (BpeModel scaladoc)
         require(m.replayExact,
           "doc_bpe_encode_bytes: trained model escapes the replay-equivalence preconditions")
-        val wt = graft.functions.Bpe.encodeWordTable(
-          graft.functions.Bpe.pretokenCounts(g)(col("text")).select("word"), m)
+        // bounded dictionary (top-BpeDictK pretokens) + map-side encode
+        // fallback for the tail — see BpeDictK's scaladoc for why the
+        // full distinct-pretoken broadcast was the 300× scale-killer
+        val dict = graft.functions.Bpe.pretokenCounts(g)(col("text"))
+          .orderBy(desc("cnt"), asc("word")).limit(BpeDictK).select("word")
+        val wt = graft.functions.Bpe.encodeWordTable(dict, m)
           .select(col("word"), col("n_syms").cast("long").as("n_syms"))
+        val encLen = udf((w: String) => m.encodeWord(w).length.toLong)
         val tokc = g.select(col("doc_id"),
             explode(regexp_extract_all(col("text"),
               lit(graft.functions.Bpe.BytePretokenRegex), lit(0))).as("word"))
           .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-        tokc.join(broadcast(wt), "word")
+        tokc.join(broadcast(wt), Seq("word"), "left_outer")
+          .withColumn("n_syms", coalesce(col("n_syms"), encLen(col("word"))))
           .groupBy("doc_id")
           .agg(sum("n").as("n_tok"), sum(col("n") * col("n_syms")).as("n_bpe"))
           .orderBy("doc_id")
@@ -3470,6 +3482,18 @@ object QueriesPipeline {
     * BEFORE any val declared below it would be assigned (a val here
     * reads as 0 and silently erases the oracle's training rounds). */
   private def BpeR = 6
+
+  /** Encode-dictionary cap: the broadcast side of the BPE encode join
+    * holds the top-`BpeDictK` corpus words ONLY — a bounded dictionary,
+    * never the full distinct-word table (which grows ~replica-fold under
+    * adversarial suffixing: the round-14 300× check measured a 16× jump
+    * on 3.33× data for doc_bpe_encode_bytes because the broadcast carried
+    * EVERY distinct pretoken). Out-of-dictionary words fall back to a
+    * map-side greedy encode of the same frozen model (BpeModel.encodeWord
+    * — identical values, so the oracles are untouched); they are rare by
+    * construction (below the top-K frequency cut), so the fallback work
+    * is o(corpus) while the broadcast is O(K). */
+  private def BpeDictK = 2048
 
   /** One BPE merge application as a CTE: `dst` = `src` with round `k`'s
     * pair merged, the trainer's leftmost-nonoverlapping scan replayed by

@@ -92,7 +92,14 @@ object SparkEntry {
       // joins (plans unchanged since round 3; book_top/book_depth3 and
       // the q_* scans keep join coverage on the line) rotated out for
       // doc_eval_contam_report / doc_winnow
-      "q05_regional_revenue", "q10_returns")
+      "q05_regional_revenue", "q10_returns",
+      // round 15: two sub-0.8 s stable entries rotated out for
+      // aug_dtw / aug_cluster (the §2.8 ops joining the line) — the ETS
+      // recurrence (golden + oracle + recursive-CTE gate stay; the aug
+      // family keeps 7 entries on the line) and the throttle bucket scan
+      // (plan unchanged since round 3; parity + exact-throttle goldens
+      // stay)
+      "aug_ets", "evt_throttle_1h")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -389,28 +389,10 @@ object Augurs {
     * `augurs.rs:1038`): classic O(|a|·|b|) DP with |x-y| local cost and an
     * optional Sakoe-Chiba band (the scale lever: band r makes each pair
     * O(n·r)). Pure function — used per pair inside executors. */
-  def dtw(a: IndexedSeq[Double], b: IndexedSeq[Double], band: Int = Int.MaxValue): Double = {
-    val n = a.length; val m = b.length
-    if (n == 0 || m == 0) return Double.PositiveInfinity
-    val INF = Double.PositiveInfinity
-    var prev = Array.fill(m + 1)(INF); prev(0) = 0.0
-    var cur = Array.fill(m + 1)(INF)
-    var i = 1
-    while (i <= n) {
-      java.util.Arrays.fill(cur, INF)
-      val lo = math.max(1L, i.toLong - band).toInt
-      val hi = math.min(m.toLong, i.toLong + band).toInt
-      var j = lo
-      while (j <= hi) {
-        val cost = math.abs(a(i - 1) - b(j - 1))
-        cur(j) = cost + math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
-        j += 1
-      }
-      val t = prev; prev = cur; cur = t
-      i += 1
-    }
-    prev(m)
-  }
+  def dtw(a: IndexedSeq[Double], b: IndexedSeq[Double], band: Int): Double =
+    graft.functions.VecOps.dtw(a.toArray, b.toArray, band)
+  def dtw(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+    graft.functions.VecOps.dtw(a.toArray, b.toArray, Int.MaxValue)
 
   /** Newest-first row_number window: `row_number <= window` keeps exactly
     * the trailing `window` rows per key (same (ts, seq) total order the
@@ -436,11 +418,15 @@ object Augurs {
     * matrix is O(k²) pairs by definition (k = #series, not #rows) — the
     * reference materializes the same `AugursDistanceMatrix`. */
   def dtwMatrix(t: Timeline, window: Int, band: Int = Int.MaxValue): DataFrame = {
-    val dtwUdf = udf((a: Seq[Double], b: Seq[Double]) => dtw(a.toIndexedSeq, b.toIndexedSeq, band))
     val s = seriesOf(t, window)
+    // the DP runs as the native DtwBand expression (§2.13 ladder tier b):
+    // codegen'd static call, one primitive unbox per side — the Seq-typed
+    // ScalaUDF form paid the generic converter on every one of the O(k²)
+    // pairs and measured ~2.3 s of aug_dtw's 6 s at sf0.1
     s.as("a").join(s.as("b"), col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
-        dtwUdf(col("a.series"), col("b.series")).as("dtw"))
+        org.apache.spark.sql.GraftColumns.dtwBand(
+          col("a.series"), col("b.series"), band).as("dtw"))
   }
 
   /** DBSCAN over the DTW matrix (reference `augurs_cluster`,

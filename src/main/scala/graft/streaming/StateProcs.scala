@@ -193,4 +193,45 @@ object StateProcs {
       (s, evs.filter(_.src == win).map(ev => Out(key, ts, ev.value, 0.0)))
     }
   }
+
+  final case class CpS(buf: Vector[Double])
+
+  /** Mean-shift changepoint z-score (reference `augurs_changepoint`,
+    * `augurs.rs:760`) as a live per-key state machine — the §2.8 analytics
+    * family's streaming leg. Per event: hold the trailing `2w` values
+    * (O(window) state, the same trim discipline as the batch op), and once
+    * full emit z = |mean(post) − mean(pre)| / √(var(pre)/w + var(post)/w +
+    * 1e-9) over pre = values [-2w+1, -w] and post = [-w+1, 0] — exactly
+    * [[graft.ops.Augurs.changepointMeanShift]]'s frames. Double-exact vs
+    * the batch window form: means are ordered-sum/n (Spark's Average),
+    * variances replay Spark's CentralMomentAgg Welford recurrence in frame
+    * order, and the z expression keeps the Column form's op order. */
+  def changepoint(w: Int): BurstProc[CpS] = {
+    def mean(xs: Seq[Double]): Double = {
+      var s = 0.0; xs.foreach(s += _); s / w
+    }
+    def varSamp(xs: Seq[Double]): Double = {
+      // Spark CentralMomentAgg update: delta = v - avg; deltaN = delta/n;
+      // avg += deltaN; m2 += delta * (delta - deltaN)
+      var n = 0.0; var avg = 0.0; var m2 = 0.0
+      xs.foreach { v =>
+        n += 1.0
+        val delta = v - avg
+        val deltaN = delta / n
+        avg += deltaN
+        m2 += delta * (delta - deltaN)
+      }
+      if (n < 2) 0.0 else m2 / (n - 1.0)
+    }
+    perEvent(() => CpS(Vector.empty)) { (s, ev) =>
+      val buf = { val b = s.buf :+ ev.value; if (b.size > 2 * w) b.drop(b.size - 2 * w) else b }
+      val out = if (buf.size == 2 * w) {
+        val pre = buf.slice(0, w); val post = buf.slice(w, 2 * w)
+        val mp = mean(pre); val mq = mean(post)
+        val vp = varSamp(pre); val vq = varSamp(post)
+        Some(math.abs(mq - mp) / math.sqrt(vp / w + vq / w + 1e-9))
+      } else None
+      (CpS(buf), out)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.DotPacked
+import graft.functions.{DotPacked, DtwBand}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** The one sql-package bridge graft needs: wrapping its native Catalyst
@@ -13,6 +13,11 @@ object GraftColumns {
   def dotPacked(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotPacked(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** [[graft.functions.DtwBand]] over two array<double> series. */
+  def dtwBand(a: Column, b: Column, band: Int): Column =
+    ExpressionUtils.column(
+      DtwBand(ExpressionUtils.expression(a), ExpressionUtils.expression(b), band))
 }
 
 /** Live-session registration of graft's SQL functions — the companion to

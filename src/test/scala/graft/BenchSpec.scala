@@ -108,6 +108,26 @@ class BenchSpec extends SparkSuite {
         "rotate a cheap-stable entry out instead (see SparkEntry.nonBenchQueries)")
   }
 
+  test("BASELINE.md operative record is the PinRecord render of BENCH_LOCAL.json") {
+    // round-14 verdict: the prose record (177.48 s) and the committed
+    // JSON (156.20 s) drifted apart. The operative-record block is now
+    // GENERATED (graft.PinRecord) — this gate re-renders it from the
+    // committed BENCH_LOCAL.json and fails on any byte difference, so a
+    // new pin that forgets `runMain graft.PinRecord` cannot land.
+    import java.nio.file.{Files, Paths}
+    val expected = PinRecord.renderFromJson(
+      Files.readString(Paths.get("BENCH_LOCAL.json")))
+    val md = Files.readString(Paths.get("BASELINE.md"))
+    val b = md.indexOf(PinRecord.Begin)
+    val e = md.indexOf(PinRecord.End)
+    assert(b >= 0 && e > b, "BASELINE.md lost the OPERATIVE-RECORD markers")
+    assert(md.indexOf(PinRecord.Begin, b + 1) < 0, "exactly one record block")
+    val actual = md.substring(b, e + PinRecord.End.length)
+    assert(actual == expected,
+      "BASELINE.md operative record drifted from BENCH_LOCAL.json — " +
+        "run `sbt \"runMain graft.PinRecord\"` after committing the new pin")
+  }
+
   test("nonBenchQueries name real registry queries and stay oracle-gated") {
     // the exclusion trims the bench LINE only — a name that drifted out of
     // the registry (or lost its oracle) would silently weaken the

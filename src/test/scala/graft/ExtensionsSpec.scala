@@ -39,7 +39,8 @@ class ExtensionsSpec extends SparkSuite {
     // a fresh SparkSessionExtensions must accept every triple (shape gate)
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    assert(GraftExtensions.functions.map(_._1.funcName) == Seq("dot_packed"))
+    assert(GraftExtensions.functions.map(_._1.funcName) ==
+      Seq("dot_packed", "dtw_band"))
   }
 
   test("a session built withExtensions(GraftExtensions) resolves dot_packed with no manual registration") {

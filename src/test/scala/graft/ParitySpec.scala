@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Timeline
-import graft.ops.ScanOps
+import graft.ops.{Augurs, ScanOps}
 import graft.streaming.{BurstProc, Ev, Out, RunMode, StateProcs => P}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -319,6 +319,24 @@ class ParitySpec extends SparkSuite {
     val got = out.orderBy("k").as[(String, Double)].collect().toSeq
     // mean stays 4: a: 0→2→3→3.5, b: 8→6→5→4.5
     assert(got == Seq(("a", 3.5), ("b", 4.5)))
+  }
+
+  test("changepoint mean-shift: batch == streaming == Augurs window form (augurs.rs:760)") {
+    // §2.8's streaming leg: the analytics family joins the dual-run
+    // contract. Long-enough fixture for w=3 (emission needs 2w=6 trailing
+    // values), with a real level shift mid-series (z > 3 must occur, so
+    // the leg is non-vacuous) and a same-instant burst (ts=60 twice on
+    // key a — per-event semantics inside one cycle).
+    val cp: Seq[Ev] =
+      (1 to 12).map(i => Ev("a", 10L * i, i.toLong, 0,
+        if (i <= 6) 1.0 + 0.1 * i else 9.0 + 0.1 * i)) ++
+      Seq(Ev("a", 60L, 90L, 0, 4.2)) ++
+      (1 to 8).map(i => Ev("b", 7L * i, 100L + i, 0, if (i % 2 == 0) 5.0 else 2.0))
+    val agreed = parity("changepoint", cp, P.changepoint(3))
+    assert(agreed == tlOut(Augurs.changepointMeanShift(tl(cp), 3).df, "z"),
+      "streaming state machine must replay the batch window form double-exactly")
+    assert(agreed.map(_._3).max > 3.0, "fixture must contain a detectable shift")
+    assert(agreed.size >= 10, "both keys must emit")
   }
 
   test("sessionize: batch == streaming == Timeline window chain") {

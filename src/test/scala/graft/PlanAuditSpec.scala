@@ -23,10 +23,13 @@ class PlanAuditSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"),
         s"$name degenerated to a cartesian product")
       // BroadcastNestedLoopJoin is the all-pairs shape: allowed ONLY for
-      // the brute-force cosine baseline (its label says so) and tiny
-      // broadcast-side filters
+      // the brute-force cosine baseline (its label says so) and the two
+      // DTW-matrix ops, whose OUTPUT is the k×k pair matrix by definition
+      // (k = #series, not #rows — reference AugursDistanceMatrix): an
+      // all-pairs join over the k-row series table IS the declared shape,
+      // and the broadcast side is k aggregated rows, never the corpus
       if (p.contains("BroadcastNestedLoopJoin"))
-        assert(Set("emb_cosine_topk").contains(name),
+        assert(Set("emb_cosine_topk", "aug_dtw", "aug_cluster").contains(name),
           s"$name uses a nested-loop join — banded/equi-join shape lost")
     }
   }
