@@ -31,4 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 134-query bench generates enough whole-stage-codegen classes to
+  // fill the JDK-17 default 240 MB reserved code cache mid-run: every
+  // driver bench tail from rounds 12-14 carries the truncated "CodeCache
+  // is full. Compiler has been disabled" warning, and whichever queries
+  // run after the fill execute INTERPRETED — the mechanism behind
+  // doc_dedup_minhash's 1.8 <-> 5.0 s driver-window bimodality on
+  // byte-identical code (isolated fresh-JVM runs read a flat 1.5-1.95 s
+  // x8; only full-registry runs wobble). 1 GB is reserved virtual
+  // address space, committed only as used.
+  "-XX:ReservedCodeCacheSize=1g",
 )

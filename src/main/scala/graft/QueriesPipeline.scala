@@ -1410,11 +1410,21 @@ object QueriesPipeline {
         val qs = graft.ops.Sketch.exactQuantiles(scored, "nll",
           Seq(1.0 / 3, 2.0 / 3), buckets = 512, cap = 4096)
         val bs = qs.result.orderBy("p").collect().map(_.getDouble(1))
-        scored.select(col("doc_id"), col("nll"),
+        // eager localCheckpoint materializes the (small) output and cuts
+        // its lineage off the persisted frame, so the DISK_ONLY blocks
+        // can be dropped HERE instead of leaking one cache entry per
+        // invocation outside the cache-isolated harnesses (round-14
+        // advisor note) — by checkpoint time the descent is done, so
+        // nothing contends with the LM joins the DISK_ONLY choice
+        // protects (see the A/B above)
+        val out = scored.select(col("doc_id"), col("nll"),
           when(col("nll") <= bs(0), "head")
             .when(col("nll") <= bs(1), "middle")
             .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
+          .localCheckpoint(true)
+        scored.unpersist(false)
+        out
       },
       Some(s"""WITH ${oracleLmPpl()},
               |sc2 AS (SELECT doc_id, round(1e-9 + a, 4) AS nll FROM sc),

@@ -97,6 +97,12 @@ object Multimodal {
   // state. The payloads here are small in-memory byte arrays — switch
   // the JVM to the memory cache once, at class init (executors load
   // this object before first use; process-global, idempotent).
+  // DELIBERATE GLOBAL EFFECT: any other ImageIO user in this JVM also
+  // switches from disk-backed to in-memory stream caching. For graft's
+  // deployment shape (executors decode small in-memory payloads) that
+  // is strictly better; embedders co-hosting code that streams very
+  // large images through ImageIO should scope caching per-call with
+  // explicit MemoryCacheImageInput/OutputStream instances instead.
   private val _imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   /** Planted pixel channels — the closed form BOTH engines evaluate.

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** One arriving doc for the live curation chain. Everything per-doc is
   * computed in the stream's stateless map stage with the SAME Column
@@ -35,7 +36,10 @@ final case class CurateArrival(doc_id: Long, fp: String, score: Double,
   * Parity (ParitySpec): fed in CRAWL order (doc_id ASC) across
   * micro-batches, stage 1's survivor set equals the batch chain's
   * dedup output exactly — first-wins IS keep-min-doc_id under that
-  * feed. (Score order would NOT do: the fingerprint keys the DISTINCT
+  * feed, and WITHIN a micro-batch the min(doc_id) winner is structural
+  * (keyed state, not dropDuplicates), so a multi-partition source
+  * cannot flip it; only the ACROSS-batch ordering remains the feed's
+  * contract. (Score order would NOT do: the fingerprint keys the DISTINCT
   * token set, so dup partners can differ in length and therefore in
   * quality score — a one-pass stream cannot satisfy both orders at
   * once, which is a structural fact, not a gap.) The budget cut is a
@@ -53,9 +57,28 @@ final case class CurateArrival(doc_id: Long, fp: String, score: Double,
   * source (the BudgetStream keyed form) when one counter is too hot. */
 object CurateStream {
 
-  /** Stage 1: gate + decontam (stateless) and first-wins fp dedup. */
-  def survivors(arrivals: Dataset[CurateArrival]): Dataset[CurateArrival] =
-    arrivals.filter(a => a.gate && !a.contam).dropDuplicates("fp")
+  /** Stage 1: gate + decontam (stateless) and first-wins fp dedup.
+    * Keyed state (one Boolean per surviving fingerprint) instead of
+    * native `dropDuplicates`: within a micro-batch the winner is
+    * min(doc_id) BY CONSTRUCTION — dropDuplicates keeps whichever
+    * duplicate its hash exchange happens to deliver first, so the
+    * first-wins == keep-min-doc_id parity held only because a
+    * single-partition MemoryStream feed preserves row order; a
+    * multi-partition production source voids that. Cross-batch the
+    * contract is unchanged: the first batch to see a fingerprint
+    * commits it irrevocably. */
+  def survivors(arrivals: Dataset[CurateArrival]): Dataset[CurateArrival] = {
+    val spark = arrivals.sparkSession
+    import spark.implicits._
+    arrivals.filter(a => a.gate && !a.contam)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, CurateArrival](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_, rows, gs) =>
+            if (gs.exists) Iterator.empty
+            else { gs.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+        }
+  }
 
   /** Stage 2: budgeted selection over the staged survivors. Run as its
     * OWN query reading stage 1's checkpointed sink. */
