@@ -104,6 +104,22 @@ object GenScale {
     }.reduce(_ unionByName _)
   }
 
+  /** Events scaling for the keyed time-series family (aug_*): replica r
+    * shifts user_id and event_id by r·(max+1) — each replica user carries
+    * a series IDENTICAL to its source user's, so per-pair DTW work is
+    * exactly the original while the series count k (and the k² pair
+    * count) grows `factor`×: decade ratios measure the matrix mechanism
+    * (wall / pair), not a data artifact. */
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
+    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
+    val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+    (0 until factor).map { r =>
+      if (r == 0) ev
+      else ev.withColumn("user_id", col("user_id") + lit(r * maxU))
+        .withColumn("event_id", col("event_id") + lit(r * maxE))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
@@ -118,6 +134,12 @@ object GenScale {
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events factor is CAPPED separately (4th arg, default 0 = skip):
+    // the DTW matrix is O(k²) pairs by design, so a 300× user fold is
+    // 90,000× the pair volume — decade rows for aug_* use small factors
+    if (args.length > 3 && args(3).toInt > 0)
+      scaleEvents(spark.read.parquet(s"$src/events.parquet"), args(3).toInt)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$out/region.parquet")
     println(s"[gen_scale] wrote ${factor}x documents+embeddings to $out")

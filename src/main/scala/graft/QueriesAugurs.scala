@@ -323,16 +323,10 @@ object QueriesAugurs {
         val ok = t.df.groupBy("user_id").agg(count(lit(1)).as("__n"))
           .where(col("__n") >= 16).select("user_id")
         val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
-        // persist before the global sort: orderBy's range-partitioner
-        // SAMPLING otherwise re-executes the whole O(k²)-pair DP pipeline
-        // a second time (measured: 6.7 s sorted vs 2.9 s unsorted at
-        // sf0.1). The harnesses clear the cache per query (Bench/Verify
-        // isolation); the frame is pair keys + one double — tiny.
-        val m = Augurs.dtwMatrix(t16, window = 16, band = 4)
+        // sort-below-DP form (see dtwMatrixOrdered's scaladoc): the DP
+        // evaluates exactly once, above the sort, with nothing persisted
+        Augurs.dtwMatrixOrdered(t16, window = 16, band = 4)
           .select(col("sid_a"), col("sid_b"), r4c(col("dtw")).as("dtw"))
-          .persist()
-        m.count()
-        m.orderBy("sid_a", "sid_b")
       },
       Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl
              |  FROM ($E) GROUP BY 1),

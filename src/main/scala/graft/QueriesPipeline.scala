@@ -361,6 +361,33 @@ object QueriesPipeline {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** doc_ppl_buckets' (persisted scored frame, UN-checkpointed output):
+    * the query checkpoint-and-unpersists; PlanAuditSpec audits the
+    * returned output frame's plan (two-literal CASE split, no corpus
+    * rank window, one output range partition).
+    *
+    * DISK_ONLY, not the default memory cache: the scored frame is tiny
+    * (#docs × 3 narrow cols) but materializing it into STORAGE memory
+    * while the bigram-LM joins are consuming EXECUTION memory measurably
+    * starves them — A/B at the 1000× decade (5M docs): memory cache
+    * 377.5 s vs the bare chain's 233.3 s same-window, disk cache
+    * recovers the gap (COVERAGE round-14). Disk round-trips ~120 MB —
+    * noise next to the chain — and descent rounds read it back in ~1 s. */
+  private[graft] def pplBucketsFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val scored = lmPplScores(docs(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    scored.count()
+    val qs = graft.ops.Sketch.exactQuantiles(scored, "nll",
+      Seq(1.0 / 3, 2.0 / 3), buckets = 512, cap = 4096)
+    val bs = qs.result.orderBy("p").collect().map(_.getDouble(1))
+    val out = scored.select(col("doc_id"), col("nll"),
+      when(col("nll") <= bs(0), "head")
+        .when(col("nll") <= bs(1), "middle")
+        .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+    (scored, out)
+  }
+
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val base = cached(
       minhashAgg(hashedShingleRows(docs(s, d), 2, Nil), Nil, withSet = true))
@@ -1396,33 +1423,17 @@ object QueriesPipeline {
     // <=-driven), so the cut is deterministic.
     "doc_ppl_buckets" -> Q(
       (s, d) => {
-        // DISK_ONLY, not the default memory cache: the scored frame is
-        // tiny (#docs × 3 narrow cols) but materializing it into
-        // STORAGE memory while the bigram-LM joins are consuming
-        // EXECUTION memory measurably starves them — A/B at the 1000×
-        // decade (5M docs): memory cache 377.5 s vs the bare chain's
-        // 233.3 s same-window, disk cache recovers the gap (see
-        // COVERAGE round-14). Disk round-trips ~120 MB — noise next to
-        // the chain — and descent rounds read it back in ~1 s.
-        val scored = lmPplScores(docs(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        scored.count()
-        val qs = graft.ops.Sketch.exactQuantiles(scored, "nll",
-          Seq(1.0 / 3, 2.0 / 3), buckets = 512, cap = 4096)
-        val bs = qs.result.orderBy("p").collect().map(_.getDouble(1))
         // eager localCheckpoint materializes the (small) output and cuts
         // its lineage off the persisted frame, so the DISK_ONLY blocks
         // can be dropped HERE instead of leaking one cache entry per
         // invocation outside the cache-isolated harnesses (round-14
         // advisor note) — by checkpoint time the descent is done, so
         // nothing contends with the LM joins the DISK_ONLY choice
-        // protects (see the A/B above)
-        val out = scored.select(col("doc_id"), col("nll"),
-          when(col("nll") <= bs(0), "head")
-            .when(col("nll") <= bs(1), "middle")
-            .otherwise("tail").as("bucket"))
-          .orderBy("doc_id")
-          .localCheckpoint(true)
+        // protects. PlanAuditSpec audits [[pplBucketsFrames]]'s
+        // pre-checkpoint plan (a checkpointed frame reads as a bare RDD
+        // scan — nothing left to gate).
+        val (scored, out0) = pplBucketsFrames(s, d)
+        val out = out0.localCheckpoint(true)
         scored.unpersist(false)
         out
       },

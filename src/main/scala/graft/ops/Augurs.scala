@@ -429,6 +429,25 @@ object Augurs {
           col("a.series"), col("b.series"), band).as("dtw"))
   }
 
+  /** [[dtwMatrix]] with globally (sid_a, sid_b)-ordered output: the sort
+    * runs on the PAIR frame (ids + series) and the DP projects ABOVE it,
+    * so the range-partitioner's sampling pass re-executes only the cheap
+    * series join — never the O(k²·n·band) DP. The naive
+    * `dtwMatrix(...).orderBy(...)` alternatives both lose at scale:
+    * sampling re-runs the DP a second time (2.3× wall at sf0.1), and
+    * persist-before-sort materializes the k²-row matrix into storage
+    * memory (26 s vs ~6 s at 18M pairs — the ppl_buckets
+    * storage-starves-execution lesson again). */
+  def dtwMatrixOrdered(t: Timeline, window: Int, band: Int = Int.MaxValue): DataFrame = {
+    val s = seriesOf(t, window)
+    s.as("a").join(s.as("b"), col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
+        col("a.series").as("sa"), col("b.series").as("sb"))
+      .orderBy("sid_a", "sid_b")
+      .select(col("sid_a"), col("sid_b"),
+        org.apache.spark.sql.GraftColumns.dtwBand(col("sa"), col("sb"), band).as("dtw"))
+  }
+
   /** DBSCAN over the DTW matrix (reference `augurs_cluster`,
     * `augurs.rs:1159`): core series have ≥ minPts neighbors (incl. self)
     * within eps; clusters are components over core-core edges; border

@@ -104,4 +104,28 @@ class GenScaleSpec extends SparkSuite {
     assert(vs(8L) != vs(0L),
       "replica at factor > period must differ from the identity (rotation-only aliasing)")
   }
+
+  test("event replicas shift ids disjointly and carry identical per-user series") {
+    // aug_* scale rows divide wall by the k² pair count; that quotient
+    // measures the matrix mechanism only if every replica user's series
+    // is EXACTLY its source user's (same values, same (ts, seq) order)
+    // and no two replicas share a user_id or event_id
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 10L, "a", 1.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), 10L, "a", 2.5, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 20L, "b", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val scaled = GenScale.scaleEvents(ev, 3)
+    assert(scaled.count() == 9)
+    assert(scaled.select("user_id").distinct().count() == 6, "3 replicas x 2 users, disjoint")
+    assert(scaled.select("event_id").distinct().count() == 9, "event ids stay globally unique")
+    val series = scaled.orderBy("ts", "event_id")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val src = series(10L)
+    for (r <- 1 to 2) {
+      val uid = 10L + r * 21L // max user_id (20) + 1 per replica
+      assert(series(uid) == src, s"replica $r of user 10 must carry the identical series")
+    }
+  }
 }

@@ -664,7 +664,12 @@ class PlanAuditSpec extends SparkSuite {
     // with a two-literal CASE — the only rangepartitioning allowed is
     // the output orderBy, and the descent's certification is gated at
     // runtime (exactQuantiles' own specs own the mechanism)
-    val p = plan("doc_ppl_buckets")
+    // audit the PRE-checkpoint output frame: the registry query
+    // checkpoint-and-unpersists (advisor leak fix), which collapses its
+    // own plan to a bare RDD scan with nothing left to gate
+    val (scored, out) = QueriesPipeline.pplBucketsFrames(spark, d)
+    val p = out.queryExecution.executedPlan.toString
+    scored.unpersist(false)
     val range = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
     assert(range == 1, s"only the output orderBy may range-partition, got $range:\n$p")
     assert(!p.contains("ntile") && !p.contains("row_number"),
