@@ -486,6 +486,59 @@ object Augurs {
     sids.map(s => (s, clusterOf(s))).toSeq.toDF("sid", "cluster")
   }
 
+  /** Distributed twin of [[clusterDtw]] — bit-identical output (the
+    * AugursSpec equality gate proves it on the same inputs), nothing
+    * collected to the driver: the scale path when k (#series) is large
+    * enough that the k×k edge collect and driver union-find stop being
+    * "inherent" and start being the bottleneck (IoT fleets, per-entity
+    * telemetry). Shape:
+    *
+    *  - eps-edges stay a DataFrame off [[dtwMatrix]] (one pass, no sort);
+    *  - degree/core = one aggregate over the symmetrized edges;
+    *  - components ride [[graft.ops.Graph.connectedComponents]] — but CC's
+    *    sum-convergence needs NUMERIC labels while this family's cluster
+    *    ids are LEXICOGRAPHIC min sids (the union-find's String ordering,
+    *    mirrored by the oracle's VARCHAR min), so sids map through their
+    *    lex RANK first (order-isomorphic longs: min-rank == min-lex-sid)
+    *    and roots map back after. The rank window is one k-row sort —
+    *    series-count-sized, never pair-sized; for huge k swap in the
+    *    doc_shard two-phase salted rank;
+    *  - border rows take the lex-min core neighbor's root (one aggregate
+    *    + two joins), noise rows a literal — both set operations, exactly
+    *    the driver loop's rules. */
+  def clusterDtwDistributed(t: Timeline, window: Int, eps: Double, minPts: Int,
+      band: Int = Int.MaxValue): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("sid")
+    val sids = seriesOf(t, window).select("sid")
+    val half = dtwMatrix(t, window, band).where(col("dtw") <= eps)
+      .select(col("sid_a"), col("sid_b"))
+    val edges = half.union(half.select(col("sid_b"), col("sid_a"))).toDF("u", "v")
+    val deg = sids.as("s").join(edges, col("s.sid") === col("u"), "left_outer")
+      .groupBy(col("s.sid").as("sid")).agg((count(col("v")) + lit(1)).as("nn"))
+    val core = deg.where(col("nn") >= minPts).select(col("sid"))
+    val ranked = sids.withColumn("rid", row_number().over(w).cast("long"))
+    val coreR = core.join(ranked, "sid")
+    val ce = edges
+      .join(coreR.select(col("sid").as("u"), col("rid").as("ru")), "u")
+      .join(coreR.select(col("sid").as("v"), col("rid").as("rv")), "v")
+      .select("ru", "rv")
+    val comps = graft.ops.Graph.connectedComponents(ce)
+    val coreRoots = coreR.join(comps, coreR("rid") === comps("id"), "left_outer")
+      .select(col("sid"), coalesce(col("component"), col("rid")).as("rootRid"))
+    val coreOut = coreRoots
+      .join(ranked.select(col("rid").as("rootRid"), col("sid").as("cluster")), "rootRid")
+      .select(col("sid"), col("cluster"))
+    val nonCore = sids.join(core, Seq("sid"), "left_anti")
+    val borderPick = edges.join(core.select(col("sid").as("v")), "v")
+      .groupBy(col("u").as("sid")).agg(min(col("v")).as("cnb"))
+    val borderOut = nonCore.join(borderPick, "sid")
+      .join(coreOut.select(col("sid").as("cnb"), col("cluster")), "cnb")
+      .select(col("sid"), col("cluster"))
+    val noiseOut = nonCore.join(borderPick, Seq("sid"), "left_anti")
+      .select(col("sid"), lit("-1").as("cluster"))
+    coreOut.unionByName(borderOut).unionByName(noiseOut)
+  }
+
   /** Season (dominant period) detection by autocorrelation (reference
     * `augurs_seasons`, `augurs.rs:893`; periodogram replaced by the ACF —
     * same deterministic argmax shape): for row-lags 2..maxLag, Pearson

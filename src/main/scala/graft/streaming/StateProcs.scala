@@ -195,6 +195,36 @@ object StateProcs {
   }
 
   final case class CpS(buf: Vector[Double])
+  final case class MadS(buf: Vector[Double])
+
+  /** MAD outlier scores (reference `augurs_outlier`, `augurs.rs:636`, MAD
+    * flavor) as a live per-key state machine — the §2.8 family's second
+    * streaming leg. Per event: hold the trailing `n` values (O(window)
+    * state), emit v1 = score = |x − med|, v2 = mad, replaying
+    * [[graft.ops.Augurs.outlierMad]]'s window form double-exactly:
+    * sort ascending (same total order — doubles, no NaN contract), the
+    * same odd/even median arithmetic as its sortedMedian Column, devs
+    * |x − med| in array order then re-sorted, mad likewise. */
+  def outlierMad(n: Int): BurstProc[MadS] = new BurstProc[MadS] {
+    private def med(sorted: IndexedSeq[Double]): Double = {
+      val sz = sorted.length
+      if (sz % 2 == 1) sorted((sz + 1) / 2 - 1)
+      else (sorted(sz / 2 - 1) + sorted(sz / 2)) / 2.0
+    }
+    def init(): MadS = MadS(Vector.empty)
+    def onBurst(s: MadS, key: String, ts: Long, evs: Seq[Ev]): (MadS, Seq[Out]) = {
+      var buf = s.buf
+      val out = Seq.newBuilder[Out]
+      evs.foreach { ev =>
+        buf = { val b = buf :+ ev.value; if (b.size > n) b.drop(b.size - n) else b }
+        val sorted = buf.sorted
+        val m = med(sorted)
+        val mad = med(sorted.map(x => math.abs(x - m)).sorted)
+        out += Out(key, ts, math.abs(ev.value - m), mad)
+      }
+      (MadS(buf), out.result())
+    }
+  }
 
   /** Mean-shift changepoint z-score (reference `augurs_changepoint`,
     * `augurs.rs:760`) as a live per-key state machine — the §2.8 analytics

@@ -69,6 +69,41 @@ class AugursSpec extends SparkSuite {
     assert(c("far") == "-1", "no neighbors within eps → noise")
   }
 
+  test("clusterDtwDistributed == clusterDtw bit-for-bit, incl. the lex-root trap") {
+    // the distributed twin (Graph CC over lex ranks — no driver
+    // union-find, no k×k collect) must reproduce the driver loop's
+    // STRING-ordered semantics exactly. Fixture traps the ordering:
+    // sids {"2","9","10"} form one core triangle whose lex-min root is
+    // "10" (numeric-min would be "2" — a rank-mapping bug surfaces
+    // here); "7" is a border row near "2" only; "5" is noise.
+    def ser(base: Double): Seq[Double] = Seq(base, base + 1, base + 2, base + 3)
+    val rows = Seq(
+      ("2", ser(1.0)), ("9", ser(1.05)), ("10", ser(0.95)),
+      ("7", Seq(1.0, 2.0, 3.0, 4.9)), // dtw<=eps to "2" only
+      ("5", ser(100.0)))
+      .flatMap { case (k, vs) => vs.zipWithIndex.map { case (v, i) => (k, i * 10L, i.toLong, v) } }
+    val t = graft.core.Timeline(rows.toDF("k", "ts", "seq", "value"), keys = Seq("k"))
+    val args = (4, 1.0, 3, 4) // window, eps, minPts, band
+    val drv = Augurs.clusterDtw(t, args._1, args._2, args._3, args._4)
+      .as[(String, String)].collect().toMap
+    val dst = Augurs.clusterDtwDistributed(t, args._1, args._2, args._3, args._4)
+      .as[(String, String)].collect().toMap
+    assert(drv == dst, s"distributed and driver forms must agree: $drv vs $dst")
+    assert(drv("10") == "10" && drv("2") == "10" && drv("9") == "10",
+      "cluster root is the LEX-min core sid ('10' < '2' < '9' as strings)")
+    assert(drv("7") == "10", "border row joins its lex-min core neighbor's cluster")
+    assert(drv("5") == "-1", "isolated row is noise")
+    // second leg: the real sf0.001 events table (15 series, the
+    // registry parameters — 5 core / 2 border / 8 noise, 2 clusters)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val d2 = Augurs.clusterDtw(ev, 16, 330.0, 3, 4)
+      .as[(String, String)].collect().toSeq.sorted
+    val s2 = Augurs.clusterDtwDistributed(ev, 16, 330.0, 3, 4)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(d2 == s2, "real-data equality at the registry parameters")
+    assert(d2.map(_._2).distinct.count(_ != "-1") == 2, "fixture stays 2 clusters")
+  }
+
   test("forecastSeasonalNaive: pure seasonal signal repeats; drift extrapolates") {
     // first sample == last sample → the (last-first)/(n-1) drift estimate is 0
     val cycle = Seq(1.0, 5.0, 9.0, 2.0, 7.0, 4.0, 1.0) // season 7

@@ -339,6 +339,26 @@ class ParitySpec extends SparkSuite {
     assert(agreed.size >= 10, "both keys must emit")
   }
 
+  test("outlier MAD: batch == streaming == Augurs window form (augurs.rs:636)") {
+    // second §2.8 live leg: trailing-5 median/MAD per key, v1 = score,
+    // v2 = mad. Fixture has a spike (must flag at 3·1.4826·mad), a
+    // same-instant burst on key a, and a second key.
+    val om: Seq[Ev] =
+      (1 to 14).map(i => Ev("a", 10L * i, i.toLong, 0,
+        if (i == 9) 50.0 else 5.0 + (i % 3) * 0.5)) ++
+      Seq(Ev("a", 60L, 99L, 0, 5.2)) ++
+      (1 to 7).map(i => Ev("b", 8L * i, 200L + i, 0, i.toDouble))
+    val agreed = parity("outliermad", om, P.outlierMad(5))
+    val tlForm = Augurs.outlierMad(tl(om), 5).df
+      .select(col("key"), col("ts"), col("score"), col("mad"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    assert(agreed == tlForm,
+      "streaming ring state must replay the sort_array window form double-exactly")
+    assert(agreed.exists(r => r._3 > r._4 * (3.0 * 1.4826)), "the spike must flag")
+    assert(agreed.count(r => r._3 > r._4 * (3.0 * 1.4826)) <= 3,
+      "the quiet samples must not flag")
+  }
+
   test("sessionize: batch == streaming == Timeline window chain") {
     // gap 25 over the shared fixture: key a splits at the 41 -> 100 jump,
     // key b at 15 -> 70; same-instant bursts never split a session
