@@ -2916,6 +2916,37 @@ object QueriesPipeline {
              |SELECT cell, id AS vec_id, rn FROM sel WHERE rn <= 25
              |ORDER BY cell, vec_id""".stripMargin)),
 
+    // Embedding-space outlier pruning — the SemDeDup-family curation
+    // step that drops vectors FAR from their semantic cluster (junk,
+    // mis-embeddings, off-distribution content): per trained k-means
+    // cell, a vector is far when its centroid affinity sits more than
+    // 1.5 cell-standard-deviations below the cell mean (the affinity
+    // distribution is right-skewed — at 2 sigma the cut sits below the
+    // minimum on the synthetic tables and the flag is vacuous). Rides the SAME
+    // broadcast-model assignment the other kmeans consumers share (the
+    // oracle rides the same replayed CTE chain), so the corpus-sized
+    // work is one scan + one cell exchange for the window stats; both
+    // engines derive the flag from the 4dp-ROUNDED (mu, sd) so the
+    // boundary comparison cannot flip on summation-order noise.
+    "emb_outlier" -> Q(
+      (s, d) => {
+        val asg = Similarity.kmeansAssign(emb(s, d), nCent = 8, iters = 2,
+          dimHint = AnnDim)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+        asg.withColumn("mu", r4(avg(col("aff")).over(w)))
+          .withColumn("sd", r4(coalesce(stddev_samp(col("aff")).over(w), lit(0.0))))
+          .withColumn("is_far", col("aff") < col("mu") - lit(1.5) * col("sd"))
+          .select("vec_id", "cell", "aff", "mu", "sd", "is_far")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${oracleKmeans()},
+             |st AS (SELECT cell, round(1e-9 + avg(cs), 4) AS mu,
+             |    round(1e-9 + coalesce(stddev_samp(cs), 0), 4) AS sd
+             |  FROM asg2 GROUP BY 1)
+             |SELECT id AS vec_id, cell, cs AS aff, mu, sd,
+             |  cs < mu - 1.5 * sd AS is_far
+             |FROM asg2 JOIN st USING (cell) ORDER BY 1""".stripMargin)),
+
     // Incremental dedup: an incoming crawl batch (sources src18/src19)
     // dedupes against the EXISTING corpus (every other source) and within
     // itself — the steady-state form every production pipeline actually

@@ -99,7 +99,11 @@ object SparkEntry {
       // family keeps 7 entries on the line) and the throttle bucket scan
       // (plan unchanged since round 3; parity + exact-throttle goldens
       // stay)
-      "aug_ets", "evt_throttle_1h")
+      "aug_ets", "evt_throttle_1h",
+      // round 15 second batch: a sub-0.6 s stable sliding-window scan
+      // (plan unchanged since round 5; its oracle stays) rotated out
+      // for emb_outlier
+      "doc_chunk")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
