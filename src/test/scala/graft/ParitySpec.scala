@@ -459,6 +459,40 @@ class ParitySpec extends SparkSuite {
       s"streaming != batch: only-stream=${streamOut -- batchOut}, only-batch=${batchOut -- streamOut}")
   }
 
+  test("embedding outlier screen: frozen-model micro-batch scoring == oracle-gated batch op") {
+    // ninth live decision family: quantizer + per-cell (mu, sd) freeze
+    // over the stored corpus; arrivals score statelessly. Feeding the
+    // SAME corpus back as arrivals must reproduce the oracle-gated
+    // emb_outlier rows exactly — which also proves the JIT assignment
+    // loop and kmeansModel's returned centroids match the batch op's
+    // exploded-join assignment bit-for-bit after the shared rounding.
+    import graft.streaming.OutlierStream
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val m = OutlierStream.fit(e, nCent = 8, iters = 2, dim = 64, nSigma = 1.5)
+    val batch = Queries.registry.toMap.apply("emb_outlier").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val arr = mem.toDS().toDF("vec_id", "embedding")
+    val q = OutlierStream.flags(arr, m).writeStream.format("memory")
+      .queryName("par_emb_outlier").outputMode("append").start()
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+      mem.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("par_emb_outlier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSet
+    assert(streamed == batch,
+      "frozen-model stream scoring must equal the batch op row-for-row")
+    assert(batch.exists(_._6) && batch.exists(!_._6),
+      "fixture must flag some vectors and pass others")
+  }
+
   test("incremental SemDeDup: streaming (corpus as initial state) == oracle-gated batch op") {
     // the embedding family's first streaming leg: the SAME registry
     // config as emb_semdedup_inc (frozen trained quantizer, kept corpus,
