@@ -2930,11 +2930,18 @@ object QueriesPipeline {
     // boundary comparison cannot flip on summation-order noise.
     "emb_outlier" -> Q(
       (s, d) => {
+        // (mu, sd) via a map-side-combined 8-row aggregate + broadcast
+        // join back — NOT a window over cell: partitionBy("cell") puts
+        // the whole corpus into <= nCent partitions (8 tasks at any n —
+        // measured 37 s at 300x, flat to 1000x because one task's wall
+        // IS the query), while the aggregate's partials keep every
+        // input partition busy and the join side is nCent rows
         val asg = Similarity.kmeansAssign(emb(s, d), nCent = 8, iters = 2,
           dimHint = AnnDim)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
-        asg.withColumn("mu", r4(avg(col("aff")).over(w)))
-          .withColumn("sd", r4(coalesce(stddev_samp(col("aff")).over(w), lit(0.0))))
+        val st = asg.groupBy("cell").agg(
+          r4(avg(col("aff"))).as("mu"),
+          r4(coalesce(stddev_samp(col("aff")), lit(0.0))).as("sd"))
+        asg.join(broadcast(st), "cell")
           .withColumn("is_far", col("aff") < col("mu") - lit(1.5) * col("sd"))
           .select("vec_id", "cell", "aff", "mu", "sd", "is_far")
           .orderBy("vec_id")
