@@ -621,6 +621,40 @@ object QueriesPipeline {
               |    ELSE 0 END, 4) AS mean_len
               |FROM (SELECT doc_id, $TOKS AS toks FROM documents) ORDER BY 1""".stripMargin)),
 
+    // Context-length packing-efficiency report — the number a training
+    // team reads when CHOOSING max sequence length: per (source,
+    // candidate length L), the docs-over-L truncation count and the
+    // pad fraction under per-doc chunking (chunks = ceil(ntok/L), pad =
+    // chunks·L − ntok). One corpus scan; the candidate lengths explode
+    // a 3-element literal (no join), the rollup is one map-side-combined
+    // (source, len) aggregate — (#sources × 3) output rows at any n.
+    "doc_pack_efficiency" -> Q(
+      (s, d) => {
+        val withLen = docs(s, d)
+          .select(col("source"), TF.tokenCount(col("text")).cast("long").as("ntok"))
+          .withColumn("len", explode(lit(Array(128L, 512L, 2048L))))
+          .withColumn("chunks", (col("ntok") + col("len") - 1L) / col("len"))
+          .withColumn("chunks", floor(col("chunks")).cast("long"))
+        withLen.groupBy("source", "len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ntok").as("total_tokens"),
+            sum("chunks").as("n_chunks"),
+            sum(col("chunks") * col("len") - col("ntok")).as("pad_tokens"),
+            r4(sum(col("chunks") * col("len") - col("ntok")) /
+              (sum("chunks") * max("len"))).as("pad_frac"),
+            sum(when(col("ntok") > col("len"), 1L).otherwise(0L)).as("n_truncated"))
+          .orderBy("source", "len")
+      },
+      Some(s"""WITH t AS (SELECT source, len($TOKS) AS ntok FROM documents),
+              |x AS (SELECT source, l.len, ntok, (ntok + l.len - 1) // l.len AS chunks
+              |  FROM t, (SELECT unnest([128, 512, 2048]) AS len) l)
+              |SELECT source, CAST(len AS BIGINT) AS len, count(*)::BIGINT AS n_docs,
+              |  sum(ntok)::BIGINT AS total_tokens, sum(chunks)::BIGINT AS n_chunks,
+              |  sum(chunks*len - ntok)::BIGINT AS pad_tokens,
+              |  round(1e-9 + sum(chunks*len - ntok)::DOUBLE / (sum(chunks) * max(len)), 4) AS pad_frac,
+              |  sum(CASE WHEN ntok > len THEN 1 ELSE 0 END)::BIGINT AS n_truncated
+              |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Gopher-style repetition signals (Rae et al. 2021 §A1.1): natural-
     // language corpora are filtered on within-document repetition before
     // training. dup_line_frac = fraction of lines that repeat an earlier

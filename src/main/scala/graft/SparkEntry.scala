@@ -103,7 +103,11 @@ object SparkEntry {
       // round 15 second batch: a sub-0.6 s stable sliding-window scan
       // (plan unchanged since round 5; its oracle stays) rotated out
       // for emb_outlier
-      "doc_chunk")
+      "doc_chunk",
+      // round 15 third batch: a sub-0.7 s stable as-of scan (plan
+      // unchanged since round 3; parity + golden gates stay) rotated
+      // out for doc_pack_efficiency
+      "evt_sample_asof")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
