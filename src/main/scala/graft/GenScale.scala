@@ -50,14 +50,23 @@ object GenScale {
     * lowercase-stable, and asserted absent from the source corpus. */
   val TokenDelim = "_"
 
-  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+  /** `fixedSources`: sources held at replica-0 size (NOT replicated) —
+    * the production-shaped decontamination decade (r15 verdict item 3):
+    * an eval suite is CONSTANT while the corpus grows, so replicating
+    * src19 with the corpus made doc_eval_contam_report read super-linear
+    * (cost = corpus scan × eval probe size — linear in each factor, but
+    * the default decade scales both). Pass Set("src19") to measure the
+    * production shape: eval fixed, corpus only scaling. */
+  def scaleDocuments(docs: DataFrame, factor: Int,
+      fixedSources: Set[String] = Set.empty): DataFrame = {
     require(docs.where(col("text").contains(TokenDelim)).isEmpty,
       s"scaleDocuments: source corpus contains the '$TokenDelim' delimiter — " +
         "the cross-replica disjointness proof needs a character absent from the vocabulary")
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
     (0 until factor).map { r =>
       if (r == 0) docs
-      else docs.select(
+      else (if (fixedSources.isEmpty) docs
+            else docs.where(!col("source").isin(fixedSources.toSeq: _*))).select(
         (col("doc_id") + lit(r * maxId)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"$$1${TokenDelim}q$r").as("text"),
         col("lang"), col("source"))
@@ -111,8 +120,13 @@ object GenScale {
     * count) grows `factor`×: decade ratios measure the matrix mechanism
     * (wall / pair), not a data artifact. */
   def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
-    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
-    val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+    // one driver action for both maxes; empty input fails with a clear
+    // message instead of an opaque value-is-null NPE
+    val maxes = ev.agg(max("user_id").as("mu"), max("event_id").as("me")).head
+    require(!maxes.isNullAt(0) && !maxes.isNullAt(1),
+      "scaleEvents: events table is empty — nothing to replicate")
+    val maxU = maxes.getLong(0) + 1
+    val maxE = maxes.getLong(1) + 1
     (0 until factor).map { r =>
       if (r == 0) ev
       else ev.withColumn("user_id", col("user_id") + lit(r * maxU))
@@ -130,7 +144,11 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor)
+    // 5th arg (optional): comma-separated sources held at replica-0 size
+    // (production-shaped eval decade — see scaleDocuments' scaladoc)
+    val fixedSources = if (args.length > 4 && args(4).nonEmpty)
+      args(4).split(",").toSet else Set.empty[String]
+    scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor, fixedSources)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")

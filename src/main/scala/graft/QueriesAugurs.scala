@@ -374,7 +374,12 @@ object QueriesAugurs {
         val ok = t.df.groupBy("user_id").agg(count(lit(1)).as("__n"))
           .where(col("__n") >= 16).select("user_id")
         val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
-        Augurs.clusterDtw(t16, window = 16, eps = 330.0, minPts = 3, band = 4)
+        // the DISTRIBUTED form (round-16 rewire, the r15 verdict's top
+        // item): eps-edges stay a frame, components ride pointer-jumping
+        // CC, border/noise are set operations — nothing k²-sized ever
+        // collects to the driver. Bit-identical to the driver union-find
+        // twin (AugursSpec equality gate); PlanAuditSpec pins the shape.
+        Augurs.clusterDtwDistributed(t16, window = 16, eps = 330.0, minPts = 3, band = 4)
           .orderBy("sid")
       },
       Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl

@@ -640,8 +640,12 @@ object QueriesPipeline {
             sum("ntok").as("total_tokens"),
             sum("chunks").as("n_chunks"),
             sum(col("chunks") * col("len") - col("ntok")).as("pad_tokens"),
-            r4(sum(col("chunks") * col("len") - col("ntok")) /
-              (sum("chunks") * max("len"))).as("pad_frac"),
+            // a (source,len) group of all-empty docs has sum(chunks)=0;
+            // guard the divide so Spark's non-ANSI NULL and DuckDB's
+            // double division can't desync on a degenerate corpus
+            when(sum("chunks") > 0,
+              r4(sum(col("chunks") * col("len") - col("ntok")) /
+                (sum("chunks") * max("len")))).otherwise(lit(0.0)).as("pad_frac"),
             sum(when(col("ntok") > col("len"), 1L).otherwise(0L)).as("n_truncated"))
           .orderBy("source", "len")
       },
@@ -651,7 +655,9 @@ object QueriesPipeline {
               |SELECT source, CAST(len AS BIGINT) AS len, count(*)::BIGINT AS n_docs,
               |  sum(ntok)::BIGINT AS total_tokens, sum(chunks)::BIGINT AS n_chunks,
               |  sum(chunks*len - ntok)::BIGINT AS pad_tokens,
-              |  round(1e-9 + sum(chunks*len - ntok)::DOUBLE / (sum(chunks) * max(len)), 4) AS pad_frac,
+              |  CASE WHEN sum(chunks) > 0
+              |    THEN round(1e-9 + sum(chunks*len - ntok)::DOUBLE / (sum(chunks) * max(len)), 4)
+              |    ELSE 0.0 END AS pad_frac,
               |  sum(CASE WHEN ntok > len THEN 1 ELSE 0 END)::BIGINT AS n_truncated
               |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 

@@ -148,8 +148,30 @@ final case class Timeline(
     withDf(tdf.withColumn(out, row_number().over(w).cast("long")))
 
   /** Bucketed throttle: at most one emission per `intervalNs` bucket —
-    * the scalable approximation of `throttle` (reference `ops.rs:381`);
-    * exact running-state throttle lives in [[graft.ops.ScanOps.throttleExact]]. */
+    * the scalable approximation of `throttle` (reference `ops.rs:381`).
+    *
+    * Which form matches the reference: the reference's `throttle` keeps a
+    * RUNNING gate — it emits a tick iff `ts - last_emitted_ts >=
+    * interval` (`ops.rs:381-414`) — which is exactly
+    * [[graft.ops.ScanOps.throttleExact]], the sequential per-key scan.
+    * This bucketed form instead quantizes time into fixed `ts DIV
+    * interval` buckets and keeps each bucket's first tick: a pure window
+    * expression (no sequential state), so it plans as one per-key window
+    * over the shared (keys, ts, seq) sort and scales embarrassingly.
+    *
+    * When bucket == exact: whenever consecutive emissions land ≥ one full
+    * bucket apart — in particular for ticks spaced ≥ `intervalNs` (the
+    * throttle is then a no-op) or exactly bucket-aligned feeds. They
+    * DIVERGE when a burst straddles a bucket boundary: ticks at
+    * 0.9·interval and 1.1·interval sit in different buckets (bucket form
+    * emits both, gap 0.2·interval) but the running gate suppresses the
+    * second (gap < interval since the last EMISSION). The bucket form
+    * guarantees ≤ 1 emission per fixed window; the exact form guarantees
+    * ≥ `intervalNs` between consecutive emissions — rate-limit contracts
+    * that only coincide on sparse or aligned streams (ScanOpsSpec
+    * pins the divergence case). Prefer this form when downstream needs
+    * "at most k per wall-window" semantics at scale; use `throttleExact`
+    * when reference-exact gap semantics matter. */
   def throttleBucket(intervalNs: Long): Timeline = {
     // integer division: ts ~ 1.7e18 ns exceeds double's exact range
     val bucket = expr(s"ts DIV ${intervalNs}L")

@@ -172,32 +172,7 @@ object Augurs {
     // named_struct + two array builds per step — measured 3.3 s at sf0.1
     // vs sub-second here). Arithmetic is written in EXACTLY the oracle
     // SQL's op order so the doubles agree bit-for-bit.
-    val etsU = udf { (arr: Seq[Double]) =>
-      val n = arr.length
-      var s1 = 0.0; var s2 = 0.0
-      var i = 0
-      while (i < m) { s1 += arr(i); i += 1 }
-      while (i < 2 * m) { s2 += arr(i); i += 1 }
-      val l0 = s1 / m
-      val b0 = (s2 / m - l0) / m
-      val s = Array.tabulate(m)(j => arr(j) - l0)
-      var l = l0; var b = b0; var se = 0.0; var nr = 0
-      var t0 = m // 0-based index of the row being consumed
-      while (t0 < n) {
-        val y = arr(t0)
-        val p = t0 % m // 0-based seasonal slot (oracle's 1-based (t%m)+1)
-        val resid = y - (l + b + s(p))
-        val newL = alpha * (y - s(p)) + (1 - alpha) * (l + b)
-        val newB = beta * (newL - l) + (1 - beta) * b
-        val newS = gamma * (y - l - b) + (1 - gamma) * s(p)
-        se += resid * resid; nr += 1
-        l = newL; b = newB; s(p) = newS
-        t0 += 1
-      }
-      val sigma = if (nr >= 2) math.sqrt(se / (nr - 1)) else 0.0
-      val fc = (1 to horizon).map(j => l + j * b + s((n + j - 1) % m))
-      (fc, sigma)
-    }
+    val etsU = udf { (arr: Seq[Double]) => etsCore(arr, m, horizon, alpha, beta, gamma) }
     val g = t.ticks
       .withColumn("__rn", row_number().over(trimW(t)))
       .where(col("__rn") <= window)
@@ -212,6 +187,73 @@ object Augurs {
         col("f").as("forecast") :+
         (col("f") - lit(1.96) * col("sigma")).as("lo") :+
         (col("f") + lit(1.96) * col("sigma")).as("hi")): _*)
+  }
+
+  /** The additive-HW recurrence over one time-ordered value array — the
+    * SINGLE definition of the ETS semantics (the StateProcs discipline):
+    * [[forecastEts]]'s per-key UDF, [[forecastEtsRolling]]'s per-tick
+    * window form, and the live ring state
+    * ([[graft.streaming.StateProcs.forecastEts1]]) all call this, so the
+    * parity triangle is double-exact by construction. Requires
+    * arr.length >= 2m (callers gate). Returns (forecasts 1..horizon,
+    * in-sample one-step residual sigma). */
+  private[graft] def etsCore(arr: Seq[Double], m: Int, horizon: Int,
+      alpha: Double, beta: Double, gamma: Double): (Seq[Double], Double) = {
+    val n = arr.length
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < m) { s1 += arr(i); i += 1 }
+    while (i < 2 * m) { s2 += arr(i); i += 1 }
+    val l0 = s1 / m
+    val b0 = (s2 / m - l0) / m
+    val s = Array.tabulate(m)(j => arr(j) - l0)
+    var l = l0; var b = b0; var se = 0.0; var nr = 0
+    var t0 = m // 0-based index of the row being consumed
+    while (t0 < n) {
+      val y = arr(t0)
+      val p = t0 % m // 0-based seasonal slot (oracle's 1-based (t%m)+1)
+      val resid = y - (l + b + s(p))
+      val newL = alpha * (y - s(p)) + (1 - alpha) * (l + b)
+      val newB = beta * (newL - l) + (1 - beta) * b
+      val newS = gamma * (y - l - b) + (1 - gamma) * s(p)
+      se += resid * resid; nr += 1
+      l = newL; b = newB; s(p) = newS
+      t0 += 1
+    }
+    val sigma = if (nr >= 2) math.sqrt(se / (nr - 1)) else 0.0
+    val fc = (1 to horizon).map(j => l + j * b + s((n + j - 1) % m))
+    (fc, sigma)
+  }
+
+  /** Per-tick sliding re-fit ETS — the reference's window ops re-evaluate
+    * on every tick (`augurs.rs:441` refits the model per sample), and this
+    * is that form: at each tick, the recurrence runs over the trailing
+    * `window` values and emits the 1-step-ahead forecast + residual sigma
+    * (quiet until 2·season values have arrived — the HW init needs two
+    * full seasons). The LAST emission per key equals [[forecastEts]]'s
+    * step-1 row on the same inputs. Third leg of the §2.8 forecast parity
+    * triangle (batch == streaming == this window form).
+    *
+    * Scale shape: one per-key window (the shared (keys, ts, seq) sort),
+    * O(window) array per row, the recurrence JIT'd in [[etsCore]] — the
+    * same bounded-frame discipline as the rolling-stats family. */
+  def forecastEtsRolling(t: Timeline, window: Int, season: Int,
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.125): DataFrame = {
+    require(window >= 2 * season,
+      s"forecastEtsRolling: window ($window) must cover two seasons (${2 * season})")
+    val ets1U = udf { (arr: Seq[Double]) =>
+      val (fc, sigma) = etsCore(arr, season, 1, alpha, beta, gamma)
+      (fc.head, sigma)
+    }
+    val frame = t.wRows(-(window - 1).toLong, 0)
+    t.ticks
+      .withColumn("__raw",
+        collect_list(struct(col("ts"), col("seq"), col(t.valueCol).as("v"))).over(frame))
+      .withColumn("__arr", expr("transform(array_sort(__raw), x -> x.v)"))
+      .where(size(col("__arr")) >= 2 * season)
+      .withColumn("__st", ets1U(col("__arr")))
+      .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+        col("__st._1").as("forecast") :+ col("__st._2").as("sigma")): _*)
   }
 
   /** One MSTL decomposition pass over a trimmed value array — the shared
@@ -400,6 +442,39 @@ object Augurs {
   private def trimW(t: Timeline) = org.apache.spark.sql.expressions.Window
     .partitionBy(t.keys.map(col): _*).orderBy(col("ts").desc, col("seq").desc)
 
+  /** Pair-budget ceiling for the DTW matrix family. The matrix is O(k²)
+    * pairs BY CONTRACT (reference `AugursDistanceMatrix`) — that is the
+    * op's declared output, not an accident — but nothing else stops a
+    * user pointing it at a million-key Timeline and materializing
+    * 5·10¹¹ pairs. The default budget (10⁸ pairs ≈ a few GB of matrix
+    * rows) is far above every registry/bench config; callers that truly
+    * want more pass an explicit `maxPairs` (the same loud-guard +
+    * escape-hatch discipline as [[graft.ops.Sketch]]'s cap guards). */
+  val DtwDefaultMaxPairs: Long = 100000000L
+
+  /** Fail loudly when k series would exceed the pair budget. */
+  private def requirePairBudget(k: Long, maxPairs: Long, op: String): Unit = {
+    val pairs = k * (k - 1) / 2
+    require(pairs <= maxPairs,
+      s"$op: $k series make ${pairs} DTW pairs, over the maxPairs budget " +
+        s"($maxPairs). The distance matrix is O(k²) by contract - filter " +
+        s"the series first, or pass maxPairs=$pairs explicitly to accept the cost.")
+  }
+
+  /** [[requirePairBudget]] off the Timeline's key column: one
+    * column-pruned distinct count — key-cardinality-sized, never row- or
+    * pair-sized. */
+  private def requirePairBudget(t: Timeline, maxPairs: Long, op: String): Unit =
+    requirePairBudget(t.df.select(col(t.keys.head)).distinct().count(), maxPairs, op)
+
+  /** The upper-triangle pair frame with the banded DP projected per pair
+    * — shared by [[dtwMatrix]] and [[clusterDtwDistributed]]. */
+  private def pairDtw(s: DataFrame, band: Int): DataFrame =
+    s.as("a").join(s.as("b"), col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
+        org.apache.spark.sql.GraftColumns.dtwBand(
+          col("a.series"), col("b.series"), band).as("dtw"))
+
   /** Per-key trailing-window series (single-key Timelines — a distance
     * matrix is indexed by series id, as in the reference). Trimmed to the
     * last `window` rows BEFORE the collect — bounded aggregate state. */
@@ -417,16 +492,14 @@ object Augurs {
   /** Pairwise DTW distance matrix (upper triangle, sid_a < sid_b). The
     * matrix is O(k²) pairs by definition (k = #series, not #rows) — the
     * reference materializes the same `AugursDistanceMatrix`. */
-  def dtwMatrix(t: Timeline, window: Int, band: Int = Int.MaxValue): DataFrame = {
-    val s = seriesOf(t, window)
+  def dtwMatrix(t: Timeline, window: Int, band: Int = Int.MaxValue,
+      maxPairs: Long = DtwDefaultMaxPairs): DataFrame = {
+    requirePairBudget(t, maxPairs, "dtwMatrix")
     // the DP runs as the native DtwBand expression (§2.13 ladder tier b):
     // codegen'd static call, one primitive unbox per side — the Seq-typed
     // ScalaUDF form paid the generic converter on every one of the O(k²)
     // pairs and measured ~2.3 s of aug_dtw's 6 s at sf0.1
-    s.as("a").join(s.as("b"), col("a.sid") < col("b.sid"))
-      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
-        org.apache.spark.sql.GraftColumns.dtwBand(
-          col("a.series"), col("b.series"), band).as("dtw"))
+    pairDtw(seriesOf(t, window), band)
   }
 
   /** [[dtwMatrix]] with globally (sid_a, sid_b)-ordered output: the sort
@@ -438,7 +511,9 @@ object Augurs {
     * persist-before-sort materializes the k²-row matrix into storage
     * memory (26 s vs ~6 s at 18M pairs — the ppl_buckets
     * storage-starves-execution lesson again). */
-  def dtwMatrixOrdered(t: Timeline, window: Int, band: Int = Int.MaxValue): DataFrame = {
+  def dtwMatrixOrdered(t: Timeline, window: Int, band: Int = Int.MaxValue,
+      maxPairs: Long = DtwDefaultMaxPairs): DataFrame = {
+    requirePairBudget(t, maxPairs, "dtwMatrixOrdered")
     val s = seriesOf(t, window)
     s.as("a").join(s.as("b"), col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
@@ -456,9 +531,9 @@ object Augurs {
     * (k = #series), not a row-count bound. Cluster ids are deterministic:
     * the lexicographically smallest core sid of the cluster. */
   def clusterDtw(t: Timeline, window: Int, eps: Double, minPts: Int,
-      band: Int = Int.MaxValue): DataFrame = {
+      band: Int = Int.MaxValue, maxPairs: Long = DtwDefaultMaxPairs): DataFrame = {
     val spark = t.df.sparkSession
-    val pairs = dtwMatrix(t, window, band)
+    val pairs = dtwMatrix(t, window, band, maxPairs)
       .where(col("dtw") <= eps)
       .select("sid_a", "sid_b").collect().map(r => (r.getString(0), r.getString(1)))
     val sids = seriesOf(t, window).select("sid").collect().map(_.getString(0)).sorted
@@ -507,11 +582,23 @@ object Augurs {
     *    + two joins), noise rows a literal — both set operations, exactly
     *    the driver loop's rules. */
   def clusterDtwDistributed(t: Timeline, window: Int, eps: Double, minPts: Int,
-      band: Int = Int.MaxValue): DataFrame = {
+      band: Int = Int.MaxValue, maxPairs: Long = DtwDefaultMaxPairs): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("sid")
-    val sids = seriesOf(t, window).select("sid")
-    val half = dtwMatrix(t, window, band).where(col("dtw") <= eps)
-      .select(col("sid_a"), col("sid_b"))
+    // materialize the two shared inputs ONCE (round-16, measured at the
+    // registry rewire): the k-row series frame feeds the pair DP, the
+    // rank window, and three set-op branches, and the eps-edge list has
+    // three consumers (degree, CC, border pick) — without the
+    // localCheckpoints the events window+agg re-executes ~4× and the
+    // O(k²) DP ~3× per run. The checkpointed frames are k-row and
+    // OUTPUT-sized (near-pairs only, the k²-row matrix dies inside the
+    // join stage); their executor blocks live exactly as long as the
+    // returned frame references them (ContextCleaner frees on GC).
+    // The budget guard's count is free off the materialized frame.
+    val ser = seriesOf(t, window).localCheckpoint()
+    requirePairBudget(ser.count(), maxPairs, "clusterDtwDistributed")
+    val sids = ser.select("sid")
+    val half = pairDtw(ser, band).where(col("dtw") <= eps)
+      .select(col("sid_a"), col("sid_b")).localCheckpoint()
     val edges = half.union(half.select(col("sid_b"), col("sid_a"))).toDF("u", "v")
     val deg = sids.as("s").join(edges, col("s.sid") === col("u"), "left_outer")
       .groupBy(col("s.sid").as("sid")).agg((count(col("v")) + lit(1)).as("nn"))

@@ -68,7 +68,11 @@ object ScanOps {
 
   /** Exact `throttle` (reference `ops.rs:381-414`): at most one emission per
     * `intervalNs` of engine time, measured from the last EMITTED tick (a
-    * running gate, not a bucket). */
+    * running gate, not a bucket). This is the form that matches the
+    * reference's running-state semantics bit-for-bit; see
+    * [[graft.core.Timeline.throttleBucket]]'s scaladoc for the
+    * bucket-vs-exact contract (when they agree, how they diverge on
+    * boundary-straddling bursts, and which to prefer at scale). */
   def throttleExact(t: Timeline, intervalNs: Long): Timeline = {
     val d = KeyedScan.scanDouble(t.ticks, t.keys, t.valueCol, Nil) { () =>
       var lastEmit = Long.MinValue

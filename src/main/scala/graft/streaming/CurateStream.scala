@@ -66,7 +66,20 @@ object CurateStream {
     * single-partition MemoryStream feed preserves row order; a
     * multi-partition production source voids that. Cross-batch the
     * contract is unchanged: the first batch to see a fingerprint
-    * commits it irrevocably. */
+    * commits it irrevocably.
+    *
+    * State retention: `NoTimeout` + one permanent Boolean per seen
+    * fingerprint is the EXPLICIT contract — exact first-wins dedup over
+    * the stream's whole lifetime requires remembering every fingerprint
+    * forever (the replaced streaming `dropDuplicates` held the same
+    * unbounded state; this form just names it). State is
+    * O(distinct fingerprints), ~40 B/key in the state store, keyed and
+    * store-sharded — it scales out, not up. When the lifetime corpus
+    * outgrows that, bound it explicitly: run with a watermark +
+    * `dropDuplicatesWithinWatermark`-style TTL (dedup-within-horizon —
+    * a WEAKER guarantee the caller must opt into), or periodically
+    * restart against a frozen reference set the way the batch
+    * `doc_dedup_incremental` / `doc_dedup_bloom` paths do. */
   def survivors(arrivals: Dataset[CurateArrival]): Dataset[CurateArrival] = {
     val spark = arrivals.sparkSession
     import spark.implicits._

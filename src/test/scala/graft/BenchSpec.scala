@@ -111,21 +111,41 @@ class BenchSpec extends SparkSuite {
   test("BASELINE.md operative record is the PinRecord render of BENCH_LOCAL.json") {
     // round-14 verdict: the prose record (177.48 s) and the committed
     // JSON (156.20 s) drifted apart. The operative-record block is now
-    // GENERATED (graft.PinRecord) — this gate re-renders it from the
-    // committed BENCH_LOCAL.json and fails on any byte difference, so a
-    // new pin that forgets `runMain graft.PinRecord` cannot land.
+    // GENERATED (graft.PinRecord) — this gate re-renders it and fails on
+    // any byte difference, so a new pin that forgets
+    // `runMain graft.PinRecord` cannot land.
+    //
+    // Round-16 fix (r15 verdict item 2): the DRIVER overwrites the
+    // working-tree BENCH_LOCAL.json with its own rerun after every
+    // round's commit, which made this gate spuriously red on every
+    // driver-touched tree. The operative record is valid if it renders
+    // from EITHER the working-tree JSON (a fresh builder pin, PinRecord
+    // already run, commit pending) OR the COMMITTED one
+    // (`git show HEAD:BENCH_LOCAL.json` — the pin the block was rendered
+    // from, surviving any post-commit driver overwrite). A builder
+    // commit that updates the JSON but forgets PinRecord matches
+    // neither and still fails.
     import java.nio.file.{Files, Paths}
-    val expected = PinRecord.renderFromJson(
-      Files.readString(Paths.get("BENCH_LOCAL.json")))
     val md = Files.readString(Paths.get("BASELINE.md"))
     val b = md.indexOf(PinRecord.Begin)
     val e = md.indexOf(PinRecord.End)
     assert(b >= 0 && e > b, "BASELINE.md lost the OPERATIVE-RECORD markers")
     assert(md.indexOf(PinRecord.Begin, b + 1) < 0, "exactly one record block")
     val actual = md.substring(b, e + PinRecord.End.length)
-    assert(actual == expected,
-      "BASELINE.md operative record drifted from BENCH_LOCAL.json — " +
-        "run `sbt \"runMain graft.PinRecord\"` after committing the new pin")
+    val fromWorkingTree = PinRecord.renderFromJson(
+      Files.readString(Paths.get("BENCH_LOCAL.json")))
+    val fromHead: Option[String] =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_LOCAL.json")
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0 && out.nonEmpty) Some(PinRecord.renderFromJson(out))
+        else None
+      } catch { case _: Exception => None }
+    assert(actual == fromWorkingTree || fromHead.contains(actual),
+      "BASELINE.md operative record matches neither the working-tree nor " +
+        "the committed BENCH_LOCAL.json — run `sbt \"runMain graft.PinRecord\"` " +
+        "after recording the new pin")
   }
 
   test("nonBenchQueries name real registry queries and stay oracle-gated") {

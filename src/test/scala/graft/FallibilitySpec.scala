@@ -48,6 +48,25 @@ class FallibilitySpec extends SparkSuite {
     assert(ex.getMessage.contains("join3 refused"))
   }
 
+  test("dtwMatrix: pair budget guard aborts loudly, maxPairs is the escape hatch") {
+    // the DTW matrix is O(k²) by contract; the guard stops an accidental
+    // million-key call from materializing 5·10¹¹ pairs (r15 verdict
+    // item 5 — the Sketch cap-guard discipline)
+    val rows = Seq("s1", "s2", "s3", "s4")
+      .flatMap(k => (0 until 4).map(i => (k, i * 10L, i.toLong, i.toDouble)))
+    val t = graft.core.Timeline(rows.toDF("k", "ts", "seq", "value"), keys = Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Augurs.dtwMatrix(t, window = 4, maxPairs = 5L)
+    }
+    assert(ex.getMessage.contains("4 series make 6 DTW pairs") &&
+      ex.getMessage.contains("maxPairs=6"),
+      s"guard must name the pair count and the escape hatch: ${ex.getMessage}")
+    // the stated escape hatch works, and the default budget never binds
+    // at registry scale
+    assert(graft.ops.Augurs.dtwMatrix(t, window = 4, maxPairs = 6L).count() == 6L)
+    assert(graft.ops.Augurs.dtwMatrix(t, window = 4).count() == 6L)
+  }
+
   test("join3 quiet until all three sides have ticked; one emission per instant") {
     val c = Seq(12L -> 100.0, 30L -> 200.0)
     val got = tl(a).join3(tl(b), tl(c), "x", "y", "z").df

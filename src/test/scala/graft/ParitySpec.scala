@@ -359,6 +359,37 @@ class ParitySpec extends SparkSuite {
       "the quiet samples must not flag")
   }
 
+  test("ETS forecast: batch == streaming == Augurs window form (augurs.rs:248)") {
+    // third §2.8 live leg (r15 verdict item 6): per-tick sliding-refit
+    // 1-step ETS, v1 = forecast, v2 = residual sigma. window=8, season=2
+    // → emission needs 4 trailing values. Fixture: seasonal + trend on
+    // key a with a same-instant burst (ts=60 twice — per-event semantics
+    // inside one cycle), a second key with a different pattern.
+    val fe: Seq[Ev] =
+      (1 to 14).map(i => Ev("a", 10L * i, i.toLong, 0,
+        5.0 + (i % 2) * 2.0 + 0.1 * i)) ++
+      Seq(Ev("a", 60L, 90L, 0, 6.3)) ++
+      (1 to 9).map(i => Ev("b", 7L * i, 100L + i, 0, 1.0 * i + (i % 2)))
+    val agreed = parity("ets1", fe, P.forecastEts1(8, 2))
+    val tlForm = Augurs.forecastEtsRolling(tl(fe), 8, 2)
+      .select(col("key"), col("ts"), col("forecast"), col("sigma"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    assert(agreed == tlForm,
+      "streaming ring state must replay the per-tick window form double-exactly")
+    assert(agreed.size >= 15 && agreed.count(_._1 == "b") >= 5,
+      "both keys must emit (non-vacuous)")
+    assert(agreed.exists(_._4 > 0.0), "residual sigma must be non-trivial")
+    // the triangle ties to the REGISTRY op: the last per-key emission is
+    // exactly forecastEts' step-1 forecast over the same trailing window
+    val finalFc = Augurs.forecastEts(tl(fe), 8, 2, horizon = 1)
+      .where(col("step") === 1)
+      .select(col("key"), col("forecast"))
+      .as[(String, Double)].collect().toMap
+    val lastPerKey = agreed.groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(r => (r._2, r._3))._3 }
+    assert(lastPerKey("a") == finalFc("a") && lastPerKey("b") == finalFc("b"),
+      "rolling form's last emission must equal the batch registry op's 1-step forecast")
+  }
+
   test("sessionize: batch == streaming == Timeline window chain") {
     // gap 25 over the shared fixture: key a splits at the 41 -> 100 jump,
     // key b at 15 -> 70; same-instant bursts never split a session

@@ -34,6 +34,25 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("aug_cluster: distributed CC shape — nothing k²-sized computed on the driver") {
+    // the driver union-find twin returns its whole result as a
+    // LocalTableScan built from a collected edge list; the registry
+    // entry must execute the DISTRIBUTED form (r15 verdict item 1):
+    // core/border/noise branches union'd, the CC label frame entering
+    // as the checkpointed-RDD leaf, noise via an anti-join. A
+    // LocalTableScan anywhere in this plan means the driver form
+    // leaked back into the registry.
+    val p = plan("aug_cluster")
+    assert(!p.contains("LocalTableScan"),
+      s"aug_cluster must not return a driver-computed relation:\n$p")
+    assert(p.contains("Union"),
+      s"core/border/noise branches must union:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"CC labels must enter as the checkpointed label frame:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"noise rows must come from an anti-join, not a driver loop:\n$p")
+  }
+
   test("filter pushdown reaches the parquet scan (q_filter_pushdown)") {
     val p = plan("q_filter_pushdown")
     assert(p.contains("PushedFilters: [") && p.contains("IsNotNull(l_quantity)"),

@@ -62,6 +62,22 @@ class ScanOpsSpec extends SparkSuite {
     assert(got == Seq(10L, 40L, 70L), "running gate, not a bucket (bucket would give 10,30,50,80)")
   }
 
+  test("throttle bucket vs exact: divergence on a boundary-straddling burst (ops.rs:381)") {
+    // the scaladoc contract (r15 verdict item 7): ticks at 0.9·I and
+    // 1.1·I straddle a bucket boundary — the bucket form emits both
+    // (different buckets), the running gate suppresses the second
+    // (gap 0.2·I < I since the last emission). Sparse tail agrees.
+    val src = Timeline.fromRows(spark,
+      Seq(90L -> 1.0, 110L -> 2.0, 250L -> 3.0)) // I = 100
+    val bucket = src.throttleBucket(100L).df.select("ts").as[Long].collect().sorted.toSeq
+    val exact = graft.ops.ScanOps.throttleExact(src, 100L)
+      .df.select("ts").as[Long].collect().sorted.toSeq
+    assert(bucket == Seq(90L, 110L, 250L),
+      "bucket form: 90 ∈ [0,100), 110 ∈ [100,200), 250 ∈ [200,300) — all first-in-bucket")
+    assert(exact == Seq(90L, 250L),
+      "exact form: 110 - 90 = 20 < 100 suppressed; 250 - 90 = 160 >= 100 passes")
+  }
+
   test("dropSmallChange: reference is last EMITTED value (ops.rs:227-262)") {
     val got = ScanOps.dropSmallChange(t(regular), 1.5).df
       .select("ts", "value").orderBy("ts").as[(Long, Double)].collect().toSeq
