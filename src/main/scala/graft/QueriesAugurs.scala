@@ -164,6 +164,55 @@ object QueriesAugurs {
              |  round(1e-9 + fc + 1.96*sigma,4) AS hi
              |FROM f ORDER BY 1,2""".stripMargin)),
 
+    // Per-tick sliding-refit ETS (round 16): the form closest to the
+    // reference's semantics — its window ops re-evaluate per sample
+    // (`augurs.rs:441`), where aug_ets above emits only the final fit.
+    // At each tick with >= 14 trailing values, the HW recurrence runs
+    // over the trailing-28 window and emits the 1-step forecast +
+    // residual sigma. The oracle replays the SAME per-(user, tick)
+    // recursion (the aug_ets CTE with the window sliced at every
+    // position); shared etsCore keeps batch == streaming == this form
+    // double-exact (ParitySpec triangle).
+    "aug_ets_roll" -> Q(
+      (s, d) => Augurs.forecastEtsRolling(Tables.events(s, d),
+        window = 28, season = 7)
+        .select(col("user_id"), col("ts"), col("seq"),
+          r4c(col("forecast")).as("forecast"), r4c(col("sigma")).as("sigma"))
+        .orderBy("user_id", "ts", "seq"),
+      Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl,
+             |    list(ts ORDER BY ts, seq) AS tl, list(seq ORDER BY ts, seq) AS ql
+             |  FROM ($E) GROUP BY 1),
+             |tk AS (SELECT user_id, unnest(range(14, len(fl)+1)) AS p, fl, tl, ql FROM a),
+             |tw AS (SELECT user_id, tl[p] AS ts, ql[p] AS sq,
+             |    list_slice(fl, greatest(p-27, 1), p) AS arr FROM tk),
+             |init AS (SELECT user_id, ts, sq, arr, len(arr) AS n,
+             |    list_sum(list_slice(arr, 1, 7)) / 7 AS l0,
+             |    (list_sum(list_slice(arr, 8, 14)) / 7 - l0) / 7 AS b0
+             |  FROM tw),
+             |rec AS (
+             |  SELECT user_id, ts, sq, arr, n, 7 AS t, l0 AS l, b0 AS b,
+             |    list_transform(range(1, 8), i -> arr[i] - l0) AS s,
+             |    CAST(0 AS DOUBLE) AS se, 0 AS nr
+             |  FROM init
+             |  UNION ALL
+             |  SELECT user_id, ts, sq, arr, n, t + 1,
+             |    0.5 * (arr[t+1] - s[(t % 7) + 1]) + 0.5 * (l + b),
+             |    0.25 * ((0.5 * (arr[t+1] - s[(t % 7) + 1]) + 0.5 * (l + b)) - l)
+             |      + 0.75 * b,
+             |    list_transform(range(1, 8), i -> CASE WHEN i = (t % 7) + 1
+             |      THEN 0.125 * (arr[t+1] - l - b) + 0.875 * s[i] ELSE s[i] END),
+             |    se + (arr[t+1] - (l + b + s[(t % 7) + 1]))
+             |       * (arr[t+1] - (l + b + s[(t % 7) + 1])),
+             |    nr + 1
+             |  FROM rec WHERE t < n),
+             |fin AS (SELECT user_id, ts, sq, n, l, b, s,
+             |    CASE WHEN nr >= 2 THEN sqrt(se / (nr - 1)) ELSE 0 END AS sigma
+             |  FROM rec WHERE t = n)
+             |SELECT user_id, ts, sq AS seq,
+             |  round(1e-9 + l + 1 * b + s[((n) % 7) + 1], 4) AS forecast,
+             |  round(1e-9 + sigma, 4) AS sigma
+             |FROM fin ORDER BY 1, 2, 3""".stripMargin)),
+
     // MSTL flavor: per period (4 then 7) over the trailing-28 window, the
     // three-stage mstlDecompose pipeline — provisional centered-MA
     // seasonal, tricube LOESS local-linear trend (round 13; the

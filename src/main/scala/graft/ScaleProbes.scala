@@ -46,12 +46,28 @@ object ScaleProbes {
     val deepScored = graft.functions.Similarity.deepScoredHome(e, dq, 64)
       .agg(org.apache.spark.sql.functions.avg("scored")).head.getDouble(0)
     println(f"[probe] $sfDir deep3_scored_per_vec=$deepScored%.1f (nTop=$c3)")
+    // DTW-family mechanism probe (any arg == "dtw"): series count, pair
+    // count, eps-edge count at the registry parameters — pure functions
+    // of the input, so decade ratios attribute the aug_dtw/aug_cluster
+    // wall to pair volume (the op's declared O(k²) output) vs edge
+    // density (the CC input, output-sized)
+    if (args.contains("dtw")) {
+      import org.apache.spark.sql.functions._
+      val t = Tables.events(spark, sfDir)
+      val ok = t.df.groupBy("user_id").agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= 16).select("user_id")
+      val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
+      val kk = ok.count()
+      val edges = graft.ops.Augurs.dtwMatrix(t16, 16, 4)
+        .where(col("dtw") <= 330.0).count()
+      println(s"[probe] $sfDir dtw_k=$kk dtw_pairs=${kk * (kk - 1) / 2} dtw_eps_edges=$edges")
+    }
     // histogram-descent mechanism at growing n (optional 2nd arg = row
     // count): rounds and wall for exact p50/p90/p99 over a deterministic
     // hash-valued range — the quantile twin of the minhash candidate
     // probe. rounds is the design number (≤ maxRounds by construction);
     // the wall should be rounds × one-scan, i.e. linear per decade.
-    args.drop(1).headOption.map(_.toLong).filter(_ > 0).foreach { nq =>
+    args.drop(1).headOption.flatMap(_.toLongOption).filter(_ > 0).foreach { nq =>
       import org.apache.spark.sql.functions._
       val vals = spark.range(nq).select(
         (abs(hash(col("id"))).cast("double") / 1000.0).as("v"))

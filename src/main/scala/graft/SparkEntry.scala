@@ -107,7 +107,12 @@ object SparkEntry {
       // round 15 third batch: a sub-0.7 s stable as-of scan (plan
       // unchanged since round 3; parity + golden gates stay) rotated
       // out for doc_pack_efficiency
-      "evt_sample_asof")
+      "evt_sample_asof",
+      // round 16: a sub-0.4 s stable running-accumulate window scan
+      // (plan unchanged since round 2; its oracle stays) rotated out
+      // for aug_ets_roll (the per-tick sliding-refit ETS joining the
+      // line — the forecast family's closest-to-reference form)
+      "evt_accumulate")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
