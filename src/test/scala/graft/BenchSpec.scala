@@ -148,6 +148,24 @@ class BenchSpec extends SparkSuite {
         "after recording the new pin")
   }
 
+  test("working-tree BENCH_LOCAL.json carries the full registry (no truncated ONLY-run pin)") {
+    // round-16 incident: a SPARK_GRAFT_ONLY dev run overwrote the
+    // working-tree pin with a 2-query file, and the committed-pin
+    // fallback in the record gate (which exists for the driver's
+    // post-commit FULL reruns) masked it long enough for a `git add -A`
+    // to commit the truncation. The pin file must always cover the whole
+    // registry: a restricted run is a dev artifact to restore, a missing
+    // new query means the pin predates the registry change - both are
+    // exactly the drift the pin discipline exists to surface.
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_LOCAL.json"))
+    val missing = SparkEntry.queries.keySet.filterNot(q => json.contains("\"" + q + "\":"))
+    assert(missing.isEmpty,
+      s"BENCH_LOCAL.json lacks ${missing.size} registry queries (e.g. " +
+        s"${missing.take(3).mkString(", ")}) - either a truncated " +
+        "SPARK_GRAFT_ONLY artifact (restore: git checkout -- BENCH_LOCAL.json) " +
+        "or a stale pin after a registry change (record a full run + PinRecord)")
+  }
+
   test("nonBenchQueries name real registry queries and stay oracle-gated") {
     // the exclusion trims the bench LINE only — a name that drifted out of
     // the registry (or lost its oracle) would silently weaken the

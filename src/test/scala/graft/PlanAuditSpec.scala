@@ -73,6 +73,19 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("aug_ets_roll: per-tick refit rides ONE user_id exchange") {
+    // the sliding-refit window collects 28-row frames per tick and runs
+    // the JIT'd recurrence as a projection — the only keyed exchange is
+    // the shared (user_id) window partitioning, plus the output orderBy's
+    // range exchange. A second hash exchange would mean the per-tick
+    // arrays are being re-shuffled.
+    val p = plan("aug_ets_roll")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 1, s"expected 1 user_id exchange, got $hash:\n$p")
+    val range = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(range == 1, s"only the output orderBy may range-partition, got $range")
+  }
+
   test("chained scan ops share ONE shuffle+sort per key set (evt_rolling5)") {
     // 7 rolling window stats over the same (user_id) keys: the window
     // chain plans exactly one hashpartitioning exchange for user_id
