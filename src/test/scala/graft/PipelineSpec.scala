@@ -22,6 +22,32 @@ class PipelineSpec extends SparkSuite {
     assert(fp(1L) != fp(3L) && fp(1L) != fp(4L))
   }
 
+  test("doc_pack_efficiency: all-empty source group yields pad_frac 0.0, never NULL") {
+    // the r15 advisor's degenerate-corpus case: a (source, len) group of
+    // all-empty docs has sum(chunks)=0; Spark's non-ANSI divide would
+    // yield NULL where DuckDB's double division throws/NaNs — the guard
+    // must pin 0.0 on the REGISTRY query itself (run against a synthetic
+    // documents dir so the real loader + query fn are what is tested)
+    val dir = java.nio.file.Files.createTempDirectory("packdeg").toString
+    Seq(
+      (1L, "", "en", "srcEmpty", 0L),
+      (2L, "", "en", "srcEmpty", 0L),
+      (3L, "three words here now", "en", "srcReal", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.registry.toMap.apply("doc_pack_efficiency").fn(spark, dir)
+      .select("source", "len", "pad_frac", "n_chunks").collect()
+    val empty = out.filter(_.getString(0) == "srcEmpty")
+    assert(empty.length == 3, "all three candidate lengths present")
+    empty.foreach { r =>
+      assert(!r.isNullAt(2) && r.getDouble(2) == 0.0,
+        s"empty group must read pad_frac 0.0, got $r")
+      assert(r.getLong(3) == 0L, "ntok=0 docs chunk to 0")
+    }
+    val real = out.filter(r => r.getString(0) == "srcReal" && r.getLong(1) == 128L)
+    assert(real.head.getDouble(2) > 0.0, "non-degenerate group still reports real padding")
+  }
+
   test("ngramHashes UDF is bit-identical to the Column-form tokens/ngrams/hash60 chain") {
     // the primitive-loop UDF re-implements tokens() (lower + \W+ split +
     // filter) and hash60 (md5 60-bit prefix) in JVM code for the
