@@ -69,6 +69,21 @@ class AugursSpec extends SparkSuite {
     assert(c("far") == "-1", "no neighbors within eps → noise")
   }
 
+  test("clusterDtwDistributed: zero eps-edges — every branch of the set-op plan degrades clean") {
+    // all-noise input: the eps-edge frame is EMPTY, so degree = 1
+    // everywhere (no core), CC runs on an empty graph (one cheap round),
+    // border pick is empty, and every sid must land in the noise branch
+    // as -1 — the degenerate case none of the mixed fixtures exercise
+    val rows = Seq(("a", 0.0), ("b", 500.0), ("c", 1000.0), ("d", 1500.0))
+      .flatMap { case (k, base) =>
+        (0 until 4).map(i => (k, i * 10L, i.toLong, base + i)) }
+    val t = graft.core.Timeline(rows.toDF("k", "ts", "seq", "value"), keys = Seq("k"))
+    val got = Augurs.clusterDtwDistributed(t, window = 4, eps = 1.0, minPts = 2)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "-1", "b" -> "-1", "c" -> "-1", "d" -> "-1"),
+      s"all-noise input must label every series -1: $got")
+  }
+
   test("clusterDtwDistributed == clusterDtw bit-for-bit, incl. the lex-root trap") {
     // the distributed twin (Graph CC over lex ranks — no driver
     // union-find, no k×k collect) must reproduce the driver loop's

@@ -47,6 +47,24 @@ class ScaleProbeSpec extends SparkSuite {
         s"vs 4+$mids+$leaves")
   }
 
+  test("dtw probe: k/pairs/eps-edges at the registry params stay pinned at the gate SF") {
+    // pins the mechanism numbers the round-16 DTW k-scale table reads
+    // (COVERAGE: 1,500/1.12M/57,824 at sf0.1; 16.2×/64.7× edge growth at
+    // the replicated decades): at sf0.001 the registry parameters
+    // (window 16, band 4, eps 330) give 15 series, 105 pairs, and the
+    // 7 eps-edges behind the 5-core/2-border/8-noise DBSCAN split the
+    // aug_cluster oracle fixes. A drift here means the probe (or the
+    // banded DP) changed meaning and every decade attribution with it.
+    val t = Tables.events(spark, d)
+    val ok = t.df.groupBy("user_id").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 16).select("user_id")
+    val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
+    assert(ok.count() == 15, "15 qualifying series at sf0.001")
+    val edges = graft.ops.Augurs.dtwMatrix(t16, 16, 4)
+      .where(col("dtw") <= 330.0).count()
+    assert(edges == 7, s"eps-edge count drifted: $edges (expected 7)")
+  }
+
   test("minhashProbe: banded candidates and set length size the verify join") {
     val (cand, meanSet) = QueriesPipeline.minhashProbe(spark, d)
     // candidates exist (the corpus has planted near-dups) and the mean
