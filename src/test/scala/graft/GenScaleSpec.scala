@@ -34,6 +34,31 @@ class GenScaleSpec extends SparkSuite {
       assert(jac(toks(a), toks(b)) == 0.0, s"cross-replica $a-$b must share no tokens")
   }
 
+  test("fixedSources holds the eval split at replica-0 size while the corpus replicates") {
+    // the production-shaped contamination decade (round 16): an eval
+    // suite is constant while the crawl grows, so the generator must
+    // keep fixed sources un-replicated AND un-suffixed (replica-0 rows
+    // pass through verbatim - their shingles still hit the corpus's
+    // replica-0 rows, nothing else)
+    val docs = Seq(
+      (0L, "corpus words one", "en", "s0"),
+      (1L, "corpus words two", "en", "s1"),
+      (2L, "eval item text", "en", "src19"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val scaled = GenScale.scaleDocuments(docs, 3, fixedSources = Set("src19"))
+    val bySrc = scaled.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("s0") == 3 && bySrc("s1") == 3 && bySrc("src19") == 1,
+      s"corpus sources replicate 3x, the fixed source stays 1x: $bySrc")
+    val evalText = scaled.where(col("source") === "src19")
+      .select("text").as[String].collect()
+    assert(evalText.toSeq == Seq("eval item text"),
+      "the fixed source's replica-0 row passes through verbatim (no suffix)")
+    assert(scaled.select("doc_id").distinct().count() == scaled.count(),
+      "ids stay disjoint under partial replication")
+  }
+
   test("suffix delimiter defeats vocabulary aliasing: a source token ending in 'q1' stays disjoint") {
     // the round-7 scheme suffixed bare "q1": source token "xq1" == replica-1
     // image of "x", so cross-replica Jaccard > 0. The delimiter ("_",
