@@ -27,6 +27,26 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-query isolation sweep, shared with [[Verify]]: clear the
+    * CacheManager AND unpersist every still-registered RDD.
+    * `clearCache()` alone is not enough — `localCheckpoint` blocks
+    * (Graph CC label frames, Augurs cluster intermediates, the pack
+    * planner's output pin) live at the RDD layer OUTSIDE the
+    * CacheManager, and ContextCleaner only frees them on a driver GC,
+    * which a 128 GiB heap may not run for an entire pass. Round 16
+    * measured the consequence: blocks leaked by earlier queries
+    * accumulated executor storage across all 139 queries and inflated
+    * later ones (doc_curate_e2e 3.95 → 6.7 s with an unchanged plan —
+    * the round-17 drift root-cause). Sweeping `getPersistentRDDs`
+    * restores true per-query isolation; everything registered there
+    * between queries is dead by construction (the previous query's
+    * frame was fully consumed by its sink). */
+  private[graft] def isolate(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** `passes` timed passes over `queries` (noop-sink, cache-isolated),
     * reporting each query's MINIMUM — the standard steady-state metric:
     * the min is robust to external noise bursts (this container's shared
@@ -51,8 +71,10 @@ object Bench {
       val pass = queries.map { case (name, fn) =>
         // per-query isolation: a persisted frame from one query must not
         // serve an identical subplan in another (Spark's cache matches on
-        // canonicalized plans), or the second query's number is fiction
-        spark.catalog.clearCache()
+        // canonicalized plans), or the second query's number is fiction;
+        // the RDD-layer sweep also drops leaked localCheckpoint blocks
+        // (see [[isolate]]) so no query pays for a predecessor's storage
+        isolate(spark)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>

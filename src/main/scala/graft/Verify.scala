@@ -29,8 +29,9 @@ object Verify {
       .foreach { case (name, fn) =>
       // per-query cache isolation, same as Bench: cached()/persisted
       // frames (emb scans, quantizer level frames) from one query must
-      // not stay resident across the other 100+ queries' runs
-      spark.catalog.clearCache()
+      // not stay resident across the other 100+ queries' runs — and the
+      // RDD-layer sweep drops leaked localCheckpoint blocks too
+      Bench.isolate(spark)
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
