@@ -12,6 +12,15 @@ object QueriesAugurs {
 
   private def r4c(c: org.apache.spark.sql.Column) = round(c + lit(1e-9), 4)
 
+  /** Registry escape hatch for the DTW pair budget (BASELINE.md's
+    * maxPairs × decade-row rule): decade measurements past events×8 (72M
+    * pairs) set SPARK_GRAFT_DTW_MAXPAIRS explicitly and flag the value in
+    * the COVERAGE row; unset (bench/verify/driver protocol) the default
+    * 10⁸ contract binds. */
+  private def dtwMaxPairs: Long =
+    sys.env.get("SPARK_GRAFT_DTW_MAXPAIRS").map(_.toLong)
+      .getOrElse(Augurs.DtwDefaultMaxPairs)
+
   /** Same events prelude as Queries.E. */
   private val E = "SELECT user_id, epoch_ns(ts) AS ts, event_id AS seq, value FROM events"
 
@@ -374,7 +383,8 @@ object QueriesAugurs {
         val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
         // sort-below-DP form (see dtwMatrixOrdered's scaladoc): the DP
         // evaluates exactly once, above the sort, with nothing persisted
-        Augurs.dtwMatrixOrdered(t16, window = 16, band = 4)
+        Augurs.dtwMatrixOrdered(t16, window = 16, band = 4,
+          maxPairs = dtwMaxPairs)
           .select(col("sid_a"), col("sid_b"), r4c(col("dtw")).as("dtw"))
       },
       Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl
@@ -428,7 +438,8 @@ object QueriesAugurs {
         // CC, border/noise are set operations — nothing k²-sized ever
         // collects to the driver. Bit-identical to the driver union-find
         // twin (AugursSpec equality gate); PlanAuditSpec pins the shape.
-        Augurs.clusterDtwDistributed(t16, window = 16, eps = 330.0, minPts = 3, band = 4)
+        Augurs.clusterDtwDistributed(t16, window = 16, eps = 330.0, minPts = 3,
+          band = 4, maxPairs = dtwMaxPairs)
           .orderBy("sid")
       },
       Some(s"""WITH RECURSIVE a AS (SELECT user_id, list(value ORDER BY ts, seq) AS fl

@@ -58,7 +58,11 @@ object ScaleProbes {
         .where(col("__n") >= 16).select("user_id")
       val t16 = t.copy(df = t.df.join(broadcast(ok), Seq("user_id")))
       val kk = ok.count()
-      val edges = graft.ops.Augurs.dtwMatrix(t16, 16, 4)
+      // same escape hatch as the registry (BASELINE.md maxPairs rule):
+      // probing the events×16 decade needs an explicit budget
+      val mp = sys.env.get("SPARK_GRAFT_DTW_MAXPAIRS").map(_.toLong)
+        .getOrElse(graft.ops.Augurs.DtwDefaultMaxPairs)
+      val edges = graft.ops.Augurs.dtwMatrix(t16, 16, 4, maxPairs = mp)
         .where(col("dtw") <= 330.0).count()
       println(s"[probe] $sfDir dtw_k=$kk dtw_pairs=${kk * (kk - 1) / 2} dtw_eps_edges=$edges")
     }

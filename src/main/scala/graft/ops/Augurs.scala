@@ -561,6 +561,33 @@ object Augurs {
     sids.map(s => (s, clusterOf(s))).toSeq.toDF("sid", "cluster")
   }
 
+  /** Lexicographic rank of the `sid` column, computed scale-safely in two
+    * phases (the doc_shard discipline, applied to a lex sort key): range-
+    * partition by sid into `buckets` (order-preserving across buckets by
+    * the RangePartitioner contract), rank WITHIN each bucket with a
+    * partitioned window, then add per-bucket offsets via a broadcast
+    * bucket-count join — equal to one global row_number over `sid`
+    * exactly, with no single-partition sort or window anywhere in the
+    * plan. Returns the LAZY (b, sid, rk) frame; [[clusterDtwDistributed]]
+    * checkpoints it before deriving offsets, because the bucket id is
+    * `spark_partition_id()` over a sampled range partitioning and two
+    * independent executions could sample different boundaries — the
+    * checkpoint pins ONE assignment for both consumers. */
+  private[graft] def lexRankPhase1(sids: DataFrame, buckets: Int): DataFrame =
+    sids.repartitionByRange(buckets, col("sid"))
+      .withColumn("b", spark_partition_id())
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("b").orderBy("sid")).cast("long"))
+
+  /** Per-bucket rank offsets off a materialized [[lexRankPhase1]] frame:
+    * off(b) = Σ counts of lower buckets — a buckets²-row broadcast
+    * self-join, never a window. */
+  private[graft] def lexRankOffsets(ranked: DataFrame): DataFrame = {
+    val cnt = ranked.groupBy("b").agg(count(lit(1)).as("n"))
+    cnt.as("x").join(broadcast(cnt.as("y")), col("y.b") < col("x.b"), "left_outer")
+      .groupBy(col("x.b").as("b")).agg(coalesce(sum(col("y.n")), lit(0L)).as("off"))
+  }
+
   /** Distributed twin of [[clusterDtw]] — bit-identical output (the
     * AugursSpec equality gate proves it on the same inputs), nothing
     * collected to the driver: the scale path when k (#series) is large
@@ -575,25 +602,40 @@ object Augurs {
     *    ids are LEXICOGRAPHIC min sids (the union-find's String ordering,
     *    mirrored by the oracle's VARCHAR min), so sids map through their
     *    lex RANK first (order-isomorphic longs: min-rank == min-lex-sid)
-    *    and roots map back after. The rank window is one k-row sort —
-    *    series-count-sized, never pair-sized; for huge k swap in the
-    *    doc_shard two-phase salted rank;
+    *    and roots map back after. The rank is the two-phase salted form
+    *    ([[lexRankPhase1]]/[[lexRankOffsets]]) — bucket-partitioned
+    *    windows plus broadcast offsets, NO single-partition sort, so an
+    *    explicit `maxPairs` escape-hatch caller with huge k inherits a
+    *    fully parallel rank stage too;
     *  - border rows take the lex-min core neighbor's root (one aggregate
     *    + two joins), noise rows a literal — both set operations, exactly
-    *    the driver loop's rules. */
+    *    the driver loop's rules.
+    *
+    * EXECUTION CONTRACT: this method runs Spark jobs EAGERLY at call time
+    * (the budget-guard count, the localCheckpoint materializations, and
+    * the CC rounds all execute before it returns) — it is not a lazy plan
+    * builder. The checkpointed intermediates are executor-local,
+    * NON-REPLICATED blocks: on a real cluster, losing an executor after
+    * the call returns makes downstream actions on the returned frame fail
+    * unrecoverably (localCheckpoint truncates lineage, so there is
+    * nothing to recompute from). Acceptable in local mode and for
+    * consume-immediately pipelines (the registry/bench protocol sinks the
+    * frame right away and then sweeps the blocks — Bench.isolate); on an
+    * unreliable cluster flip the checkpoints to reliable `checkpoint()`
+    * or persist-with-replication. ContextCleaner frees the blocks when
+    * the frame is GC'd; callers that keep the session hot should sweep
+    * explicitly ([[graft.ops.Graph.freeCheckpoint]] / Bench.isolate). */
   def clusterDtwDistributed(t: Timeline, window: Int, eps: Double, minPts: Int,
       band: Int = Int.MaxValue, maxPairs: Long = DtwDefaultMaxPairs): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("sid")
-    // materialize the two shared inputs ONCE (round-16, measured at the
+    // materialize the shared inputs ONCE (round-16, measured at the
     // registry rewire): the k-row series frame feeds the pair DP, the
-    // rank window, and three set-op branches, and the eps-edge list has
+    // rank, and three set-op branches, and the eps-edge list has
     // three consumers (degree, CC, border pick) — without the
     // localCheckpoints the events window+agg re-executes ~4× and the
     // O(k²) DP ~3× per run. The checkpointed frames are k-row and
     // OUTPUT-sized (near-pairs only, the k²-row matrix dies inside the
-    // join stage); their executor blocks live exactly as long as the
-    // returned frame references them (ContextCleaner frees on GC).
-    // The budget guard's count is free off the materialized frame.
+    // join stage). The budget guard's count is free off the
+    // materialized frame.
     val ser = seriesOf(t, window).localCheckpoint()
     requirePairBudget(ser.count(), maxPairs, "clusterDtwDistributed")
     val sids = ser.select("sid")
@@ -603,7 +645,11 @@ object Augurs {
     val deg = sids.as("s").join(edges, col("s.sid") === col("u"), "left_outer")
       .groupBy(col("s.sid").as("sid")).agg((count(col("v")) + lit(1)).as("nn"))
     val core = deg.where(col("nn") >= minPts).select(col("sid"))
-    val ranked = sids.withColumn("rid", row_number().over(w).cast("long"))
+    // two-phase lex rank: checkpoint phase 1 so offsets and the final
+    // join see ONE sampled bucket assignment (k-row blocks)
+    val rankedB = lexRankPhase1(sids, buckets = 32).localCheckpoint()
+    val ranked = rankedB.join(broadcast(lexRankOffsets(rankedB)), "b")
+      .select(col("sid"), (col("off") + col("rk")).as("rid"))
     val coreR = core.join(ranked, "sid")
     val ce = edges
       .join(coreR.select(col("sid").as("u"), col("rid").as("ru")), "u")
@@ -654,5 +700,75 @@ object Augurs {
     c.withColumn("__rk", row_number().over(wBest)).where(col("__rk") === 1)
       .select((t.keys.map(col) :+ col("lag").cast("long").as("best_lag") :+
         col("cr").as("best_corr")): _*)
+  }
+
+  /** Best-lag ACF over ONE time-ordered value array — the SINGLE
+    * definition of the rolling-seasons semantics (the etsCore
+    * discipline): [[seasonsRolling]]'s per-tick window form and the live
+    * ring state ([[graft.streaming.StateProcs.seasons]]) both call this,
+    * so that parity leg is double-exact by construction. For each lag in
+    * 2..maxLag with ≥ minPairs pairs, Pearson corr of (arr(i), arr(i-lag))
+    * rounded HALF_UP to 4dp after the +1e-9 nudge (the same tie-safe
+    * rounding [[seasonsAutocorr]] and its oracle use, so the rolling
+    * form's full-window emission matches the batch registry op at the
+    * 4dp contract); zero-variance lags are skipped (the batch form's
+    * c-IS-NOT-NULL discipline). Returns Some((bestLag, bestCorr)) — max
+    * corr, ties to the smallest lag — or None when no lag qualifies. */
+  private[graft] def acfBestLagCore(arr: Seq[Double], maxLag: Int,
+      minPairs: Int): Option[(Int, Double)] = {
+    var bestLag = -1
+    var bestCr = Double.NegativeInfinity
+    var lag = 2
+    while (lag <= maxLag) {
+      val n = arr.length - lag
+      if (n >= minPairs) {
+        var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+        var i = lag
+        while (i < arr.length) {
+          val x = arr(i); val y = arr(i - lag)
+          sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+          i += 1
+        }
+        val vx = sxx - sx * sx / n
+        val vy = syy - sy * sy / n
+        if (vx > 0.0 && vy > 0.0) {
+          val c = (sxy - sx * sy / n) / math.sqrt(vx * vy)
+          if (java.lang.Double.isFinite(c)) {
+            val cr = BigDecimal(c + 1e-9)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cr > bestCr) { bestCr = cr; bestLag = lag }
+          }
+        }
+      }
+      lag += 1
+    }
+    if (bestLag < 0) None else Some((bestLag, bestCr))
+  }
+
+  /** Per-tick sliding-window season detection — [[seasonsAutocorr]]'s
+    * rolling form (the forecastEtsRolling discipline, reference
+    * `augurs.rs:893`'s window re-evaluation): at each tick, best-lag ACF
+    * over the trailing `window` values; quiet until some lag has ≥
+    * minPairs pairs. The LAST emission per key with window ≥ the series
+    * length equals the batch op's row at the shared 4dp rounding
+    * contract. Scale shape: one per-key window (the shared
+    * (keys, ts, seq) sort), O(window · maxLag) work per row in a JIT'd
+    * core — bounded, shuffle-free beyond the one per-key sort. */
+  def seasonsRolling(t: Timeline, window: Int, maxLag: Int,
+      minPairs: Int = 10): DataFrame = {
+    require(window > maxLag, s"seasonsRolling: window ($window) must exceed maxLag ($maxLag)")
+    val bestU = udf { (arr: Seq[Double]) =>
+      acfBestLagCore(arr, maxLag, minPairs)
+    }
+    val frame = t.wRows(-(window - 1).toLong, 0)
+    t.ticks
+      .withColumn("__raw",
+        collect_list(struct(col("ts"), col("seq"), col(t.valueCol).as("v"))).over(frame))
+      .withColumn("__arr", expr("transform(array_sort(__raw), x -> x.v)"))
+      .withColumn("__st", bestU(col("__arr")))
+      .where(col("__st").isNotNull)
+      .select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+        col("__st._1").cast("long").as("best_lag") :+
+        col("__st._2").as("best_corr")): _*)
   }
 }

@@ -63,13 +63,15 @@ object Graph {
       t0 = System.nanoTime()
     }
     val Seq(srcCol, dstCol) = edges.columns.take(2).toSeq
-    // the distinct doubles as the partition-balancer: the checkpoint
-    // lands hash-partitioned at spark.sql.shuffle.partitions (A/B'd:
-    // skipping it leaves a 2x-partition union whose per-round task
-    // overhead costs more than the one dedup shuffle saves)
+    // the distinct doubles as the partition-balancer, and the repartition
+    // on `s` pins the checkpoint's partitioning to the per-round JOIN KEY:
+    // localCheckpoint preserves outputPartitioning, and the label frame is
+    // checkpointed off its own groupBy("id") hash exchange, so every
+    // round's labels⋈edges join is zero-exchange on the edge side — the
+    // (potentially huge) edge list shuffles ONCE here, not once per round
     val und = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("s")).localCheckpoint()
     lap("und checkpoint")
     // seeded init: label = min(id, neighbors) — the first propagation
     // round folded into the frame construction (one agg, no join)
@@ -84,26 +86,36 @@ object Graph {
     var prevSum = labelSum(labels)
     var it = 0
     var done = false // empty/converged inputs settle in one cheap round
-    while (!done && it < maxIter) {
-      // neighbor-min propagation + pointer jump in ONE join: the current
-      // labels ride along as extra directed edges component -> id, so the
-      // same equi-join that floods neighbor minima also delivers
-      // label(label(id)) to id (component values are always vertex ids,
-      // so the lookup always lands). The jump halves remaining chain
-      // depth per round — O(log diameter) rounds — at the cost of one
-      // union with an already-materialized LogicalRDD, not a second join.
-      val labelEdges = labels.select(col("component").as("s"), col("id").as("t"))
-      val prop = labels.join(und.unionByName(labelEdges), col("id") === col("s"))
+    // neighbor-min propagation + pointer jump in ONE join: the current
+    // labels ride along as extra directed edges component -> id, so the
+    // same equi-join that floods neighbor minima also delivers
+    // label(label(id)) to id (component values are always vertex ids,
+    // so the lookup always lands). The jump halves remaining chain
+    // depth per round — O(log diameter) rounds — at the cost of one
+    // union with an already-materialized LogicalRDD, not a second join.
+    def round(ls: DataFrame): DataFrame = {
+      val labelEdges = ls.select(col("component").as("s"), col("id").as("t"))
+      val prop = ls.join(und.unionByName(labelEdges), col("id") === col("s"))
         .select(col("t").as("id"), col("component"))
-      val next = labels.select("id", "component").unionByName(prop)
-        .groupBy("id").agg(min("component").as("component")).localCheckpoint()
+      ls.select("id", "component").unionByName(prop)
+        .groupBy("id").agg(min("component").as("component"))
+    }
+    while (!done && it < maxIter) {
+      // TWO rounds per materialization cycle: the checkpoint + convergence
+      // aggregate are the per-cycle fixed cost (a full Spark job each),
+      // and round() is a pure frame transform off a LogicalRDD leaf, so
+      // composing it keeps the plan O(1)-sized while halving the job
+      // count. Convergence is still exact — a converged label frame is a
+      // fixpoint of round(), so the extra composed round is a no-op, and
+      // labels only ever decrease, so equal sums mean equal frames.
+      val next = round(round(labels)).localCheckpoint()
       val nextSum = labelSum(next)
       freeCheckpoint(labels) // next is materialized; last round's blocks are dead
       labels = next
       done = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      it += 1
-      lap(s"round $it")
+      it += 2
+      lap(s"rounds ${it - 1}-$it")
     }
     freeCheckpoint(und)
     if (sys.env.contains("GRAFT_CC_ROUNDS"))

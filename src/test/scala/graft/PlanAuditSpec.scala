@@ -51,6 +51,40 @@ class PlanAuditSpec extends SparkSuite {
       s"CC labels must enter as the checkpointed label frame:\n$p")
     assert(p.contains("LeftAnti"),
       s"noise rows must come from an anti-join, not a driver loop:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"aug_cluster must not serialize through a single partition:\n$p")
+  }
+
+  test("aug_cluster lex rank: two-phase salted form, no single-partition sort/window") {
+    // r16 verdict item 3: the rank that maps sids onto CC's numeric
+    // labels must survive a maxPairs escape-hatch caller with huge k —
+    // phase 1 is a range-repartition + bucket-partitioned window, the
+    // offsets a broadcast bucket-count join; neither may plan an
+    // Exchange SinglePartition (the old Window.orderBy("sid") did).
+    import spark.implicits._
+    val sids = (1 to 500).map(i => f"s$i%04d").toDF("sid")
+    val lazy1 = graft.ops.Augurs.lexRankPhase1(sids, 32)
+    val p1 = lazy1.queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange SinglePartition"),
+      s"phase-1 rank must stay bucket-partitioned:\n$p1")
+    assert(p1.contains("Window") && p1.contains("rangepartitioning"),
+      s"phase 1 = range repartition + partitioned window:\n$p1")
+    // checkpoint before deriving offsets, as production does: the bucket
+    // id rides a SAMPLED range partitioning, so both consumers must see
+    // one pinned assignment
+    val phase1 = lazy1.localCheckpoint()
+    val offs = graft.ops.Augurs.lexRankOffsets(phase1)
+    val p2 = offs.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange SinglePartition") && !p2.contains("Window"),
+      s"offsets must be a broadcast bucket-count join, never a window:\n$p2")
+    // and the composition equals ONE global lex row_number exactly
+    val rid = phase1.join(org.apache.spark.sql.functions.broadcast(offs), "b")
+      .select(col("sid"),
+        (col("off") + col("rk")).as("rid"))
+      .orderBy("rid").as[(String, Long)].collect()
+    assert(rid.map(_._1).toSeq == (1 to 500).map(i => f"s$i%04d") &&
+      rid.map(_._2).toSeq == (1L to 500L),
+      "two-phase rank must equal the global lexicographic row_number")
   }
 
   test("filter pushdown reaches the parquet scan (q_filter_pushdown)") {
