@@ -257,6 +257,33 @@ object StateProcs {
       }
     }
 
+  final case class SeasS(buf: Vector[Double])
+
+  /** Live best-lag season detection (reference `augurs_seasons`,
+    * `augurs.rs:893`) — the §2.8 family's fourth streaming leg (r16
+    * verdict item 5). Per event: hold the trailing `window` values
+    * (O(window) ring state, the batch trim discipline) and emit
+    * (v1 = best_lag, v2 = best_corr) from the SAME
+    * [[graft.ops.Augurs.acfBestLagCore]] the per-tick window form runs —
+    * double-exact by sharing the one definition. O(window · maxLag) work
+    * per event, quiet until some lag has ≥ minPairs pairs. */
+  def seasons(window: Int, maxLag: Int, minPairs: Int = 10): BurstProc[SeasS] =
+    new BurstProc[SeasS] {
+      def init(): SeasS = SeasS(Vector.empty)
+      def onBurst(s: SeasS, key: String, ts: Long, evs: Seq[Ev]): (SeasS, Seq[Out]) = {
+        var buf = s.buf
+        val out = Seq.newBuilder[Out]
+        evs.foreach { ev =>
+          buf = buf :+ ev.value
+          if (buf.size > window) buf = buf.drop(buf.size - window)
+          graft.ops.Augurs.acfBestLagCore(buf, maxLag, minPairs).foreach {
+            case (lag, cr) => out += Out(key, ts, lag.toDouble, cr)
+          }
+        }
+        (SeasS(buf), out.result())
+      }
+    }
+
   /** Mean-shift changepoint z-score (reference `augurs_changepoint`,
     * `augurs.rs:760`) as a live per-key state machine — the §2.8 analytics
     * family's streaming leg. Per event: hold the trailing `2w` values

@@ -390,6 +390,48 @@ class ParitySpec extends SparkSuite {
       "rolling form's last emission must equal the batch registry op's 1-step forecast")
   }
 
+  test("seasons: batch == streaming == Augurs rolling form (augurs.rs:893)") {
+    // fourth §2.8 live leg (r16 verdict item 5): per-tick best-lag ACF
+    // over the trailing window, v1 = best_lag, v2 = best_corr (4dp).
+    // Fixture: key a = period-3 sawtooth + slope (16 values, a same-
+    // instant burst mid-series), key b = period-4 square wave + slope
+    // (12 values) — real seasonal signals, distinct best lags.
+    // key a: plain period-3 series; key b carries the same-instant burst
+    // mid-series (ts=42 twice, seq orders within the instant) — the last
+    // emission per key stays at a unique instant for the registry tie
+    val fe: Seq[Ev] =
+      (1 to 16).map(i => Ev("a", 10L * i, i.toLong, 0,
+        (i % 3) * 2.0 + 0.05 * i)) ++
+      (1 to 6).map(i => Ev("b", 7L * i, 100L + i, 0,
+        (if (i % 4 < 2) 1.0 else 6.0) + 0.03 * i)) ++
+      Seq(Ev("b", 42L, 190L, 0, (if (7 % 4 < 2) 1.0 else 6.0) + 0.03 * 7)) ++
+      (8 to 12).map(i => Ev("b", 7L * i, 100L + i, 0,
+        (if (i % 4 < 2) 1.0 else 6.0) + 0.03 * i))
+    val agreed = parity("seasons", fe, P.seasons(16, 5, 4))
+    val tlForm = Augurs.seasonsRolling(tl(fe), 16, 5, 4)
+      .select(col("key"), col("ts"), col("best_lag").cast("double"), col("best_corr"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    assert(agreed == tlForm,
+      "streaming ring state must replay the per-tick window form double-exactly")
+    assert(agreed.count(_._1 == "a") >= 8 && agreed.count(_._1 == "b") >= 5,
+      "both keys must emit (non-vacuous)")
+    // the signals must actually be detected: final best lag = the period
+    val lastPerKey = agreed.groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(lastPerKey("a")._3 == 3.0 && lastPerKey("b")._3 == 4.0,
+      s"planted periods must win: $lastPerKey")
+    assert(lastPerKey.values.forall(_._4 > 0.5), "best corr must be a real signal")
+    // the triangle ties to the REGISTRY op: window covers the whole
+    // series, so the last per-key emission equals seasonsAutocorr's row
+    // at the shared 4dp rounding contract (Spark corr aggregate vs the
+    // core's sum form agree after the +1e-9 nudge + HALF_UP round)
+    val batch = Augurs.seasonsAutocorr(tl(fe), 5, 4)
+      .select(col("key"), col("best_lag").cast("double"), col("best_corr"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(batch("a") == ((lastPerKey("a")._3, lastPerKey("a")._4)) &&
+      batch("b") == ((lastPerKey("b")._3, lastPerKey("b")._4)),
+      s"rolling form's last emission must equal the batch registry op: $batch vs $lastPerKey")
+  }
+
   test("sessionize: batch == streaming == Timeline window chain") {
     // gap 25 over the shared fixture: key a splits at the 41 -> 100 jump,
     // key b at 15 -> 70; same-instant bursts never split a session
