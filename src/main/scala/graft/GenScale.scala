@@ -62,6 +62,20 @@ object GenScale {
     require(docs.where(col("text").contains(TokenDelim)).isEmpty,
       s"scaleDocuments: source corpus contains the '$TokenDelim' delimiter — " +
         "the cross-replica disjointness proof needs a character absent from the vocabulary")
+    // a typo'd fixed-source name ("src_19") would silently no-op —
+    // replicating the eval split anyway while the run is LABELED
+    // production-shaped, exactly the super-linear artifact the flag
+    // exists to remove. Fail loudly on names absent from the corpus.
+    // (#sources-sized aggregate, one scan.)
+    if (fixedSources.nonEmpty) {
+      val present = docs.select("source").distinct().collect()
+        .map(_.getString(0)).toSet
+      val unknown = fixedSources -- present
+      require(unknown.isEmpty,
+        s"scaleDocuments: fixedSources ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"not in the corpus (sources present: ${present.toSeq.sorted.mkString(", ")}) — " +
+          "a typo here silently replicates the eval split and mislabels the run")
+    }
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
     (0 until factor).map { r =>
       if (r == 0) docs
@@ -84,7 +98,25 @@ object GenScale {
     x ^ (x >>> 31)
   }
 
-  def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame = {
+  /** `fixedLabels`: label classes held at replica-0 size (NOT replicated)
+    * — the embedding-side twin of [[scaleDocuments]]' `fixedSources` (r16
+    * verdict item 6): the emb_decontam family's eval split is `label = 9`,
+    * and replicating it with the corpus makes the decade read
+    * corpus × eval (both factors scaling) instead of the production
+    * shape (eval CONSTANT, corpus growing). Pass Set(9) for the
+    * production-shaped decade. Unknown labels fail loudly (the
+    * fixedSources typo discipline). */
+  def scaleEmbeddings(embs: DataFrame, factor: Int,
+      fixedLabels: Set[Int] = Set.empty): DataFrame = {
+    if (fixedLabels.nonEmpty) {
+      val present = embs.select("label").distinct().collect()
+        .map(_.getInt(0)).toSet
+      val unknown = fixedLabels -- present
+      require(unknown.isEmpty,
+        s"scaleEmbeddings: fixedLabels ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"not in the table (labels present: ${present.toSeq.sorted.mkString(", ")}) — " +
+          "a typo here silently replicates the eval split and mislabels the run")
+    }
     val maxId = embs.agg(max("vec_id")).head.getLong(0) + 1
     val dim = embs.select(coalesce(size(col("embedding")), lit(-1))).head.getInt(0)
     require(dim > 0, "scaleEmbeddings: first row's embedding is NULL or empty")
@@ -108,7 +140,9 @@ object GenScale {
       val emb: Column =
         if (signs.forall(_ == 1.0f)) rot
         else zip_with(rot, typedlit(signs.toSeq), (x, s) => x * s)
-      embs.select((col("vec_id") + lit(r * maxId)).as("vec_id"),
+      val src = if (r == 0 || fixedLabels.isEmpty) embs
+        else embs.where(!col("label").isin(fixedLabels.toSeq: _*))
+      src.select((col("vec_id") + lit(r * maxId)).as("vec_id"),
         emb.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
   }
@@ -148,9 +182,13 @@ object GenScale {
     // (production-shaped eval decade — see scaleDocuments' scaladoc)
     val fixedSources = if (args.length > 4 && args(4).nonEmpty)
       args(4).split(",").toSet else Set.empty[String]
+    // 6th arg (optional): comma-separated label ids held at replica-0
+    // size (production-shaped emb_decontam decade — scaleEmbeddings doc)
+    val fixedLabels = if (args.length > 5 && args(5).nonEmpty)
+      args(5).split(",").map(_.toInt).toSet else Set.empty[Int]
     scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor, fixedSources)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor)
+    scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor, fixedLabels)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // events factor is CAPPED separately (4th arg, default 0 = skip):
     // the DTW matrix is O(k²) pairs by design, so a 300× user fold is

@@ -59,6 +59,49 @@ class GenScaleSpec extends SparkSuite {
       "ids stay disjoint under partial replication")
   }
 
+  test("fixedSources/fixedLabels typos fail loudly instead of silently replicating the eval split") {
+    // r16 advisor: a typo'd name ("src_19") no-ops — the run replicates
+    // the eval split anyway while LABELED production-shaped, exactly the
+    // super-linear artifact the flag removes. Both generators validate.
+    val docs = Seq((0L, "corpus words", "en", "s0"),
+      (1L, "eval item", "en", "src19"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val e1 = intercept[IllegalArgumentException] {
+      GenScale.scaleDocuments(docs, 2, fixedSources = Set("src_19"))
+    }
+    assert(e1.getMessage.contains("src_19") && e1.getMessage.contains("src19"),
+      s"message must name the typo and the present sources: ${e1.getMessage}")
+    val embs = Seq((0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.0f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      GenScale.scaleEmbeddings(embs, 2, fixedLabels = Set(7))
+    }
+    assert(e2.getMessage.contains("7") && e2.getMessage.contains("9"),
+      s"message must name the typo'd label and the present ones: ${e2.getMessage}")
+  }
+
+  test("fixedLabels holds the emb eval split at replica-0 size while the corpus replicates") {
+    // embedding twin of the fixedSources contract (r16 verdict item 6):
+    // the emb_decontam family's eval split is label=9 — production-shaped
+    // decades grow the corpus only, eval rows pass through verbatim
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val scaled = GenScale.scaleEmbeddings(embs, 3, fixedLabels = Set(9))
+    val byLabel = scaled.groupBy("label").count().as[(Int, Long)].collect().toMap
+    assert(byLabel(1) == 3 && byLabel(2) == 3 && byLabel(9) == 1,
+      s"corpus labels replicate 3x, the fixed label stays 1x: $byLabel")
+    val evalVec = scaled.where(col("label") === 9)
+      .select("embedding").as[Seq[Float]].collect()
+    assert(evalVec.toSeq == Seq(Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      "the fixed label's replica-0 row passes through verbatim (identity isometry)")
+    assert(scaled.select("vec_id").distinct().count() == scaled.count(),
+      "ids stay disjoint under partial replication")
+  }
+
   test("suffix delimiter defeats vocabulary aliasing: a source token ending in 'q1' stays disjoint") {
     // the round-7 scheme suffixed bare "q1": source token "xq1" == replica-1
     // image of "x", so cross-replica Jaccard > 0. The delimiter ("_",
