@@ -27,6 +27,32 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** PARALLEL noise probe (round 17): the same xorshift loop on 32
+    * threads at once — wall = the slowest thread, so quiet ≈ the scalar
+    * probe's ~1 s and every missing core of host capacity stretches it
+    * proportionally. Exists because the scalar probe measures only
+    * single-thread grants and MISSES co-tenant PARALLEL pressure: the
+    * round-17 re-pin window read ctl 0.81 ("mildly noisy") while a
+    * 32-process calibration measured 22/32 effective cores and every
+    * 32-thread query ran ~1.4× — a record carrying only scalar ctl
+    * would have laundered that into per-query numbers exactly like
+    * BENCH_r08 did with scalar load. Quiet-box contract: ctlp/ctl ≈
+    * 1.0–1.3 (SMT + scheduler); ≥1.5 = the window is not pin-grade. */
+  private[graft] def controlProbeParallel(threads: Int = 32): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < CtlIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        if (x == 42L) System.err.print("")
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Per-query isolation sweep, shared with [[Verify]]: clear the
     * CacheManager AND unpersist every still-registered RDD.
     * `clearCache()` alone is not enough — `localCheckpoint` blocks
@@ -62,12 +88,14 @@ object Bench {
     * deliberately-broken query. */
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
-      passes: Int = 2): (Map[String, Double], Map[String, String], Seq[Double]) = {
+      passes: Int = 2): (Map[String, Double], Map[String, String], Seq[Double], Seq[Double]) = {
     var errors = Map.empty[String, String]
     controlProbe() // untimed: absorb the probe loop's own JIT compile
     val ctl = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ctlp = scala.collection.mutable.ArrayBuffer.empty[Double]
     val all = (1 to passes).map { _ =>
       ctl += controlProbe()
+      ctlp += controlProbeParallel()
       val pass = queries.map { case (name, fn) =>
         // per-query isolation: a persisted frame from one query must not
         // serve an identical subplan in another (Spark's cache matches on
@@ -83,10 +111,11 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
       ctl += controlProbe()
+      ctlp += controlProbeParallel()
       pass
     }
     val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
-    (results, errors, ctl.toSeq)
+    (results, errors, ctl.toSeq, ctlp.toSeq)
   }
 
   private def rd(v: Double, scale: Int): String = BigDecimal(v)
@@ -115,13 +144,14 @@ object Bench {
     * length for the full registry; queries past the budget live in
     * BENCH_LOCAL.json (see [[writeLocal]]), never on the line. */
   def formatLine(results: Map[String, Double], errors: Map[String, String],
-      ctl: Seq[Double], sfDir: String): String = {
+      ctl: Seq[Double], ctlp: Seq[Double], sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + qv(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val ctlJson = ctl.map(qv).mkString("[", ",", "]")
+    val ctlpJson = ctlp.map(qv).mkString("[", ",", "]")
     s"""{"metric":"total","value":${rd(total, 2)},"unit":"sec","ctl":$ctlJson,""" +
-      s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
+      s""""ctlp":$ctlpJson,"queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
   }
 
   /** Full-precision per-query record, written to `path` every run — the
@@ -130,16 +160,17 @@ object Bench {
     * exclusions), so adding a registry query never again costs stdout
     * budget arithmetic and local A/Bs get 1 ms resolution. */
   def writeLocal(path: String, results: Map[String, Double],
-      errors: Map[String, String], ctl: Seq[Double], sfDir: String,
-      passes: Int): Unit = {
+      errors: Map[String, String], ctl: Seq[Double], ctlp: Seq[Double],
+      sfDir: String, passes: Int): Unit = {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + rd(v, 3) }
       .mkString("{", ",", "}")
     val ctlJson = ctl.map(rd(_, 3)).mkString("[", ",", "]")
+    val ctlpJson = ctlp.map(rd(_, 3)).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":${rd(total, 3)},"unit":"sec","passes":$passes,""" +
-        s""""ctl":$ctlJson,"queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
+        s""""ctl":$ctlJson,"ctlp":$ctlpJson,"queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
   }
 
@@ -194,16 +225,16 @@ object Bench {
     val names = fileQueryNames(only)
     val qs = SparkEntry.queries.filter { case (n, _) => names(n) }
     val passes = 2
-    val (results, errors, ctl) = run(spark, sfDir, qs, passes)
+    val (results, errors, ctl, ctlp) = run(spark, sfDir, qs, passes)
     writeLocal(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"),
-      results, errors, ctl, sfDir, passes)
+      results, errors, ctl, ctlp, sfDir, passes)
     // the stdout line carries the headline set only (registry minus the
     // documented nonBenchQueries line-budget exclusions); a restricted
     // SPARK_GRAFT_ONLY run prints exactly what it timed
     val lineResults = if (only.isEmpty)
       results.filter { case (n, _) => !SparkEntry.nonBenchQueries(n) }
     else results
-    println(formatLine(lineResults, errors, ctl, sfDir))
+    println(formatLine(lineResults, errors, ctl, ctlp, sfDir))
     errors.foreach { case (q, e) => System.err.println(s"[bench] FAILED $q: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -490,6 +490,40 @@ object QueriesAugurs {
              |        ORDER BY eg.v LIMIT 1), '-1') END AS cluster
              |FROM s LEFT JOIN lbl ON lbl.sid = s.sid ORDER BY 1""".stripMargin)),
 
+    // Per-tick rolling season detection (reference `augurs.rs:893`'s
+    // window re-evaluation; r16 verdict item 5's registry tie): best-lag
+    // ACF over the trailing 24 values, lags 2..6, >= 8 pairs. The oracle
+    // materializes each (tick, lag) window's pair set explicitly — pair
+    // (i, i-lag) serves tick t iff i <= t AND i-lag >= t-23 — then rides
+    // the same corr + shared 4dp rounding + (cr DESC, lag) tie-break as
+    // aug_seasons. Spark side runs the acfBestLagCore JIT'd loop per
+    // tick; the streaming twin (StateProcs.seasons) replays it
+    // double-exactly (ParitySpec triangle).
+    "aug_seasons_roll" -> Q(
+      (s, d) => {
+        val t = Tables.events(s, d)
+        Augurs.seasonsRolling(t, window = 24, maxLag = 6, minPairs = 8)
+          .orderBy("user_id", "ts", "seq")
+      },
+      Some(s"""WITH e AS (SELECT user_id, ts, seq, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, seq) AS rn
+             |  FROM ($E)),
+             |p AS (SELECT a.user_id, a.rn AS i, l.lag, a.value AS x, b.value AS y
+             |  FROM e a, (SELECT unnest(range(2, 7)) AS lag) l
+             |  JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn - l.lag),
+             |w AS (SELECT t.user_id, t.rn AS tr, t.ts, t.seq, p.lag, p.x, p.y
+             |  FROM e t JOIN p ON p.user_id = t.user_id
+             |    AND p.i <= t.rn AND p.i - p.lag >= t.rn - 23),
+             |c AS (SELECT user_id, tr, ts, seq, lag,
+             |    round(1e-9 + corr(x, y), 4) AS cr, count(*) AS n
+             |  FROM w GROUP BY 1, 2, 3, 4, 5),
+             |r AS (SELECT user_id, tr, ts, seq, lag, cr, row_number() OVER (
+             |    PARTITION BY user_id, tr ORDER BY cr DESC, lag) AS rk
+             |  FROM c WHERE n >= 8 AND cr IS NOT NULL AND isfinite(cr))
+             |SELECT user_id, ts, seq, CAST(lag AS BIGINT) AS best_lag,
+             |  cr AS best_corr
+             |FROM r WHERE rk = 1 ORDER BY 1, 2, 3""".stripMargin)),
+
     "aug_seasons" -> Q(
       (s, d) => Augurs.seasonsAutocorr(Tables.events(s, d), 12)
         .orderBy("user_id"),

@@ -112,7 +112,19 @@ object SparkEntry {
       // (plan unchanged since round 2; its oracle stays) rotated out
       // for aug_ets_roll (the per-tick sliding-refit ETS joining the
       // line — the forecast family's closest-to-reference form)
-      "evt_accumulate")
+      "evt_accumulate",
+      // round 17: a sub-0.6 s stable token-count projection (plan
+      // unchanged since round 6; its oracle stays; doc_quality /
+      // doc_gopher / doc_lang_guess keep the text family on the line)
+      // rotated out for aug_seasons_roll (the per-tick rolling ACF
+      // joining the line)
+      "doc_token_stats",
+      // round 17 second batch: a sub-0.55 s stable greedy-packing scan
+      // (plan unchanged since round 14; its oracle stays;
+      // doc_pack_efficiency keeps the packing family on the line)
+      // rotated out to pay for the ctlp noise-probe array joining the
+      // stdout line
+      "doc_pack_sequences")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

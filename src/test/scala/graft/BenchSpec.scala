@@ -12,8 +12,8 @@ class BenchSpec extends SparkSuite {
 
   private def lineFor(qs: Map[String, (SparkSession, String) => DataFrame])
       : (String, Map[String, String], Seq[Double]) = {
-    val (results, errors, ctl) = Bench.run(spark, "/root/testdata/sf0.001", qs)
-    (Bench.formatLine(results, errors, ctl, "/root/testdata/sf0.001"), errors, ctl)
+    val (results, errors, ctl, ctlp) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    (Bench.formatLine(results, errors, ctl, ctlp, "/root/testdata/sf0.001"), errors, ctl)
   }
 
   test("a deliberately-broken query fails the bench loudly, not as a ~0s time") {
@@ -34,6 +34,9 @@ class BenchSpec extends SparkSuite {
       s"ctl readings are a real ~1s fixed-cost measurement: $ctl")
     assert(line.matches(""".*"ctl":\[[0-9.,]+\],.*"""),
       s"ctl array emitted in the line: $line")
+    assert(line.matches(""".*"ctlp":\[[0-9.,]+\],.*"""),
+      s"parallel ctl array emitted in the line (round 17 — scalar ctl " +
+        s"misses co-tenant parallel pressure): $line")
   }
 
   test("the JSON line fits the driver's 2000-char stdout tail") {
@@ -78,9 +81,9 @@ class BenchSpec extends SparkSuite {
     val qs = Map[String, (SparkSession, String) => DataFrame](
       "fast" -> ((s, _) => s.range(3).toDF()),
       "broken" -> ((s, _) => s.range(1).select(raise_error(lit("deliberate")))))
-    val (results, errors, ctl) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    val (results, errors, ctl, ctlp) = Bench.run(spark, "/root/testdata/sf0.001", qs)
     val path = java.nio.file.Files.createTempFile("bench_local", ".json")
-    Bench.writeLocal(path.toString, results, errors, ctl,
+    Bench.writeLocal(path.toString, results, errors, ctl, ctlp,
       "/root/testdata/sf0.001", passes = 2)
     val json = java.nio.file.Files.readString(path)
     for (k <- qs.keys)
