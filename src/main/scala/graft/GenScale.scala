@@ -179,13 +179,22 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // 5th arg (optional): comma-separated sources held at replica-0 size
-    // (production-shaped eval decade — see scaleDocuments' scaladoc)
-    val fixedSources = if (args.length > 4 && args(4).nonEmpty)
-      args(4).split(",").toSet else Set.empty[String]
+    // (production-shaped eval decade — see scaleDocuments' scaladoc).
+    // Named form also accepted anywhere past arg 3 ("sources=src19",
+    // "labels=9") — sbt's runMain collapses whitespace, so an empty
+    // positional slot cannot be expressed to skip ahead to arg 6.
+    val named = args.drop(3).filter(_.contains("="))
+      .map { a => val Array(k, v) = a.split("=", 2); k -> v }.toMap
+    val fixedSources = named.get("sources")
+      .orElse(if (args.length > 4 && args(4).nonEmpty && !args(4).contains("="))
+        Some(args(4)) else None)
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     // 6th arg (optional): comma-separated label ids held at replica-0
     // size (production-shaped emb_decontam decade — scaleEmbeddings doc)
-    val fixedLabels = if (args.length > 5 && args(5).nonEmpty)
-      args(5).split(",").map(_.toInt).toSet else Set.empty[Int]
+    val fixedLabels = named.get("labels")
+      .orElse(if (args.length > 5 && args(5).nonEmpty && !args(5).contains("="))
+        Some(args(5)) else None)
+      .map(_.split(",").map(_.toInt).toSet).getOrElse(Set.empty[Int])
     scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor, fixedSources)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor, fixedLabels)
@@ -193,8 +202,10 @@ object GenScale {
     // events factor is CAPPED separately (4th arg, default 0 = skip):
     // the DTW matrix is O(k²) pairs by design, so a 300× user fold is
     // 90,000× the pair volume — decade rows for aug_* use small factors
-    if (args.length > 3 && args(3).toInt > 0)
-      scaleEvents(spark.read.parquet(s"$src/events.parquet"), args(3).toInt)
+    val eventsFactor = named.get("events").flatMap(_.toIntOption)
+      .orElse(if (args.length > 3) args(3).toIntOption else None).getOrElse(0)
+    if (eventsFactor > 0)
+      scaleEvents(spark.read.parquet(s"$src/events.parquet"), eventsFactor)
         .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$out/region.parquet")

@@ -81,9 +81,10 @@ object Profile {
         .asScala.map(_.getCollectionTime).sum
     }
     names.foreach { q =>
-      // same per-query cache isolation as Bench: a persisted frame from a
-      // previous query must not serve an identical subplan here
-      spark.catalog.clearCache()
+      // same per-query isolation as Bench: cached frames AND leaked
+      // localCheckpoint blocks from a previous query must not stay
+      // resident (round-17 drift root-cause — see Bench.isolate)
+      Bench.isolate(spark)
       val g0 = gcMs
       val t0 = System.nanoTime()
       val df = reg(q).fn(spark, sfDir)

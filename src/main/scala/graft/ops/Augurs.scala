@@ -655,7 +655,9 @@ object Augurs {
       .join(coreR.select(col("sid").as("u"), col("rid").as("ru")), "u")
       .join(coreR.select(col("sid").as("v"), col("rid").as("rv")), "v")
       .select("ru", "rv")
-    val comps = graft.ops.Graph.connectedComponents(ce)
+    // `edges` carries both directions by construction, so ce is already
+    // symmetric — CC skips its symmetrization shuffle
+    val comps = graft.ops.Graph.connectedComponents(ce, symmetric = true)
     val coreRoots = coreR.join(comps, coreR("rid") === comps("id"), "left_outer")
       .select(col("sid"), coalesce(col("component"), col("rid")).as("rootRid"))
     val coreOut = coreRoots

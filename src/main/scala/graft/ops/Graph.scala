@@ -55,7 +55,14 @@ object Graph {
     * this repeatedly would otherwise accumulate executor storage). Only
     * the RETURNED label frame stays cached; callers that are done with it
     * can free it with [[freeCheckpoint]]. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** `symmetric = true` promises `edges` already contains both directions
+    * of every edge (the aug_cluster path builds them that way): the
+    * union+distinct symmetrization pass is skipped — one less shuffle over
+    * the (potentially huge) edge frame. Correctness is unaffected either
+    * way; duplicates are harmless to min-propagation (the seeded init and
+    * every round take minima), so only the balance/cost changes. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      symmetric: Boolean = false): DataFrame = {
     val dbg = sys.env.contains("GRAFT_CC_ROUNDS")
     var t0 = System.nanoTime()
     def lap(what: String): Unit = if (dbg) {
@@ -69,9 +76,12 @@ object Graph {
     // checkpointed off its own groupBy("id") hash exchange, so every
     // round's labels⋈edges join is zero-exchange on the edge side — the
     // (potentially huge) edge list shuffles ONCE here, not once per round
-    val und = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
-      .distinct().repartition(col("s")).localCheckpoint()
+    val sym =
+      if (symmetric) edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+      else edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+        .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
+        .distinct()
+    val und = sym.repartition(col("s")).localCheckpoint()
     lap("und checkpoint")
     // seeded init: label = min(id, neighbors) — the first propagation
     // round folded into the frame construction (one agg, no join)
