@@ -53,6 +53,48 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed 64 MiB random file for the disk probe, written + fsynced once
+    * per JVM. */
+  private lazy val ctldFile: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("graft_ctld", ".bin")
+    val buf = new Array[Byte](1 << 20)
+    new java.util.Random(42).nextBytes(buf)
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.WRITE)
+    var i = 0
+    while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+    ch.force(true); ch.close()
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** DISK noise probe (round 17): O_DIRECT read of the fixed 64 MiB file
+    * — page-cache-proof, so it measures the DEVICE read path the shuffle
+    * spill/fetch and parquet scans ride. Exists because CPU probes
+    * missed a real failure mode: a round-17 measurement window read ctl
+    * 0.8/ctlp ~1.3 ("mild CPU noise") while `dd iflag=direct` measured
+    * the device at 24 MB/s (quiet: several hundred MB/s+) and the
+    * registry's one shuffle-heavy query (aug_dtw's 20 GB sort at
+    * events×8) ran 10× its pin with every CPU-bound neighbor unmoved.
+    * Quiet contract: ≤ ~0.6 s; multi-second readings attribute
+    * shuffle-heavy inflation to the device, not the code. Returns -1 if
+    * the filesystem refuses O_DIRECT (sentinel, recorded as-is). */
+  private[graft] def controlProbeDisk(): Double = {
+    val t0 = System.nanoTime()
+    try {
+      val ch = java.nio.channels.FileChannel.open(ctldFile,
+        java.nio.file.StandardOpenOption.READ,
+        com.sun.nio.file.ExtendedOpenOption.DIRECT)
+      try {
+        val bb = java.nio.ByteBuffer.allocateDirect((1 << 20) + 4096)
+          .alignedSlice(4096)
+        var n = 1
+        while (n > 0) { bb.clear(); n = ch.read(bb) }
+      } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+  }
+
   /** Per-query isolation sweep, shared with [[Verify]]: clear the
     * CacheManager AND unpersist every still-registered RDD.
     * `clearCache()` alone is not enough — `localCheckpoint` blocks
@@ -69,8 +111,13 @@ object Bench {
     * frame was fully consumed by its sink). */
   private[graft] def isolate(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    val rdds = spark.sparkContext.getPersistentRDDs.values
+    // GRAFT_ISOLATE_DEBUG quantifies the leak rate in-band: each line is
+    // the block count the PREVIOUS query left resident (what would have
+    // accumulated across the whole pass before round 17)
+    if (sys.env.contains("GRAFT_ISOLATE_DEBUG") && rdds.nonEmpty)
+      System.err.println(s"[isolate] sweeping ${rdds.size} resident RDDs")
+    rdds.foreach(_.unpersist(blocking = false))
   }
 
   /** `passes` timed passes over `queries` (noop-sink, cache-isolated),
@@ -86,13 +133,21 @@ object Bench {
     * ctl probe readings — start and end of each pass, 2×passes entries).
     * Factored out of main so a spec can drive it with a
     * deliberately-broken query. */
+  /** The three in-band noise certificates: scalar CPU (per pass
+    * boundary), 32-thread CPU (same points), and device-read (start +
+    * end of the whole run — it is the slowest probe on a sick box and
+    * two readings bound the window). */
+  final case class Probes(ctl: Seq[Double], ctlp: Seq[Double], ctld: Seq[Double])
+
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
-      passes: Int = 2): (Map[String, Double], Map[String, String], Seq[Double], Seq[Double]) = {
+      passes: Int = 2): (Map[String, Double], Map[String, String], Probes) = {
     var errors = Map.empty[String, String]
     controlProbe() // untimed: absorb the probe loop's own JIT compile
     val ctl = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ctlp = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ctld = scala.collection.mutable.ArrayBuffer.empty[Double]
+    ctld += controlProbeDisk()
     val all = (1 to passes).map { _ =>
       ctl += controlProbe()
       ctlp += controlProbeParallel()
@@ -114,8 +169,9 @@ object Bench {
       ctlp += controlProbeParallel()
       pass
     }
+    ctld += controlProbeDisk()
     val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
-    (results, errors, ctl.toSeq, ctlp.toSeq)
+    (results, errors, Probes(ctl.toSeq, ctlp.toSeq, ctld.toSeq))
   }
 
   private def rd(v: Double, scale: Int): String = BigDecimal(v)
@@ -144,14 +200,15 @@ object Bench {
     * length for the full registry; queries past the budget live in
     * BENCH_LOCAL.json (see [[writeLocal]]), never on the line. */
   def formatLine(results: Map[String, Double], errors: Map[String, String],
-      ctl: Seq[Double], ctlp: Seq[Double], sfDir: String): String = {
+      probes: Probes, sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + qv(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val ctlJson = ctl.map(qv).mkString("[", ",", "]")
-    val ctlpJson = ctlp.map(qv).mkString("[", ",", "]")
+    val ctlJson = probes.ctl.map(qv).mkString("[", ",", "]")
+    val ctlpJson = probes.ctlp.map(qv).mkString("[", ",", "]")
+    val ctldJson = probes.ctld.map(qv).mkString("[", ",", "]")
     s"""{"metric":"total","value":${rd(total, 2)},"unit":"sec","ctl":$ctlJson,""" +
-      s""""ctlp":$ctlpJson,"queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
+      s""""ctlp":$ctlpJson,"ctld":$ctldJson,"queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
   }
 
   /** Full-precision per-query record, written to `path` every run — the
@@ -160,17 +217,19 @@ object Bench {
     * exclusions), so adding a registry query never again costs stdout
     * budget arithmetic and local A/Bs get 1 ms resolution. */
   def writeLocal(path: String, results: Map[String, Double],
-      errors: Map[String, String], ctl: Seq[Double], ctlp: Seq[Double],
+      errors: Map[String, String], probes: Probes,
       sfDir: String, passes: Int): Unit = {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + rd(v, 3) }
       .mkString("{", ",", "}")
-    val ctlJson = ctl.map(rd(_, 3)).mkString("[", ",", "]")
-    val ctlpJson = ctlp.map(rd(_, 3)).mkString("[", ",", "]")
+    val ctlJson = probes.ctl.map(rd(_, 3)).mkString("[", ",", "]")
+    val ctlpJson = probes.ctlp.map(rd(_, 3)).mkString("[", ",", "]")
+    val ctldJson = probes.ctld.map(rd(_, 3)).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":${rd(total, 3)},"unit":"sec","passes":$passes,""" +
-        s""""ctl":$ctlJson,"ctlp":$ctlpJson,"queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
+        s""""ctl":$ctlJson,"ctlp":$ctlpJson,"ctld":$ctldJson,""" +
+        s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
   }
 
@@ -225,16 +284,16 @@ object Bench {
     val names = fileQueryNames(only)
     val qs = SparkEntry.queries.filter { case (n, _) => names(n) }
     val passes = 2
-    val (results, errors, ctl, ctlp) = run(spark, sfDir, qs, passes)
+    val (results, errors, probes) = run(spark, sfDir, qs, passes)
     writeLocal(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"),
-      results, errors, ctl, ctlp, sfDir, passes)
+      results, errors, probes, sfDir, passes)
     // the stdout line carries the headline set only (registry minus the
     // documented nonBenchQueries line-budget exclusions); a restricted
     // SPARK_GRAFT_ONLY run prints exactly what it timed
     val lineResults = if (only.isEmpty)
       results.filter { case (n, _) => !SparkEntry.nonBenchQueries(n) }
     else results
-    println(formatLine(lineResults, errors, ctl, ctlp, sfDir))
+    println(formatLine(lineResults, errors, probes, sfDir))
     errors.foreach { case (q, e) => System.err.println(s"[bench] FAILED $q: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

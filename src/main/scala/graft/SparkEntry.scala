@@ -124,7 +124,13 @@ object SparkEntry {
       // doc_pack_efficiency keeps the packing family on the line)
       // rotated out to pay for the ctlp noise-probe array joining the
       // stdout line
-      "doc_pack_sequences")
+      "doc_pack_sequences",
+      // round 17 third batch: a sub-0.65 s stable two-stream zip-latest
+      // merge (plan unchanged since round 3; parity + oracle stay;
+      // evt_join_latest/evt_join_passive/evt_join3 keep the
+      // multi-stream family on the line) rotated out for the ctld disk
+      // probe's line budget
+      "evt_merge")
 
   /** The bench line's query set: the registry minus [[nonBenchQueries]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -12,8 +12,8 @@ class BenchSpec extends SparkSuite {
 
   private def lineFor(qs: Map[String, (SparkSession, String) => DataFrame])
       : (String, Map[String, String], Seq[Double]) = {
-    val (results, errors, ctl, ctlp) = Bench.run(spark, "/root/testdata/sf0.001", qs)
-    (Bench.formatLine(results, errors, ctl, ctlp, "/root/testdata/sf0.001"), errors, ctl)
+    val (results, errors, probes) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    (Bench.formatLine(results, errors, probes, "/root/testdata/sf0.001"), errors, probes.ctl)
   }
 
   test("a deliberately-broken query fails the bench loudly, not as a ~0s time") {
@@ -37,6 +37,9 @@ class BenchSpec extends SparkSuite {
     assert(line.matches(""".*"ctlp":\[[0-9.,]+\],.*"""),
       s"parallel ctl array emitted in the line (round 17 — scalar ctl " +
         s"misses co-tenant parallel pressure): $line")
+    assert(line.matches(""".*"ctld":\[[0-9.,-]+\],.*"""),
+      s"disk probe array emitted in the line (round 17 — CPU probes " +
+        s"miss device-read throttling; -1 = O_DIRECT unsupported): $line")
   }
 
   test("the JSON line fits the driver's 2000-char stdout tail") {
@@ -81,9 +84,9 @@ class BenchSpec extends SparkSuite {
     val qs = Map[String, (SparkSession, String) => DataFrame](
       "fast" -> ((s, _) => s.range(3).toDF()),
       "broken" -> ((s, _) => s.range(1).select(raise_error(lit("deliberate")))))
-    val (results, errors, ctl, ctlp) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    val (results, errors, probes) = Bench.run(spark, "/root/testdata/sf0.001", qs)
     val path = java.nio.file.Files.createTempFile("bench_local", ".json")
-    Bench.writeLocal(path.toString, results, errors, ctl, ctlp,
+    Bench.writeLocal(path.toString, results, errors, probes,
       "/root/testdata/sf0.001", passes = 2)
     val json = java.nio.file.Files.readString(path)
     for (k <- qs.keys)
