@@ -120,6 +120,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(range == 1, s"only the output orderBy may range-partition, got $range")
   }
 
+  test("aug_seasons_roll: per-tick ACF rides ONE user_id exchange") {
+    // the rolling best-lag window collects trailing-24 arrays per tick
+    // and runs the JIT'd acfBestLagCore as a projection — the only keyed
+    // exchange is the shared (user_id) window partitioning, plus the
+    // output orderBy's range exchange (the aug_ets_roll contract)
+    val p = plan("aug_seasons_roll")
+    val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hash == 1, s"expected 1 user_id exchange, got $hash:\n$p")
+    val range = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(range == 1, s"only the output orderBy may range-partition, got $range")
+  }
+
   test("chained scan ops share ONE shuffle+sort per key set (evt_rolling5)") {
     // 7 rolling window stats over the same (user_id) keys: the window
     // chain plans exactly one hashpartitioning exchange for user_id
