@@ -54,9 +54,21 @@ object Bench {
   }
 
   /** Fixed 64 MiB random file for the disk probe, written + fsynced once
-    * per JVM. */
+    * per JVM. Lives on the SPILL device (first SPARK_LOCAL_DIRS entry,
+    * falling back to java.io.tmpdir — which is also Spark's local-dir
+    * default in this container), because the certificate is about the
+    * device backing shuffle spill/fetch; a probe file on a different
+    * device (e.g. tmpfs /tmp while spills go to disk) would certify the
+    * wrong path. The device the certificate covers is exactly
+    * whatever backs this directory — documented in BASELINE.md's probe
+    * block. */
   private lazy val ctldFile: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempFile("graft_ctld", ".bin")
+    val dir = sys.env.get("SPARK_LOCAL_DIRS")
+      .map(_.split(",").head.trim).filter(_.nonEmpty)
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isDirectory(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    val p = java.nio.file.Files.createTempFile(dir, "graft_ctld", ".bin")
     val buf = new Array[Byte](1 << 20)
     new java.util.Random(42).nextBytes(buf)
     val ch = java.nio.channels.FileChannel.open(p,
@@ -78,11 +90,19 @@ object Bench {
     * events×8) ran 10× its pin with every CPU-bound neighbor unmoved.
     * Quiet contract: ≤ ~0.6 s; multi-second readings attribute
     * shuffle-heavy inflation to the device, not the code. Returns -1 if
-    * the filesystem refuses O_DIRECT (sentinel, recorded as-is). */
+    * the filesystem refuses O_DIRECT (sentinel, recorded as-is).
+    *
+    * The lazy file is forced BEFORE the timer starts: the first call
+    * would otherwise time createTempFile + a 64 MiB write + fsync inside
+    * the probe region and falsely certify a quiet window as disk-noisy —
+    * the exact misattribution the probe exists to prevent. [[run]] also
+    * makes one untimed warm call (mirrors the scalar probe's JIT-absorb)
+    * so the timed readings measure only the O_DIRECT read path. */
   private[graft] def controlProbeDisk(): Double = {
+    val f = ctldFile // force creation+fsync OUTSIDE the timed region
     val t0 = System.nanoTime()
     try {
-      val ch = java.nio.channels.FileChannel.open(ctldFile,
+      val ch = java.nio.channels.FileChannel.open(f,
         java.nio.file.StandardOpenOption.READ,
         com.sun.nio.file.ExtendedOpenOption.DIRECT)
       try {
@@ -117,7 +137,11 @@ object Bench {
     // accumulated across the whole pass before round 17)
     if (sys.env.contains("GRAFT_ISOLATE_DEBUG") && rdds.nonEmpty)
       System.err.println(s"[isolate] sweeping ${rdds.size} resident RDDs")
-    rdds.foreach(_.unpersist(blocking = false))
+    // blocking: an async sweep can overlap the NEXT query's timed region,
+    // so the isolation this sweep establishes would not hold at t0; the
+    // swept blocks are k-row/output-sized, so the synchronous wait is
+    // negligible next to any timed query
+    rdds.foreach(_.unpersist(blocking = true))
   }
 
   /** `passes` timed passes over `queries` (noop-sink, cache-isolated),
@@ -134,23 +158,51 @@ object Bench {
     * Factored out of main so a spec can drive it with a
     * deliberately-broken query. */
   /** The three in-band noise certificates: scalar CPU (per pass
-    * boundary), 32-thread CPU (same points), and device-read (start +
-    * end of the whole run — it is the slowest probe on a sick box and
-    * two readings bound the window). */
+    * boundary), 32-thread CPU (same points), and device-read (every pass
+    * boundary: before each pass + after the last, passes+1 entries — a
+    * mid-run device throttle that hits only pass 2 is visible as a
+    * boundary step, where the round-17 start/end-only sampling was blind
+    * to anything that recovered before the final reading). */
   final case class Probes(ctl: Seq[Double], ctlp: Seq[Double], ctld: Seq[Double])
+
+  /** Quiet-window contracts, the pin-grade thresholds (round 18 — the
+    * r17 pin embedded a ~1.5× box premium that silently became the 2×
+    * gate's denominator; VERDICT r17 #2). Bands are empirical from the
+    * r15/r16 pin windows plus the probe scaladocs above: quiet ctl read
+    * 0.61–0.79 across six pin-grade runs (so >0.80 = premium), the
+    * parallel probe's own doc marks ctlp/ctl ≥ 1.5 as not pin-grade, and
+    * the disk probe's quiet contract is ≤ ~0.6 s. A pin whose
+    * certificates breach ANY of these renders a DEGRADED-WINDOW banner
+    * in BASELINE.md (see [[PinRecord]]) — it can still be committed (an
+    * honest degraded pin beats no pin) but can never silently pose as a
+    * quiet denominator again. */
+  private[graft] val CtlQuietMax = 0.80
+  private[graft] val CtlpRatioQuietMax = 1.5
+  private[graft] val CtldQuietMax = 0.6
+
+  /** True when any probe reading breaches its quiet contract. -1 ctld
+    * sentinels (O_DIRECT unsupported) are skipped: an absent certificate
+    * is not evidence of noise. Pre-r17 records lacking ctlp/ctld are
+    * judged on what they carry. */
+  private[graft] def degradedWindow(ctl: Seq[Double], ctlp: Seq[Double],
+      ctld: Seq[Double]): Boolean =
+    ctl.exists(_ > CtlQuietMax) ||
+      ctl.zip(ctlp).exists { case (c, p) => c > 0 && p / c > CtlpRatioQuietMax } ||
+      ctld.exists(d => d >= 0 && d > CtldQuietMax)
 
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       passes: Int = 2): (Map[String, Double], Map[String, String], Probes) = {
     var errors = Map.empty[String, String]
     controlProbe() // untimed: absorb the probe loop's own JIT compile
+    controlProbeDisk() // untimed: file creation + fsync + read-loop JIT
     val ctl = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ctlp = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ctld = scala.collection.mutable.ArrayBuffer.empty[Double]
-    ctld += controlProbeDisk()
     val all = (1 to passes).map { _ =>
       ctl += controlProbe()
       ctlp += controlProbeParallel()
+      ctld += controlProbeDisk()
       val pass = queries.map { case (name, fn) =>
         // per-query isolation: a persisted frame from one query must not
         // serve an identical subplan in another (Spark's cache matches on

@@ -202,7 +202,12 @@ object GenScale {
     // events factor is CAPPED separately (4th arg, default 0 = skip):
     // the DTW matrix is O(k²) pairs by design, so a 300× user fold is
     // 90,000× the pair volume — decade rows for aug_* use small factors
-    val eventsFactor = named.get("events").flatMap(_.toIntOption)
+    // named form parses with .toInt — a typo'd "events=8x" must abort
+    // loudly (same fail-fast discipline as fixedSources/fixedLabels), not
+    // silently skip event scaling; the POSITIONAL slot keeps toIntOption
+    // because non-numeric args(3) legitimately means "a named/sources arg
+    // occupies this slot", not a typo
+    val eventsFactor = named.get("events").map(_.toInt)
       .orElse(if (args.length > 3) args(3).toIntOption else None).getOrElse(0)
     if (eventsFactor > 0)
       scaleEvents(spark.read.parquet(s"$src/events.parquet"), eventsFactor)

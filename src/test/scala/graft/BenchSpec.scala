@@ -187,6 +187,37 @@ class BenchSpec extends SparkSuite {
         "or a stale pin after a registry change (record a full run + PinRecord)")
   }
 
+  test("a degraded-window pin renders its own DEGRADED banner; a quiet pin does not") {
+    // round-18 (r17 verdict #2/#3): the r17 pin carried a ~1.5× box
+    // premium documented only in prose commentary — while it stood as the
+    // 2× gate's denominator, a real 1.5× code regression would have read
+    // as "1.0× of pin". The banner is a pure function of the JSON's own
+    // probe certificates, so a premium-carrying pin can never pose as a
+    // quiet denominator; the render-match gate above makes it land in
+    // BASELINE.md mechanically.
+    def pinJson(ctl: String, ctlp: String, ctld: String) =
+      s"""{"metric":"total","value":1.0,"unit":"sec","passes":2,""" +
+        s""""ctl":$ctl,"ctlp":$ctlp,"ctld":$ctld,""" +
+        s""""queries":{"a":1.0},"sf":"sf0.1"}"""
+    val quiet = pinJson("[0.70,0.72,0.71,0.74]", "[0.90,0.95,0.92,0.96]", "[0.30,0.20,0.25]")
+    assert(!PinRecord.renderFromJson(quiet).contains("DEGRADED"),
+      "quiet certificates must not render the banner")
+    assert(PinRecord.renderFromJson(
+      pinJson("[0.70,0.95,0.71,0.74]", "[0.90,0.95,0.92,0.96]", "[0.30,0.20,0.25]"))
+      .contains("DEGRADED-WINDOW PIN"), "scalar-CPU breach flags")
+    assert(PinRecord.renderFromJson(
+      pinJson("[0.70,0.72,0.71,0.74]", "[0.90,1.30,0.92,0.96]", "[0.30,0.20,0.25]"))
+      .contains("DEGRADED-WINDOW PIN"), "ctlp/ctl ratio breach flags")
+    assert(PinRecord.renderFromJson(
+      pinJson("[0.70,0.72,0.71,0.74]", "[0.90,0.95,0.92,0.96]", "[0.30,2.50,0.25]"))
+      .contains("DEGRADED-WINDOW PIN"),
+      "a MID-RUN device throttle flags (per-pass ctld samples exist for this)")
+    assert(!PinRecord.renderFromJson(
+      pinJson("[0.70,0.72,0.71,0.74]", "[0.90,0.95,0.92,0.96]", "[-1,-1,-1]"))
+      .contains("DEGRADED"),
+      "-1 O_DIRECT sentinel is an absent certificate, not noise evidence")
+  }
+
   test("nonBenchQueries name real registry queries and stay oracle-gated") {
     // the exclusion trims the bench LINE only — a name that drifted out of
     // the registry (or lost its oracle) would silently weaken the
