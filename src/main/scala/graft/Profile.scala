@@ -75,6 +75,18 @@ object Profile {
     else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val reg = Queries.registry.toMap
+    // per-query SHUFFLE WRITE bytes (round 18): the aug_dtw payload-sort
+    // fix is a shuffle-VOLUME claim, and wall-clock alone cannot verify
+    // it on a noisy box — the listener makes the exchanged bytes a
+    // first-class per-query reading. Listener delivery is async; the
+    // short post-write sleep bounds the undercount (stage-completion
+    // events for a finished job land well inside it).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -86,11 +98,15 @@ object Profile {
       // resident (round-17 drift root-cause — see Bench.isolate)
       Bench.isolate(spark)
       val g0 = gcMs
+      val s0 = shuffleBytes.get
       val t0 = System.nanoTime()
       val df = reg(q).fn(spark, sfDir)
       val tBuild = (System.nanoTime() - t0) / 1e9
       df.write.format("noop").mode("overwrite").save()
-      println(f"$q%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  gc=${gcMs - g0}%5d ms  build=$tBuild%.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // drain async stage-completion events
+      println(f"$q%-30s $wall%8.2f s  gc=${gcMs - g0}%5d ms  " +
+        f"shuffle=${(shuffleBytes.get - s0) / 1048576.0}%9.1f MiB  build=$tBuild%.2f s")
     }
     spark.stop()
   }

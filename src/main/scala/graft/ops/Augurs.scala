@@ -502,25 +502,64 @@ object Augurs {
     pairDtw(seriesOf(t, window), band)
   }
 
-  /** [[dtwMatrix]] with globally (sid_a, sid_b)-ordered output: the sort
-    * runs on the PAIR frame (ids + series) and the DP projects ABOVE it,
-    * so the range-partitioner's sampling pass re-executes only the cheap
-    * series join — never the O(k²·n·band) DP. The naive
-    * `dtwMatrix(...).orderBy(...)` alternatives both lose at scale:
-    * sampling re-runs the DP a second time (2.3× wall at sf0.1), and
-    * persist-before-sort materializes the k²-row matrix into storage
-    * memory (26 s vs ~6 s at 18M pairs — the ppl_buckets
-    * storage-starves-execution lesson again). */
+  /** Per-bucket shuffle token: the smallest non-negative int whose
+    * HashPartitioning placement over `buckets` partitions is exactly
+    * `b`. HashPartitioning computes partition = pmod(murmur3(expr,
+    * seed=42), n) — the same `Murmur3_x86_32.hashInt` this searches
+    * with (AugursSpec cross-checks the map against Spark's own `hash()`
+    * SQL function) — so `repartition(buckets, tokenCol)` places bucket
+    * b in partition b DETERMINISTICALLY: a range exchange's placement
+    * without the RangePartitioner's sampling pass over the frame. */
+  private[graft] def bucketTokens(buckets: Int): Map[Int, Int] = {
+    val m = scala.collection.mutable.Map.empty[Int, Int]
+    var t = 0
+    while (m.size < buckets) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42)
+      val p = ((h % buckets) + buckets) % buckets
+      if (!m.contains(p)) m(p) = t
+      t += 1
+    }
+    m.toMap
+  }
+
+  /** [[dtwMatrix]] with globally (sid_a, sid_b)-ordered output, via the
+    * two-phase bucketed sort ([[lexRankPhase1]]'s discipline applied to
+    * the matrix sort — round 18). The round-16 form sorted the PAIR
+    * frame carrying both full series arrays so the DP could project
+    * above the range exchange; that kept the DP single-execution but
+    * amplified shuffle bytes ~2·window·8 B per pair (~256 B vs ~30 B
+    * for (sid_a, sid_b, dtw) at window=16, growing linearly with
+    * window) — at events×8 the sort moved ~20 GB and a device throttle
+    * inflated this op 10× while aug_cluster, same DP with edge-sized
+    * shuffles, held at ~1×. This form gets BOTH properties:
+    *
+    *  - bucket boundaries derive from the K-ROW sid frame (one
+    *    `repartitionByRange` over ids — its sampling pass re-executes
+    *    only the series build, never the O(k²·n·band) DP);
+    *  - each pair is tagged with its sid_a bucket's shuffle token via a
+    *    broadcast join, so the ONE exchange moves only (sid_a, sid_b,
+    *    dtw, tok) with the DP computed BELOW it (shuffle-write
+    *    materializes it — exactly once, nothing persisted);
+    *  - placement is [[bucketTokens]] hash-partitioning (bucket b →
+    *    partition b, no sampling over the pair frame), and
+    *    `sortWithinPartitions(sid_a, sid_b)` completes the total order:
+    *    buckets are ascending sid_a ranges with equal keys co-located
+    *    (RangePartitioner contract), so partition-local sort ⇒ global
+    *    (sid_a, sid_b) order across partition indexes. */
   def dtwMatrixOrdered(t: Timeline, window: Int, band: Int = Int.MaxValue,
-      maxPairs: Long = DtwDefaultMaxPairs): DataFrame = {
+      maxPairs: Long = DtwDefaultMaxPairs, buckets: Int = 32): DataFrame = {
     requirePairBudget(t, maxPairs, "dtwMatrixOrdered")
     val s = seriesOf(t, window)
-    s.as("a").join(s.as("b"), col("a.sid") < col("b.sid"))
-      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
-        col("a.series").as("sa"), col("b.series").as("sb"))
-      .orderBy("sid_a", "sid_b")
-      .select(col("sid_a"), col("sid_b"),
-        org.apache.spark.sql.GraftColumns.dtwBand(col("sa"), col("sb"), band).as("dtw"))
+    val tok = bucketTokens(buckets)
+    val sidTok = lexRankPhase1(s.select("sid"), buckets)
+      .select(col("sid").as("__sid"),
+        element_at(typedLit(tok), col("b")).as("__tok"))
+    pairDtw(s, band)
+      .join(broadcast(sidTok), col("sid_a") === col("__sid"))
+      .select(col("sid_a"), col("sid_b"), col("dtw"), col("__tok"))
+      .repartition(buckets, col("__tok"))
+      .sortWithinPartitions("sid_a", "sid_b")
+      .select("sid_a", "sid_b", "dtw")
   }
 
   /** DBSCAN over the DTW matrix (reference `augurs_cluster`,

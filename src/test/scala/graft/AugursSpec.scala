@@ -69,6 +69,44 @@ class AugursSpec extends SparkSuite {
     assert(c("far") == "-1", "no neighbors within eps → noise")
   }
 
+  test("bucketTokens: placement map matches Spark's own hash partitioning exactly") {
+    // the ordered matrix's deterministic exchange stands on this map:
+    // repartition(n, tok) must put bucket b's rows in PARTITION b. Cross-
+    // check the driver-side Murmur3_x86_32 search against the engine's
+    // hash() SQL function (HashPartitioning = pmod(murmur3(expr, 42), n))
+    // for every bucket at both the default and a non-default width.
+    for (n <- Seq(4, 32)) {
+      val tok = Augurs.bucketTokens(n)
+      assert(tok.keySet == (0 until n).toSet, s"all $n partitions covered")
+      val got = spark.createDataset(tok.toSeq).toDF("p", "t")
+        .select(col("p"), pmod(hash(col("t")), lit(n)).as("sparkP"))
+        .as[(Int, Int)].collect()
+      got.foreach { case (p, sparkP) =>
+        assert(p == sparkP, s"token for bucket $p lands in Spark partition $sparkP") }
+    }
+  }
+
+  test("dtwMatrixOrdered == sorted dtwMatrix bit-for-bit, globally ordered across buckets") {
+    // 12 sids whose LEX order differs from numeric order ("10" < "2"),
+    // spread over 4 buckets of 3 — the global-order property must hold
+    // ACROSS bucket boundaries (partition p+1's first row > partition p's
+    // last), which a hash-placement bug or a wrong token map breaks even
+    // though every partition is locally sorted.
+    val sids = Seq("10", "11", "12", "2", "20", "21", "3", "30", "4", "5", "6", "9")
+    val rows = sids.zipWithIndex.flatMap { case (k, j) =>
+      (0 until 4).map(i => (k, i * 10L, i.toLong, j * 2.0 + i)) }
+    val t = graft.core.Timeline(rows.toDF("k", "ts", "seq", "value"), keys = Seq("k"))
+    val expected = Augurs.dtwMatrix(t, window = 4, band = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val got = Augurs.dtwMatrixOrdered(t, window = 4, band = 2, buckets = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got.size == sids.size * (sids.size - 1) / 2, "full upper triangle")
+    assert(got == expected,
+      "ordered form must equal the unordered matrix sorted by (sid_a, sid_b), " +
+        "bit-identical doubles, in collect order (= partition-index order)")
+  }
+
   test("clusterDtwDistributed: zero eps-edges — every branch of the set-op plan degrades clean") {
     // all-noise input: the eps-edge frame is EMPTY, so degree = 1
     // everywhere (no core), CC runs on an empty graph (one cheap round),

@@ -34,6 +34,37 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("aug_dtw: no series payload crosses any shuffle — edges-only ordered matrix") {
+    // r17 verdict item 1 (the registry's one demonstrated scale
+    // liability, since fixed): the ordered DTW matrix used to sort the
+    // pair frame CARRYING both full series arrays (~2·window·8 B/pair —
+    // at events×8 that sort moved ~20 GB and a device throttle inflated
+    // aug_dtw 10× while aug_cluster, same DP with edge-sized shuffles,
+    // held ~1×). The two-phase form must keep every SHUFFLE exchange
+    // payload-free: series arrays may broadcast (the k-row build side of
+    // the pair join) but never shuffle; the one pair-frame exchange is
+    // deterministic token hash-partitioning (bucket b → partition b, no
+    // RangePartitioner sampling over the pair frame, DP computed below
+    // it); and the output sort is partition-local — global order comes
+    // from token placement, never from a global range sort of pairs.
+    val fmtd = reg("aug_dtw").fn(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffleInputs = """\(\d+\) Exchange\n(Input[^\n]*\n[^\n]*)"""
+      .r.findAllMatchIn(fmtd).map(_.group(1)).toSeq
+    assert(shuffleInputs.nonEmpty, s"no shuffle exchanges found:\n$fmtd")
+    shuffleInputs.foreach { in =>
+      assert(!in.contains("series"),
+        s"a series array crosses a shuffle exchange — payload amplification:\n$in") }
+    assert(fmtd.contains("hashpartitioning(__tok"),
+      s"pair frame must exchange on the deterministic bucket token:\n$fmtd")
+    assert(!fmtd.contains("rangepartitioning(sid_a"),
+      s"no range sort over the pair frame (sampling re-executes the DP):\n$fmtd")
+    val localSort = """Arguments: \[sid_a[^\]]*sid_b[^\]]*\], (\w+),""".r
+      .findAllMatchIn(fmtd).map(_.group(1)).toSeq
+    assert(localSort.nonEmpty && localSort.forall(_ == "false"),
+      s"(sid_a, sid_b) sort must be partition-local: global=$localSort")
+  }
+
   test("aug_cluster: distributed CC shape — nothing k²-sized computed on the driver") {
     // the driver union-find twin returns its whole result as a
     // LocalTableScan built from a collected edge list; the registry
