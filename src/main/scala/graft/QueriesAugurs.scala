@@ -182,8 +182,11 @@ object QueriesAugurs {
     // recursion (the aug_ets CTE with the window sliced at every
     // position); shared etsCore keeps batch == streaming == this form
     // double-exact (ParitySpec triangle).
+    // Registry runs the KeyedScan vehicle (round 18, ~3× the window
+    // form's throughput — COVERAGE): bit-identical by the shared etsCore,
+    // AugursSpec gates exact-row equality of the two executors.
     "aug_ets_roll" -> Q(
-      (s, d) => Augurs.forecastEtsRolling(Tables.events(s, d),
+      (s, d) => Augurs.forecastEtsRollingScan(Tables.events(s, d),
         window = 28, season = 7)
         .select(col("user_id"), col("ts"), col("seq"),
           r4c(col("forecast")).as("forecast"), r4c(col("sigma")).as("sigma"))
@@ -502,7 +505,9 @@ object QueriesAugurs {
     "aug_seasons_roll" -> Q(
       (s, d) => {
         val t = Tables.events(s, d)
-        Augurs.seasonsRolling(t, window = 24, maxLag = 6, minPairs = 8)
+        // KeyedScan vehicle (round 18): bit-identical third executor of
+        // acfBestLagCore (AugursSpec exact-row gate vs the window form)
+        Augurs.seasonsRollingScan(t, window = 24, maxLag = 6, minPairs = 8)
           .orderBy("user_id", "ts", "seq")
       },
       Some(s"""WITH e AS (SELECT user_id, ts, seq, value,

@@ -812,4 +812,183 @@ object Augurs {
         col("__st._1").cast("long").as("best_lag") :+
         col("__st._2").as("best_corr")): _*)
   }
+
+  /** O(window) primitive ring shared by the scan-vehicle rolling forms:
+    * append values, materialize the trailing window oldest-first into a
+    * reused buffer (no per-row allocation). */
+  private final class Ring(window: Int) {
+    private val ring = new Array[Double](window)
+    private val buf = new Array[Double](window)
+    private var n = 0L // total values appended
+    def append(v: Double): Unit = { ring((n % window).toInt) = v; n += 1 }
+    def len: Int = math.min(n, window.toLong).toInt
+    /** v at global position `pos` (must be within the trailing window). */
+    def at(pos: Long): Double = ring((pos % window).toInt)
+    def total: Long = n
+    /** The current trailing window, oldest-first. The returned array is
+      * REUSED across calls — consume before the next append. */
+    def snapshot(): Array[Double] = {
+      val l = len
+      val start = n - l
+      var i = 0
+      while (i < l) { buf(i) = ring(((start + i) % window).toInt); i += 1 }
+      if (l == window) buf else java.util.Arrays.copyOf(buf, l)
+    }
+  }
+
+  /** [[seasonsRolling]] on the [[graft.core.KeyedScan]] vehicle — the
+    * THIRD executor of [[acfBestLagCore]]'s contract (r17 verdict item
+    * 5) and the registry form since round 18. Semantics are BIT-IDENTICAL
+    * to the window form by construction: the same core runs over the same
+    * oldest-first trailing window at every tick (AugursSpec gates
+    * exact-row equality); only the execution vehicle changes. The window
+    * form paid ~40 µs/row at window=24 — not in the ACF flops (~10² JIT'd
+    * flops) but in the vehicle: a collect_list sliding frame materializes
+    * `window` (ts, seq, v) structs PER ROW, array_sorts them, and crosses
+    * a ScalaUDF boundary; the scan folds each key's sorted iterator
+    * through a primitive ring with zero per-row allocation beyond the
+    * output row. Same scale shape (one keyed exchange, per-key
+    * event-time order, O(window) state — `transformWithState`'s batch
+    * shape); measured ≥2× on aug_seasons_roll (COVERAGE round 18). */
+  def seasonsRollingScan(t: Timeline, window: Int, maxLag: Int,
+      minPairs: Int = 10): DataFrame = {
+    require(window > maxLag, s"seasonsRollingScan: window ($window) must exceed maxLag ($maxLag)")
+    val scanned = graft.core.KeyedScan.scanDouble(
+      t.ticks, t.keys, t.valueCol, Seq("__lag", "__cr")) { () =>
+      val ring = new Ring(window)
+      (_: Long, v: Double) => {
+        ring.append(v)
+        acfBestLagCore(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(ring.snapshot()),
+          maxLag, minPairs).map { case (lag, cr) => Seq(lag.toDouble, cr) }
+      }
+    }
+    scanned.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+      col("__lag").cast("long").as("best_lag") :+
+      col("__cr").as("best_corr")): _*)
+  }
+
+  /** TRUE O(maxLag)-per-row incremental rolling seasons: per-lag running
+    * sums (Σx, Σy, Σx², Σy², Σxy) maintained by adding the entering pair
+    * and subtracting the expiring pair at each window edge, with
+    * [[acfBestLagCore]]'s exact rounding + tie-break replayed over the
+    * sums. NOT the registry form, by measurement and by contract:
+    *
+    *  - CONTRACT: running-sum add/subtract re-associates the float
+    *    additions, so emissions are NOT bit-identical to the refit core —
+    *    AugursSpec measures the drift on the ParitySpec fixture (4dp
+    *    emissions agree on every row there, but low-bit sum drift is
+    *    unbounded over an arbitrarily long stream, so a 4dp flip at a
+    *    .00005 boundary is a when-not-if at scale). The oracle gate needs
+    *    determinism at every SF, so the bit-identical refit scan keeps
+    *    the registry slot (the documented negative result r17 item 5
+    *    anticipated).
+    *  - MEASUREMENT: at the registry's window=24/maxLag=6 the refit is
+    *    ~10² flops/row — vehicle overhead dominates, and this form
+    *    measures within noise of [[seasonsRollingScan]]. It exists for
+    *    the large-window/large-lag regime (window ≫ maxLag ≫ 10²), where
+    *    O(maxLag) beats O(window·maxLag) asymptotically. */
+  def seasonsRollingIncremental(t: Timeline, window: Int, maxLag: Int,
+      minPairs: Int = 10): DataFrame = {
+    require(window > maxLag, s"seasonsRollingIncremental: window ($window) must exceed maxLag ($maxLag)")
+    val nLags = maxLag - 1 // lags 2..maxLag
+    val scanned = graft.core.KeyedScan.scanDouble(
+      t.ticks, t.keys, t.valueCol, Seq("__lag", "__cr")) { () =>
+      val ring = new Ring(window)
+      val sx = new Array[Double](nLags); val sy = new Array[Double](nLags)
+      val sxx = new Array[Double](nLags); val syy = new Array[Double](nLags)
+      val sxy = new Array[Double](nLags)
+      (_: Long, v: Double) => {
+        val p = ring.total // global 0-based position of the incoming value
+        // expire BEFORE the ring slot for p (= the slot of p-window) is
+        // overwritten: when the window start advances from s_old = p-window
+        // to s = p-window+1, pair (x = v[s_old+lag], y = v[s_old]) leaves
+        if (p >= window) {
+          val sOld = p - window
+          val yOld = ring.at(sOld)
+          var li = 0
+          while (li < nLags) {
+            val lag = li + 2
+            val xOld = ring.at(sOld + lag)
+            sx(li) -= xOld; sy(li) -= yOld
+            sxx(li) -= xOld * xOld; syy(li) -= yOld * yOld
+            sxy(li) -= xOld * yOld
+            li += 1
+          }
+        }
+        ring.append(v)
+        val s = math.max(0L, p - window + 1)
+        var li = 0
+        while (li < nLags) {
+          val lag = li + 2
+          if (p - lag >= s) { // entering pair (x = v[p], y = v[p-lag])
+            val y = ring.at(p - lag)
+            sx(li) += v; sy(li) += y
+            sxx(li) += v * v; syy(li) += y * y
+            sxy(li) += v * y
+          }
+          li += 1
+        }
+        // replay acfBestLagCore's selection exactly: same rounding, same
+        // (cr max, smallest lag) tie-break, same vx/vy/finite guards
+        val len = ring.len
+        var bestLag = -1
+        var bestCr = Double.NegativeInfinity
+        li = 0
+        while (li < nLags) {
+          val lag = li + 2
+          val n = len - lag
+          if (n >= minPairs) {
+            val vx = sxx(li) - sx(li) * sx(li) / n
+            val vy = syy(li) - sy(li) * sy(li) / n
+            if (vx > 0.0 && vy > 0.0) {
+              val c = (sxy(li) - sx(li) * sy(li) / n) / math.sqrt(vx * vy)
+              if (java.lang.Double.isFinite(c)) {
+                val cr = BigDecimal(c + 1e-9)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cr > bestCr) { bestCr = cr; bestLag = lag }
+              }
+            }
+          }
+          li += 1
+        }
+        if (bestLag < 0) None else Some(Seq(bestLag.toDouble, bestCr))
+      }
+    }
+    scanned.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+      col("__lag").cast("long").as("best_lag") :+
+      col("__cr").as("best_corr")): _*)
+  }
+
+  /** [[forecastEtsRolling]] on the KeyedScan vehicle — same
+    * bit-identical-by-shared-core argument as [[seasonsRollingScan]]
+    * (the one [[etsCore]] runs over the same oldest-first window at
+    * every tick; AugursSpec gates exact-row equality). The sliding
+    * re-fit is inherently O(window)/row (the HW recurrence is a
+    * sequential filter from the window start — dropping the oldest
+    * value reseeds l0/b0/s, so no exact incremental form exists), which
+    * makes the VEHICLE the whole cost at window≈28: the collect_list +
+    * array_sort + UDF path measured ~40 µs/row against the scan's
+    * primitive ring. */
+  def forecastEtsRollingScan(t: Timeline, window: Int, season: Int,
+      alpha: Double = 0.5, beta: Double = 0.25, gamma: Double = 0.125): DataFrame = {
+    require(window >= 2 * season,
+      s"forecastEtsRollingScan: window ($window) must cover two seasons (${2 * season})")
+    val scanned = graft.core.KeyedScan.scanDouble(
+      t.ticks, t.keys, t.valueCol, Seq("__f", "__sg")) { () =>
+      val ring = new Ring(window)
+      (_: Long, v: Double) => {
+        ring.append(v)
+        if (ring.len < 2 * season) None
+        else {
+          val (fc, sigma) = etsCore(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(ring.snapshot()),
+            season, 1, alpha, beta, gamma)
+          Some(Seq(fc.head, sigma))
+        }
+      }
+    }
+    scanned.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
+      col("__f").as("forecast") :+ col("__sg").as("sigma")): _*)
+  }
 }

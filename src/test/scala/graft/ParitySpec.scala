@@ -376,6 +376,14 @@ class ParitySpec extends SparkSuite {
       .as[(String, Long, Double, Double)].collect().toSeq.sorted
     assert(agreed == tlForm,
       "streaming ring state must replay the per-tick window form double-exactly")
+    // round 18: the KeyedScan vehicle joins the triangle (the registry
+    // form) — same etsCore over the same oldest-first window per tick,
+    // so equality is exact, not 4dp
+    val scanForm = Augurs.forecastEtsRollingScan(tl(fe), 8, 2)
+      .select(col("key"), col("ts"), col("forecast"), col("sigma"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    assert(scanForm == tlForm,
+      "scan vehicle must replay the window form double-exactly (shared etsCore)")
     assert(agreed.size >= 15 && agreed.count(_._1 == "b") >= 5,
       "both keys must emit (non-vacuous)")
     assert(agreed.exists(_._4 > 0.0), "residual sigma must be non-trivial")
@@ -413,6 +421,22 @@ class ParitySpec extends SparkSuite {
       .as[(String, Long, Double, Double)].collect().toSeq.sorted
     assert(agreed == tlForm,
       "streaming ring state must replay the per-tick window form double-exactly")
+    // round 18: the KeyedScan vehicle (registry form) joins the triangle
+    // — shared acfBestLagCore over the same window per tick, exact
+    val scanForm = Augurs.seasonsRollingScan(tl(fe), 16, 5, 4)
+      .select(col("key"), col("ts"), col("best_lag").cast("double"), col("best_corr"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    assert(scanForm == tlForm,
+      "scan vehicle must replay the window form double-exactly (shared core)")
+    // the O(maxLag)/row running-sums form: 4dp EMISSIONS agree on this
+    // fixture (what the collected tuples are), though its sums are NOT
+    // bit-identical to the refit core — the documented re-association
+    // contract that keeps it out of the registry (Augurs scaladoc)
+    val incForm = Augurs.seasonsRollingIncremental(tl(fe), 16, 5, 4)
+      .select(col("key"), col("ts"), col("best_lag").cast("double"), col("best_corr"))
+      .as[(String, Long, Double, Double)].collect().toSeq.sorted
+    assert(incForm == tlForm,
+      "incremental sums must agree at the 4dp emission contract on the fixture")
     assert(agreed.count(_._1 == "a") >= 8 && agreed.count(_._1 == "b") >= 5,
       "both keys must emit (non-vacuous)")
     // the signals must actually be detected: final best lag = the period

@@ -139,11 +139,10 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("aug_ets_roll: per-tick refit rides ONE user_id exchange") {
-    // the sliding-refit window collects 28-row frames per tick and runs
-    // the JIT'd recurrence as a projection — the only keyed exchange is
-    // the shared (user_id) window partitioning, plus the output orderBy's
-    // range exchange. A second hash exchange would mean the per-tick
-    // arrays are being re-shuffled.
+    // round 18: the KeyedScan vehicle — rows shuffle ONCE on the key
+    // (groupByKey), each group folds sorted through the primitive ring,
+    // plus the output orderBy's range exchange. A second hash exchange
+    // would mean per-tick state is being re-shuffled.
     val p = plan("aug_ets_roll")
     val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hash == 1, s"expected 1 user_id exchange, got $hash:\n$p")
@@ -152,10 +151,9 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("aug_seasons_roll: per-tick ACF rides ONE user_id exchange") {
-    // the rolling best-lag window collects trailing-24 arrays per tick
-    // and runs the JIT'd acfBestLagCore as a projection — the only keyed
-    // exchange is the shared (user_id) window partitioning, plus the
-    // output orderBy's range exchange (the aug_ets_roll contract)
+    // round 18: the KeyedScan vehicle — one keyed exchange for the
+    // sorted-group fold (acfBestLagCore over the primitive ring), plus
+    // the output orderBy's range exchange (the aug_ets_roll contract)
     val p = plan("aug_seasons_roll")
     val hash = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hash == 1, s"expected 1 user_id exchange, got $hash:\n$p")
