@@ -14,6 +14,12 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 final case class CurateArrival(doc_id: Long, fp: String, score: Double,
     ntok: Long, gate: Boolean, contam: Boolean)
 
+/** [[CurateArrival]] with the crawl-time event timestamp the BOUNDED
+  * dedup leg keys its watermark TTL on (a production crawl always has
+  * one; the unbounded exact leg never needs it). */
+final case class CurateArrivalT(doc_id: Long, ts: java.sql.Timestamp,
+    fp: String, score: Double, ntok: Long, gate: Boolean, contam: Boolean)
+
 /** Streaming twin of the COMPOSED `doc_curate_e2e` chain — the whole
   * curation pipeline as it runs against a live crawl, not just its
   * stages in isolation. Two stateful stages, split at a checkpointed
@@ -74,12 +80,15 @@ object CurateStream {
     * forever (the replaced streaming `dropDuplicates` held the same
     * unbounded state; this form just names it). State is
     * O(distinct fingerprints), ~40 B/key in the state store, keyed and
-    * store-sharded — it scales out, not up. When the lifetime corpus
-    * outgrows that, bound it explicitly: run with a watermark +
-    * `dropDuplicatesWithinWatermark`-style TTL (dedup-within-horizon —
-    * a WEAKER guarantee the caller must opt into), or periodically
-    * restart against a frozen reference set the way the batch
-    * `doc_dedup_incremental` / `doc_dedup_bloom` paths do. */
+    * store-sharded — it scales out, not up.
+    *
+    * THIS IS THE OPT-IN FORM (round 18, r15→r17 advisor item): a
+    * long-lived production crawl should default to the BOUNDED
+    * [[survivorsWithinHorizon]] leg (watermark-TTL state) and take this
+    * exact-lifetime form deliberately — e.g. a bounded backfill, or a
+    * deployment that periodically restarts against a frozen reference
+    * set the way the batch `doc_dedup_incremental` / `doc_dedup_bloom`
+    * paths do. */
   def survivors(arrivals: Dataset[CurateArrival]): Dataset[CurateArrival] = {
     val spark = arrivals.sparkSession
     import spark.implicits._
@@ -90,6 +99,63 @@ object CurateStream {
           (_, rows, gs) =>
             if (gs.exists) Iterator.empty
             else { gs.update(true); Iterator.single(rows.minBy(_.doc_id)) }
+        }
+  }
+
+  /** Stage 1, BOUNDED-state form — the production DEFAULT for a
+    * long-lived crawl (round 18, closing the r15→r17 advisor thread
+    * for real instead of "documented with bounded alternatives"):
+    * first-wins fingerprint dedup whose state is evicted by the event-
+    * time watermark, so the store holds only fingerprints sighted
+    * within the trailing `horizon` — O(horizon-active fps), not
+    * O(lifetime corpus).
+    *
+    * CONTRACT (dedup-within-horizon, the weaker guarantee named
+    * explicitly): a duplicate arriving while its fingerprint is live is
+    * dropped, and every SIGHTING (kept or dropped) refreshes the TTL —
+    * the fingerprint stays live while the crawl keeps producing it.
+    * Once the watermark passes lastSighting + horizon, the entry is
+    * evicted and a later re-crawl of the same content RE-EMITS (the
+    * golden proves both the eviction and the re-emission). On data
+    * whose duplicate pairs all fall within the horizon, output equals
+    * [[survivors]] exactly (inside-horizon parity, golden-gated).
+    * Same winner semantics as the exact form: within a micro-batch the
+    * min(doc_id) arrival wins structurally.
+    *
+    * Scale shape: identical one-fp-exchange plan as the exact form plus
+    * the watermark node; state-store size is now bounded by crawl-rate ×
+    * horizon instead of corpus lifetime, which is what lets the same
+    * query run for months. */
+  def survivorsWithinHorizon(arrivals: Dataset[CurateArrivalT],
+      horizon: String): Dataset[CurateArrivalT] = {
+    val spark = arrivals.sparkSession
+    import spark.implicits._
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    val ttlMs = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
+    require(ttlMs > 0 && horizonMs.months == 0,
+      s"survivorsWithinHorizon: horizon must be a positive day-or-smaller interval, got '$horizon'")
+    arrivals.filter(a => a.gate && !a.contam)
+      .withWatermark("ts", horizon)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, CurateArrivalT](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (_, rows, gs) =>
+            if (gs.hasTimedOut) { gs.remove(); Iterator.empty }
+            else {
+              // one key's slice of ONE micro-batch — batch-sized buffer
+              val batch = rows.toVector
+              val maxTs = batch.iterator.map(_.ts.getTime).max
+              val emit =
+                if (gs.exists) Iterator.empty
+                else { gs.update(maxTs); Iterator.single(batch.minBy(_.doc_id)) }
+              // refresh on every sighting; never set a timeout at or
+              // below the current watermark (Spark rejects it — a very
+              // late burst's ts can trail the watermark)
+              val wm = gs.getCurrentWatermarkMs()
+              gs.setTimeoutTimestamp(math.max(maxTs, wm + 1), s"$ttlMs milliseconds")
+              emit
+            }
         }
   }
 

@@ -1032,6 +1032,67 @@ class ParitySpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("CurateStream bounded leg: watermark-TTL eviction, re-emission, inside-horizon parity") {
+    // round 18 (r15→r17 advisor thread): the bounded dedup is now the
+    // production-default stage 1 — this golden proves the three contract
+    // points the scaladoc claims: (1) duplicates inside the horizon drop
+    // exactly like the exact form (TTL refreshed per sighting), (2) the
+    // watermark EVICTS an idle fingerprint and a later re-crawl
+    // RE-EMITS (the named weaker guarantee), (3) on data whose dup
+    // pairs all sit inside the horizon the output equals keep-min-doc_id
+    // — the exact form's semantics — over the real sf0.001 arrivals.
+    import graft.streaming.{CurateArrival, CurateArrivalT, CurateStream}
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Long, id: Long, fp: String) = CurateArrivalT(
+      id, new java.sql.Timestamp(sec * 1000L), fp, 1.0, 10L, gate = true, contam = false)
+    val mem = MemoryStream[CurateArrivalT]
+    val q = CurateStream.survivorsWithinHorizon(mem.toDS(), "30 seconds")
+      .writeStream.format("memory").queryName("curate_ttl").outputMode("append").start()
+    def emitted(): Seq[Long] =
+      spark.table("curate_ttl").collect().map(_.getLong(0)).sorted.toSeq
+    // b1: A twice in one batch — min doc_id wins structurally; B kept
+    mem.addData(Seq(at(10, 2, "A"), at(10, 1, "A"), at(12, 3, "B")))
+    q.processAllAvailable()
+    // b2: dup of A inside the horizon → dropped (exact-form parity);
+    // sighting refreshes A's TTL to ts=20+30
+    mem.addData(Seq(at(20, 4, "A")))
+    q.processAllAvailable()
+    assert(emitted() == Seq(1L, 3L), s"inside-horizon dups must drop: ${emitted()}")
+    // b3: C at ts=100 → emits; AFTER this batch the watermark advances
+    // to 100-30=70, past A's 50 s timeout
+    mem.addData(Seq(at(100, 5, "C")))
+    q.processAllAvailable()
+    // b4: D arrives; A's expired timer fires in this batch → A evicted
+    mem.addData(Seq(at(105, 6, "D")))
+    q.processAllAvailable()
+    // b5: A re-crawled after eviction → RE-EMITS: the weaker guarantee
+    mem.addData(Seq(at(110, 7, "A")))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted() == Seq(1L, 3L, 5L, 6L, 7L),
+      s"evicted fingerprint must re-emit on re-crawl: ${emitted()}")
+    // (3) inside-horizon parity on the REAL arrivals: constant ts (all
+    // inside a 1-day horizon → no eviction possible) must reproduce the
+    // exact form's keep-min-doc_id semantics on every fp
+    val arrivals = QueriesPipeline.curateArrivals(spark, "/root/testdata/sf0.001")
+      .as[CurateArrival].collect().toSeq
+    val expect = arrivals.filter(a => a.gate && !a.contam)
+      .groupBy(_.fp).values.map(_.map(_.doc_id).min).toSet
+    val mem2 = MemoryStream[CurateArrivalT]
+    val q2 = CurateStream.survivorsWithinHorizon(mem2.toDS(), "1 day")
+      .writeStream.format("memory").queryName("curate_ttl2").outputMode("append").start()
+    val ts0 = new java.sql.Timestamp(86400000L)
+    val all = arrivals.sortBy(_.doc_id).map(a =>
+      CurateArrivalT(a.doc_id, ts0, a.fp, a.score, a.ntok, a.gate, a.contam))
+    val (h1, h2) = all.splitAt(all.length / 2)
+    Seq(h1, h2).foreach { g => mem2.addData(g); q2.processAllAvailable() }
+    q2.stop()
+    val got = spark.table("curate_ttl2").collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty && got == expect,
+      s"inside-horizon output must equal exact keep-min-doc_id: " +
+        s"only-bounded=${got -- expect}, only-exact=${expect -- got}")
+  }
+
   test("HeavyHittersStream: certified top-k across micro-batches == doc_heavy_tokens") {
     // seventh decision family with a live leg — and the most natural:
     // Misra-Gries IS a streaming sketch. Per-bucket summaries fold in
