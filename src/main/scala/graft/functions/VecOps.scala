@@ -57,6 +57,50 @@ object VecOps {
     prev(m)
   }
 
+  /** THRESHOLD test `dtw(a, b) <= eps` with EARLY ABANDONING — exact,
+    * never approximate: every DP cell adds a non-negative local cost to
+    * a min of predecessor cells, so cell values are monotone
+    * non-decreasing along the recursion; once every cell of a DP row
+    * exceeds `eps`, the final distance provably does too and the loop
+    * aborts. A pair whose true distance is ≤ eps always runs its DP to
+    * completion through cells ≤ eps, so the decision is identical to
+    * `dtw(a, b, band) <= eps` on every input (AugursSpec sweeps the
+    * boundary). Built for the DBSCAN cluster path, where 90%+ of the
+    * O(k²) pairs are far and abort within a few rows — the pruning
+    * classic (Keogh & Ratanamahatana 2005's LB/abandon family) applied
+    * at the DP rather than a lower-bound pre-pass. */
+  def dtwLe(a: Array[Double], b: Array[Double], band: Int, eps: Double): Boolean = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return false
+    val INF = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(INF); prev(0) = 0.0
+    var cur = Array.fill(m + 1)(INF)
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1L, i.toLong - band).toInt
+      val hi = math.min(m.toLong, i.toLong + band).toInt
+      var rowMin = INF
+      var j = lo
+      while (j <= hi) {
+        val cost = math.abs(a(i - 1) - b(j - 1))
+        val v = cost + math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > eps) return false // every continuation only grows
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m) <= eps
+  }
+
+  /** Codegen/eval entry for [[dtwLe]] (one primitive copy per side). */
+  def dtwLeArrays(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, band: Int, eps: Double): Boolean =
+    dtwLe(a.toDoubleArray, b.toDoubleArray, band, eps)
+
   /** Codegen/eval entry: unboxes each ArrayData ONCE (`toDoubleArray` is a
     * primitive copy) — the Seq-typed ScalaUDF form paid the generic
     * converter per pair and measured ~2.3 s of the 6 s aug_dtw wall. */
@@ -101,6 +145,39 @@ case class DotPacked(left: Expression, right: Expression)
   * projection with one unboxing copy per side and no ScalaUDF converter
   * machinery. On the O(k²)-pair matrix this halved aug_dtw's per-pair
   * cost vs the Seq-typed UDF. */
+/** `dtw_band_le(a, b) <= eps` as a native BOOLEAN expression — the
+  * threshold-consumer tier of [[DtwBand]]: the [[VecOps.dtwLe]] early-
+  * abandoning DP runs inside the codegen'd join projection, so far pairs
+  * (the overwhelming majority of a DBSCAN eps-graph's O(k²) candidates)
+  * abort after a few DP rows instead of paying the full O(n·band). The
+  * decision is EXACT (see the kernel's monotonicity argument). */
+case class DtwBandLe(left: Expression, right: Expression, band: Int, eps: Double)
+    extends BinaryExpression {
+
+  private def ok(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dtw_band_le needs (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "dtw_band_le"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dtwLeArrays(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], band, eps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.dtwLeArrays($a, $b, $band, $eps)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DtwBand(left: Expression, right: Expression, band: Int)
     extends BinaryExpression {
 

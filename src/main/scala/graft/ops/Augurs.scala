@@ -675,11 +675,32 @@ object Augurs {
     // OUTPUT-sized (near-pairs only, the k²-row matrix dies inside the
     // join stage). The budget guard's count is free off the
     // materialized frame.
+    val dbg = sys.env.contains("GRAFT_CC_ROUNDS")
+    var lt0 = System.nanoTime()
+    def lap(what: String): Unit = if (dbg) {
+      System.err.println(f"[cluster] $what ${(System.nanoTime() - lt0) / 1e9}%.2f s")
+      lt0 = System.nanoTime()
+    }
     val ser = seriesOf(t, window).localCheckpoint()
     requirePairBudget(ser.count(), maxPairs, "clusterDtwDistributed")
+    lap("series build")
     val sids = ser.select("sid")
-    val half = pairDtw(ser, band).where(col("dtw") <= eps)
-      .select(col("sid_a"), col("sid_b")).localCheckpoint()
+    // the eps-graph needs only the DECISION dtw<=eps, so the DP runs as
+    // the early-abandoning boolean kernel (exact — see VecOps.dtwLe's
+    // monotonicity argument; AugursSpec sweeps the boundary): far pairs
+    // (the overwhelming majority at any real eps) abort within a few DP
+    // rows instead of paying the full O(n·band). HONEST MEASUREMENT
+    // (round 18): at the registry's window=16/band=4 the DP is ≤144
+    // cells and per-pair cost is dominated by the two 16-double
+    // ArrayData copies, so the abandon is wall-neutral locally — its
+    // win regime is larger windows/bands, where DP cells dominate the
+    // copies (the contract consumers at 100 TB run windows in the
+    // hundreds). Kept because it is exact, free, and scales right.
+    val half = ser.as("a").join(ser.as("b"), col("a.sid") < col("b.sid"))
+      .where(org.apache.spark.sql.GraftColumns.dtwBandLe(
+        col("a.series"), col("b.series"), band, eps))
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b")).localCheckpoint()
+    lap("pair DP (early-abandon)")
     val edges = half.union(half.select(col("sid_b"), col("sid_a"))).toDF("u", "v")
     val deg = sids.as("s").join(edges, col("s.sid") === col("u"), "left_outer")
       .groupBy(col("s.sid").as("sid")).agg((count(col("v")) + lit(1)).as("nn"))
@@ -687,6 +708,7 @@ object Augurs {
     // two-phase lex rank: checkpoint phase 1 so offsets and the final
     // join see ONE sampled bucket assignment (k-row blocks)
     val rankedB = lexRankPhase1(sids, buckets = 32).localCheckpoint()
+    lap("lex rank phase 1")
     val ranked = rankedB.join(broadcast(lexRankOffsets(rankedB)), "b")
       .select(col("sid"), (col("off") + col("rk")).as("rid"))
     val coreR = core.join(ranked, "sid")
@@ -697,6 +719,7 @@ object Augurs {
     // `edges` carries both directions by construction, so ce is already
     // symmetric — CC skips its symmetrization shuffle
     val comps = graft.ops.Graph.connectedComponents(ce, symmetric = true)
+    lap("CC total")
     val coreRoots = coreR.join(comps, coreR("rid") === comps("id"), "left_outer")
       .select(col("sid"), coalesce(col("component"), col("rid")).as("rootRid"))
     val coreOut = coreRoots

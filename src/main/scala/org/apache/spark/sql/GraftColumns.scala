@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{DotPacked, DtwBand}
+import graft.functions.{DotPacked, DtwBand, DtwBandLe}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** The one sql-package bridge graft needs: wrapping its native Catalyst
@@ -18,6 +18,12 @@ object GraftColumns {
   def dtwBand(a: Column, b: Column, band: Int): Column =
     ExpressionUtils.column(
       DtwBand(ExpressionUtils.expression(a), ExpressionUtils.expression(b), band))
+
+  /** [[graft.functions.DtwBandLe]]: exact `dtw(a, b) <= eps` with
+    * early-abandoning — the threshold consumers' fast path. */
+  def dtwBandLe(a: Column, b: Column, band: Int, eps: Double): Column =
+    ExpressionUtils.column(
+      DtwBandLe(ExpressionUtils.expression(a), ExpressionUtils.expression(b), band, eps))
 }
 
 /** Live-session registration of graft's SQL functions — the companion to

@@ -95,6 +95,30 @@ class AugursSpec extends SparkSuite {
       "ETS scan vehicle must match the window form on every emission")
   }
 
+  test("dtwLe: early-abandoning threshold test is EXACT at and around the boundary") {
+    // the cluster path's eps-graph now runs the boolean abandon kernel;
+    // its decision must equal dtw(a,b,band) <= eps on EVERY input — in
+    // particular at eps == the exact distance (abandon fires only when a
+    // whole DP row strictly exceeds eps, so the completing path of a
+    // <=eps pair is never cut). Sweep: deterministic series pairs ×
+    // bands × eps ∈ {0, d/2, pred(d), d, succ(d), 2d, ∞}.
+    import graft.functions.VecOps
+    val rng = new scala.util.Random(42)
+    val series = (0 until 8).map(_ => Array.fill(16)(rng.nextDouble() * 10))
+    val bands = Seq(0, 2, 4, Int.MaxValue)
+    for (a <- series; b <- series; band <- bands) {
+      val d = VecOps.dtw(a, b, band)
+      val probes = Seq(0.0, d / 2, math.nextDown(d), d, math.nextUp(d), 2 * d,
+        Double.PositiveInfinity).filter(e => !e.isNaN)
+      probes.foreach { eps =>
+        assert(VecOps.dtwLe(a, b, band, eps) == (d <= eps),
+          s"dtwLe mismatch at band=$band eps=$eps d=$d")
+      }
+    }
+    // empty side: dtw = +inf, dtwLe = false at any finite eps
+    assert(!VecOps.dtwLe(Array.empty[Double], Array(1.0), 4, 1e18))
+  }
+
   test("bucketTokens: placement map matches Spark's own hash partitioning exactly") {
     // the ordered matrix's deterministic exchange stands on this map:
     // repartition(n, tok) must put bucket b's rows in PARTITION b. Cross-
