@@ -551,9 +551,27 @@ object Augurs {
     requirePairBudget(t, maxPairs, "dtwMatrixOrdered")
     val s = seriesOf(t, window)
     val tok = bucketTokens(buckets)
-    val sidTok = lexRankPhase1(s.select("sid"), buckets)
-      .select(col("sid").as("__sid"),
-        element_at(typedLit(tok), col("b")).as("__tok"))
+    // WEIGHTED bucketing (round 18): equal sid-RANGES would load the
+    // upper-triangle wedge unevenly — the rank-r sid owns (k-r) pairs,
+    // so the lowest-sid bucket carries ~2× the mean (and ~2B× the last
+    // bucket's) pair mass. Buckets instead cut the CUMULATIVE pair mass
+    // W(r) = Σ_{r'≤r}(k-r') = rk − r(r+1)/2 into B equal slices:
+    // bucket = floor(W(r−1)/W(k) · B) — monotone in rank (so the
+    // global-order property is untouched) and balanced within one sid's
+    // mass (AugursSpec gates max/mean ≤ 1.3 where the range form reads
+    // ~1.75×). Rank comes from the two-phase form; the checkpoint pins
+    // ONE sampled bucket assignment for the offsets and the tag join
+    // (the lexRankPhase1 consistency contract), k-row blocks.
+    val rankedB = lexRankPhase1(s.select("sid"), buckets).localCheckpoint()
+    val k = rankedB.count()
+    val wTot = math.max(1L, k * (k - 1) / 2)
+    val sidTok = rankedB.join(broadcast(lexRankOffsets(rankedB)), "b")
+      .select(col("sid").as("__sid"), (col("off") + col("rk") - 1L).as("__r0"))
+      // W(r-1) with r0 = rank-1: r0*k - r0*(r0+1)/2
+      .select(col("__sid"), least(
+        floor((col("__r0") * k - col("__r0") * (col("__r0") + 1) / 2)
+          * buckets / wTot), lit(buckets - 1)).cast("int").as("__b"))
+      .select(col("__sid"), element_at(typedLit(tok), col("__b")).as("__tok"))
     pairDtw(s, band)
       .join(broadcast(sidTok), col("sid_a") === col("__sid"))
       .select(col("sid_a"), col("sid_b"), col("dtw"), col("__tok"))

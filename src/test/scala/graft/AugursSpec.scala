@@ -95,6 +95,26 @@ class AugursSpec extends SparkSuite {
       "ETS scan vehicle must match the window form on every emission")
   }
 
+  test("dtwMatrixOrdered: weighted buckets balance the upper-triangle pair mass") {
+    // equal sid-ranges would give the lowest bucket ~2× the mean pair
+    // load (rank-r sids own k-r pairs); the cumulative-mass cut must
+    // land every partition within ~1.3× of the mean (sid-granularity
+    // quantization aside), while preserving the global order the other
+    // golden checks. 60 sids / 4 buckets → 1770 pairs, mean 442.5.
+    val sids = (1 to 60).map(i => f"s$i%03d")
+    val rows = sids.zipWithIndex.flatMap { case (kk, j) =>
+      (0 until 4).map(i => (kk, i * 10L, i.toLong, j * 1.0 + i)) }
+    val t = graft.core.Timeline(rows.toDF("k", "ts", "seq", "value"), keys = Seq("k"))
+    val perPart = Augurs.dtwMatrixOrdered(t, window = 4, band = 2, buckets = 4)
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").count().as[(Int, Long)].collect().toMap
+    val n = perPart.values.sum
+    assert(n == 60L * 59 / 2, s"full triangle expected: $perPart")
+    val mean = n.toDouble / 4
+    assert(perPart.size == 4 && perPart.values.forall(_ <= mean * 1.35),
+      s"weighted buckets must balance pair mass (mean $mean): $perPart")
+  }
+
   test("dtwLe: early-abandoning threshold test is EXACT at and around the boundary") {
     // the cluster path's eps-graph now runs the boolean abandon kernel;
     // its decision must equal dtw(a,b,band) <= eps on EVERY input — in
