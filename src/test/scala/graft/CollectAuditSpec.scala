@@ -88,9 +88,11 @@ class CollectAuditSpec extends AnyFunSuite {
     "graft/GenScale.scala" -> (5,
       "4 single-row .head on max-id/dim aggregates (replication offsets); " +
         "1 scala Array.take(3) on argv"),
-    "graft/ops/Augurs.scala" -> (4,
+    "graft/ops/Augurs.scala" -> (5,
       "scala collection heads only: t.keys.head (single-key contract), " +
-        "forecast vector head - no Spark actions"),
+        "forecast vector heads (incl. the round-18 scan vehicle's fc.head " +
+        "on the 1-element horizon inside the executor fold) - no Spark " +
+        "actions"),
     "graft/ScaleProbes.scala" -> (4,
       "diagnostic main: 2 single-row avg aggregates, 2 argv headOptions"),
     "graft/streaming/KnnClassifyStream.scala" -> (2,
@@ -111,7 +113,9 @@ class CollectAuditSpec extends AnyFunSuite {
     "graft/Profile.scala" -> (1, "argv headOption"),
     "graft/PinRecord.scala" -> (1, "scala take(5) on the sorted worst-query seq"),
     "graft/Explain.scala" -> (1, "argv headOption"),
-    "graft/Bench.scala" -> (1, "scala String.take(200) - error message trim"))
+    "graft/Bench.scala" -> (2, "scala String.take(200) - error message trim; " +
+      "scala split-array head picking the first SPARK_LOCAL_DIRS entry " +
+      "for the disk-probe file (round 18)"))
 
   private def countPattern(pattern: String): Map[String, Int] = {
     import scala.jdk.CollectionConverters._
