@@ -115,6 +115,63 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
   }
 
+  /** CONTINUOUS capacity tracer (round 18) — the demonstrator for the
+    * probe-vs-wall residual the r17 verdict left open: back-to-back
+    * full-registry runs swing ±22% while the BOUNDARY probes (ctl/ctlp/
+    * ctld) sit flat, because short samples at pass edges under-sample
+    * time-varying co-tenant pressure. This thread runs a fixed xorshift
+    * chunk (1/20 of the ctl loop, ~40-50 ms quiet) CONTINUOUSLY for the
+    * whole run and records every chunk's wall duration — a ~20 Hz
+    * capacity time series covering every query.
+    *
+    * Reading it: chunk durations reflect TOTAL pressure (our own 32
+    * task threads + any co-tenant), so the absolute level is not a
+    * quiet certificate. The signal is CROSS-RUN: byte-identical code
+    * makes self-load a constant, so if run B's wall is 1.2× run A's
+    * and its chunk p50 is correspondingly higher, the premium is the
+    * box — demonstrated, not attributed. Per-query means land in
+    * BENCH_LOCAL.json (`cap`); the stdout line carries only the run's
+    * [p50, p90]. Diagnostic-only this round: no degraded-gate
+    * threshold until a few rounds calibrate the self-load band. */
+  private[graft] final class CapacityTracer {
+    private val chunkIters = CtlIters / 20
+    @volatile private var stopped = false
+    // paused around the BOUNDARY probes so ctl/ctlp stay comparable with
+    // the r15–r17 records (an extra runnable thread would skew the
+    // 32-thread probe by ~1/33)
+    @volatile var paused = false
+    private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+    private val th = new Thread(() => {
+      var x = 0xDEADBEEFCAFEL
+      while (!stopped) {
+        if (paused) Thread.sleep(5)
+        else {
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < chunkIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          if (x == 42L) System.err.print("")
+          durs.add((System.nanoTime() - t0) / 1e9)
+        }
+      }
+    }, "graft-capacity-tracer")
+    def start(): this.type = { th.setDaemon(true); th.start(); this }
+    /** (samples so far, sum of durations so far) — cheap snapshot for
+      * per-query windows. */
+    def snapshot(): (Int, Double) = {
+      var n = 0; var s = 0.0
+      val it = durs.iterator()
+      while (it.hasNext) { s += it.next(); n += 1 }
+      (n, s)
+    }
+    def stopAndPercentiles(): Seq[Double] = {
+      stopped = true
+      th.join(2000)
+      val a = durs.toArray(new Array[java.lang.Double](0)).map(_.doubleValue).sorted
+      if (a.isEmpty) Seq.empty
+      else Seq(a(((a.length - 1) * 0.50).toInt), a(((a.length - 1) * 0.90).toInt))
+    }
+  }
+
   /** Per-query isolation sweep, shared with [[Verify]]: clear the
     * CacheManager AND unpersist every still-registered RDD.
     * `clearCache()` alone is not enough — `localCheckpoint` blocks
@@ -163,7 +220,13 @@ object Bench {
     * mid-run device throttle that hits only pass 2 is visible as a
     * boundary step, where the round-17 start/end-only sampling was blind
     * to anything that recovered before the final reading). */
-  final case class Probes(ctl: Seq[Double], ctlp: Seq[Double], ctld: Seq[Double])
+  /** `ctlb` = the continuous tracer's [p50, p90] chunk seconds over the
+    * whole run (empty if the tracer produced no samples); `cap` = per-
+    * query mean chunk seconds while that query ran (both passes), the
+    * per-query attribution surface (BENCH_LOCAL only — see
+    * [[CapacityTracer]] for the cross-run reading discipline). */
+  final case class Probes(ctl: Seq[Double], ctlp: Seq[Double], ctld: Seq[Double],
+      ctlb: Seq[Double] = Seq.empty, cap: Map[String, Double] = Map.empty)
 
   /** Quiet-window contracts, the pin-grade thresholds (round 18 — the
     * r17 pin embedded a ~1.5× box premium that silently became the 2×
@@ -199,10 +262,15 @@ object Bench {
     val ctl = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ctlp = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ctld = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val capN = scala.collection.mutable.Map.empty[String, Int]
+    val capS = scala.collection.mutable.Map.empty[String, Double]
+    val tracer = new CapacityTracer().start()
     val all = (1 to passes).map { _ =>
+      tracer.paused = true
       ctl += controlProbe()
       ctlp += controlProbeParallel()
       ctld += controlProbeDisk()
+      tracer.paused = false
       val pass = queries.map { case (name, fn) =>
         // per-query isolation: a persisted frame from one query must not
         // serve an identical subplan in another (Spark's cache matches on
@@ -210,20 +278,32 @@ object Bench {
         // the RDD-layer sweep also drops leaked localCheckpoint blocks
         // (see [[isolate]]) so no query pays for a predecessor's storage
         isolate(spark)
+        val (n0, s0) = tracer.snapshot()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}"
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (n1, s1) = tracer.snapshot()
+        if (n1 > n0) {
+          capN(name) = capN.getOrElse(name, 0) + (n1 - n0)
+          capS(name) = capS.getOrElse(name, 0.0) + (s1 - s0)
+        }
+        name -> wall
       }
+      tracer.paused = true
       ctl += controlProbe()
       ctlp += controlProbeParallel()
+      tracer.paused = false
       pass
     }
+    tracer.paused = true
     ctld += controlProbeDisk()
+    val ctlb = tracer.stopAndPercentiles()
+    val cap = capN.keys.map(n => n -> capS(n) / capN(n)).toMap
     val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
-    (results, errors, Probes(ctl.toSeq, ctlp.toSeq, ctld.toSeq))
+    (results, errors, Probes(ctl.toSeq, ctlp.toSeq, ctld.toSeq, ctlb, cap))
   }
 
   private def rd(v: Double, scale: Int): String = BigDecimal(v)
@@ -259,8 +339,13 @@ object Bench {
     val ctlJson = probes.ctl.map(qv).mkString("[", ",", "]")
     val ctlpJson = probes.ctlp.map(qv).mkString("[", ",", "]")
     val ctldJson = probes.ctld.map(qv).mkString("[", ",", "]")
+    // the continuous tracer's [p50, p90] chunk seconds: 2-decimal (a
+    // quiet-self-loaded chunk is ~0.05-0.2 s — 1dp would flatten it),
+    // ~18 chars of line budget
+    val ctlbJson = probes.ctlb.map(rd(_, 2)).mkString("[", ",", "]")
     s"""{"metric":"total","value":${rd(total, 2)},"unit":"sec","ctl":$ctlJson,""" +
-      s""""ctlp":$ctlpJson,"ctld":$ctldJson,"queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
+      s""""ctlp":$ctlpJson,"ctld":$ctldJson,"ctlb":$ctlbJson,""" +
+      s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
   }
 
   /** Full-precision per-query record, written to `path` every run — the
@@ -277,10 +362,15 @@ object Bench {
     val ctlJson = probes.ctl.map(rd(_, 3)).mkString("[", ",", "]")
     val ctlpJson = probes.ctlp.map(rd(_, 3)).mkString("[", ",", "]")
     val ctldJson = probes.ctld.map(rd(_, 3)).mkString("[", ",", "]")
+    val ctlbJson = probes.ctlb.map(rd(_, 4)).mkString("[", ",", "]")
+    val capJson = probes.cap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + rd(v, 4) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":${rd(total, 3)},"unit":"sec","passes":$passes,""" +
         s""""ctl":$ctlJson,"ctlp":$ctlpJson,"ctld":$ctldJson,""" +
+        s""""ctlb":$ctlbJson,"cap":$capJson,""" +
         s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
   }

@@ -108,6 +108,11 @@ object SparkEntry {
       // unchanged since round 3; parity + golden gates stay) rotated
       // out for doc_pack_efficiency
       "evt_sample_asof",
+      // round 18: a sub-0.8 s stable cumulative-stats window chain
+      // (plan unchanged since round 4; oracle + two-heap-median goldens
+      // stay) rotated out to pay the ~18-char line budget of the
+      // continuous capacity tracer's ctlb [p50, p90] certificate
+      "evt_cumulative_stats",
       // round 16: a sub-0.4 s stable running-accumulate window scan
       // (plan unchanged since round 2; its oracle stays) rotated out
       // for aug_ets_roll (the per-tick sliding-refit ETS joining the

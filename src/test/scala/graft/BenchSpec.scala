@@ -40,6 +40,31 @@ class BenchSpec extends SparkSuite {
     assert(line.matches(""".*"ctld":\[[0-9.,-]+\],.*"""),
       s"disk probe array emitted in the line (round 17 — CPU probes " +
         s"miss device-read throttling; -1 = O_DIRECT unsupported): $line")
+    assert(line.matches(""".*"ctlb":\[[0-9.,]+\],.*"""),
+      s"continuous-tracer [p50, p90] emitted in the line (round 18 — the " +
+        s"boundary probes under-sample time-varying co-tenant pressure; " +
+        s"the whole-run chunk trace is the cross-run demonstrator): $line")
+  }
+
+  test("the capacity tracer yields per-query cap readings in BENCH_LOCAL") {
+    val qs = Map[String, (SparkSession, String) => DataFrame](
+      "t" -> ((s, _) => s.range(0, 20000000).selectExpr("sum(id * id) as s")))
+    val (results, errors, probes) = Bench.run(spark, "/root/testdata/sf0.001", qs)
+    assert(probes.ctlb.size == 2 && probes.ctlb.forall(v => v > 0 && v < 60),
+      s"tracer [p50, p90] must be real chunk seconds: ${probes.ctlb}")
+    assert(probes.ctlb(0) <= probes.ctlb(1), "p50 <= p90")
+    // cap coverage depends on the query outlasting at least one ~50ms
+    // chunk — the 20M-row sum above does; a missing entry means the
+    // snapshot windows are broken
+    assert(probes.cap.get("t").exists(v => v > 0 && v < 60),
+      s"per-query capacity reading recorded: ${probes.cap}")
+    val path = java.nio.file.Files.createTempFile("bench_cap", ".json")
+    Bench.writeLocal(path.toString, results, errors, probes,
+      "/root/testdata/sf0.001", passes = 2)
+    val json = java.nio.file.Files.readString(path)
+    assert(json.contains("\"ctlb\":[") && json.contains("\"cap\":{\"t\":"),
+      s"tracer surfaces in the full-precision record: $json")
+    java.nio.file.Files.delete(path)
   }
 
   test("the JSON line fits the driver's 2000-char stdout tail") {
