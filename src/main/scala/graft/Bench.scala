@@ -130,9 +130,24 @@ object Bench {
     * makes self-load a constant, so if run B's wall is 1.2× run A's
     * and its chunk p50 is correspondingly higher, the premium is the
     * box — demonstrated, not attributed. Per-query means land in
-    * BENCH_LOCAL.json (`cap`); the stdout line carries only the run's
-    * [p50, p90]. Diagnostic-only this round: no degraded-gate
-    * threshold until a few rounds calibrate the self-load band. */
+    * BENCH_LOCAL.json (`cap`/`capm`); the stdout line carries the
+    * run's [cpu_p50, cpu_p90, mem_p50, mem_p90]. Diagnostic-only this
+    * round: no degraded-gate threshold until a few rounds calibrate
+    * the self-load band.
+    *
+    * TWO chunk kinds, alternating, because they see DIFFERENT
+    * contention channels — the round-18 run-5 measurement forced the
+    * second: wall read 1.16× the pinned run while the cpu
+    * (register-only xorshift) chunks sat at the UNLOADED level
+    * (1-of-33 threads ⇒ ~3% self-skew), i.e. CPU cycles were freely
+    * available and something else braked the engine. A register loop
+    * is blind to MEMORY-BANDWIDTH/LLC pressure — exactly what a
+    * co-tenant's scan/shuffle workload steals and what Spark's
+    * hash/sort/scan operators feel. The `m` chunk streams a 256 MiB
+    * long array at 64 B stride (one touch per cache line, prefetch-
+    * friendly — a bandwidth gauge, ~0.02-0.05 s quiet). Cross-run
+    * decision table: mem up + cpu flat = bandwidth co-tenant; both
+    * up = core theft; both flat with wall up = device (ctld) or code. */
   private[graft] final class CapacityTracer {
     private val chunkIters = CtlIters / 20
     @volatile private var stopped = false
@@ -140,37 +155,90 @@ object Bench {
     // the r15–r17 records (an extra runnable thread would skew the
     // 32-thread probe by ~1/33)
     @volatile var paused = false
-    private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+    private val cpuDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+    private val memDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
     private val th = new Thread(() => {
+      // bandwidth-gauge array: 32M longs = 256 MiB, initialized here so
+      // the first mem chunk is not an allocation measurement
+      val arr = new Array[Long](32 << 20)
+      var j = 0
+      while (j < arr.length) { arr(j) = j; j += 1 }
       var x = 0xDEADBEEFCAFEL
+      var mem = false
       while (!stopped) {
         if (paused) Thread.sleep(5)
-        else {
+        else if (mem) {
+          val t0 = System.nanoTime()
+          var s = 0L
+          var i = 0
+          while (i < arr.length) { s += arr(i); i += 8 }
+          if (s == 42L) System.err.print("")
+          memDurs.add((System.nanoTime() - t0) / 1e9)
+        } else {
           val t0 = System.nanoTime()
           var i = 0
           while (i < chunkIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
           if (x == 42L) System.err.print("")
-          durs.add((System.nanoTime() - t0) / 1e9)
+          cpuDurs.add((System.nanoTime() - t0) / 1e9)
         }
+        mem = !mem
       }
     }, "graft-capacity-tracer")
     def start(): this.type = { th.setDaemon(true); th.start(); this }
-    /** (samples so far, sum of durations so far) — cheap snapshot for
-      * per-query windows. */
-    def snapshot(): (Int, Double) = {
+    private def sumCount(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double])
+        : (Int, Double) = {
       var n = 0; var s = 0.0
-      val it = durs.iterator()
+      val it = q.iterator()
       while (it.hasNext) { s += it.next(); n += 1 }
       (n, s)
     }
-    def stopAndPercentiles(): Seq[Double] = {
-      stopped = true
-      th.join(2000)
-      val a = durs.toArray(new Array[java.lang.Double](0)).map(_.doubleValue).sorted
+    /** ((cpu n, cpu sum), (mem n, mem sum)) so far — cheap snapshots for
+      * per-query windows. */
+    def snapshot(): ((Int, Double), (Int, Double)) =
+      (sumCount(cpuDurs), sumCount(memDurs))
+    private def pcts(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double])
+        : Seq[Double] = {
+      val a = q.toArray(new Array[java.lang.Double](0)).map(_.doubleValue).sorted
       if (a.isEmpty) Seq.empty
       else Seq(a(((a.length - 1) * 0.50).toInt), a(((a.length - 1) * 0.90).toInt))
     }
+    /** [cpu_p50, cpu_p90, mem_p50, mem_p90] (a kind with no samples
+      * contributes nothing — callers read by position only when size==4). */
+    def stopAndPercentiles(): Seq[Double] = {
+      stopped = true
+      th.join(2000)
+      pcts(cpuDurs) ++ pcts(memDurs)
+    }
   }
+
+  /** Cumulative (steal, iowait, total) jiffies from /proc/stat's
+    * aggregate cpu line — the HYPERVISOR'S own account of co-tenant
+    * theft (round 18): `steal` counts time this VM's vCPUs were
+    * runnable but the host ran someone else, which is invisible to
+    * every in-JVM probe (a stolen tick freezes the prober and the
+    * probed alike, so chunk durations and wall inflate TOGETHER and
+    * the ratio stays flat — precisely the blind spot runs 1–6 hit:
+    * walls swinging 199→278 s on flat ctl AND flat tracer chunks).
+    * Returns None off-Linux (recorded as absent, never fabricated). */
+  private[graft] def procStatSteal(): Option[(Long, Long, Long)] =
+    try {
+      val line = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+        .filter(_.startsWith("cpu ")).findFirst()
+      if (!line.isPresent) None
+      else {
+        val f = line.get.trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal guest guest_nice
+        if (f.length < 8) None
+        else Some((f(7), f(4), f.sum))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Steal and iowait FRACTIONS of total cpu jiffies between two
+    * [[procStatSteal]] snapshots. */
+  private[graft] def stealFrac(a: Option[(Long, Long, Long)],
+      b: Option[(Long, Long, Long)]): Option[(Double, Double)] =
+    for ((s0, w0, t0) <- a; (s1, w1, t1) <- b if t1 > t0)
+      yield (((s1 - s0).toDouble / (t1 - t0)), ((w1 - w0).toDouble / (t1 - t0)))
 
   /** Per-query isolation sweep, shared with [[Verify]]: clear the
     * CacheManager AND unpersist every still-registered RDD.
@@ -225,8 +293,15 @@ object Bench {
     * query mean chunk seconds while that query ran (both passes), the
     * per-query attribution surface (BENCH_LOCAL only — see
     * [[CapacityTracer]] for the cross-run reading discipline). */
+  /** `ctls`/`ctli` = per-pass hypervisor steal / iowait fractions from
+    * /proc/stat (empty off-Linux); `caps` = per-query steal fraction —
+    * the decisive attribution surface: a query far over its pin WITH
+    * elevated steal is the host's doing, by the hypervisor's own
+    * accounting. */
   final case class Probes(ctl: Seq[Double], ctlp: Seq[Double], ctld: Seq[Double],
-      ctlb: Seq[Double] = Seq.empty, cap: Map[String, Double] = Map.empty)
+      ctlb: Seq[Double] = Seq.empty, cap: Map[String, Double] = Map.empty,
+      capm: Map[String, Double] = Map.empty, ctls: Seq[Double] = Seq.empty,
+      ctli: Seq[Double] = Seq.empty, caps: Map[String, Double] = Map.empty)
 
   /** Quiet-window contracts, the pin-grade thresholds (round 18 — the
     * r17 pin embedded a ~1.5× box premium that silently became the 2×
@@ -264,6 +339,12 @@ object Bench {
     val ctld = scala.collection.mutable.ArrayBuffer.empty[Double]
     val capN = scala.collection.mutable.Map.empty[String, Int]
     val capS = scala.collection.mutable.Map.empty[String, Double]
+    val capMN = scala.collection.mutable.Map.empty[String, Int]
+    val capMS = scala.collection.mutable.Map.empty[String, Double]
+    val stealJ = scala.collection.mutable.Map.empty[String, Long]
+    val totalJ = scala.collection.mutable.Map.empty[String, Long]
+    val ctls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ctli = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tracer = new CapacityTracer().start()
     val all = (1 to passes).map { _ =>
       tracer.paused = true
@@ -271,6 +352,7 @@ object Bench {
       ctlp += controlProbeParallel()
       ctld += controlProbeDisk()
       tracer.paused = false
+      val passSt0 = procStatSteal()
       val pass = queries.map { case (name, fn) =>
         // per-query isolation: a persisted frame from one query must not
         // serve an identical subplan in another (Spark's cache matches on
@@ -278,19 +360,31 @@ object Bench {
         // the RDD-layer sweep also drops leaked localCheckpoint blocks
         // (see [[isolate]]) so no query pays for a predecessor's storage
         isolate(spark)
-        val (n0, s0) = tracer.snapshot()
+        val ((cn0, cs0), (mn0, ms0)) = tracer.snapshot()
+        val qSt0 = procStatSteal()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}"
         }
         val wall = (System.nanoTime() - t0) / 1e9
-        val (n1, s1) = tracer.snapshot()
-        if (n1 > n0) {
-          capN(name) = capN.getOrElse(name, 0) + (n1 - n0)
-          capS(name) = capS.getOrElse(name, 0.0) + (s1 - s0)
+        val ((cn1, cs1), (mn1, ms1)) = tracer.snapshot()
+        if (cn1 > cn0) {
+          capN(name) = capN.getOrElse(name, 0) + (cn1 - cn0)
+          capS(name) = capS.getOrElse(name, 0.0) + (cs1 - cs0)
+        }
+        if (mn1 > mn0) {
+          capMN(name) = capMN.getOrElse(name, 0) + (mn1 - mn0)
+          capMS(name) = capMS.getOrElse(name, 0.0) + (ms1 - ms0)
+        }
+        for ((s0, _, tj0) <- qSt0; (s1, _, tj1) <- procStatSteal() if tj1 > tj0) {
+          stealJ(name) = stealJ.getOrElse(name, 0L) + (s1 - s0)
+          totalJ(name) = totalJ.getOrElse(name, 0L) + (tj1 - tj0)
         }
         name -> wall
+      }
+      stealFrac(passSt0, procStatSteal()).foreach { case (s, w) =>
+        ctls += s; ctli += w
       }
       tracer.paused = true
       ctl += controlProbe()
@@ -302,8 +396,12 @@ object Bench {
     ctld += controlProbeDisk()
     val ctlb = tracer.stopAndPercentiles()
     val cap = capN.keys.map(n => n -> capS(n) / capN(n)).toMap
+    val capm = capMN.keys.map(n => n -> capMS(n) / capMN(n)).toMap
+    val caps = stealJ.keys.filter(n => totalJ.getOrElse(n, 0L) > 0)
+      .map(n => n -> stealJ(n).toDouble / totalJ(n)).toMap
     val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
-    (results, errors, Probes(ctl.toSeq, ctlp.toSeq, ctld.toSeq, ctlb, cap))
+    (results, errors, Probes(ctl.toSeq, ctlp.toSeq, ctld.toSeq, ctlb, cap, capm,
+      ctls.toSeq, ctli.toSeq, caps))
   }
 
   private def rd(v: Double, scale: Int): String = BigDecimal(v)
@@ -343,8 +441,12 @@ object Bench {
     // quiet-self-loaded chunk is ~0.05-0.2 s — 1dp would flatten it),
     // ~18 chars of line budget
     val ctlbJson = probes.ctlb.map(rd(_, 2)).mkString("[", ",", "]")
+    // per-pass hypervisor steal fraction, 3dp (a 0.1%-granular 0.012 is
+    // a real signal; quiet is 0): the one certificate NO in-JVM probe
+    // can fake or miss, ~14 chars
+    val ctlsJson = probes.ctls.map(rd(_, 3)).mkString("[", ",", "]")
     s"""{"metric":"total","value":${rd(total, 2)},"unit":"sec","ctl":$ctlJson,""" +
-      s""""ctlp":$ctlpJson,"ctld":$ctldJson,"ctlb":$ctlbJson,""" +
+      s""""ctlp":$ctlpJson,"ctld":$ctldJson,"ctlb":$ctlbJson,"ctls":$ctlsJson,""" +
       s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
   }
 
@@ -363,14 +465,18 @@ object Bench {
     val ctlpJson = probes.ctlp.map(rd(_, 3)).mkString("[", ",", "]")
     val ctldJson = probes.ctld.map(rd(_, 3)).mkString("[", ",", "]")
     val ctlbJson = probes.ctlb.map(rd(_, 4)).mkString("[", ",", "]")
-    val capJson = probes.cap.toSeq.sortBy(_._1)
+    def capJson(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + rd(v, 4) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val ctlsJson = probes.ctls.map(rd(_, 4)).mkString("[", ",", "]")
+    val ctliJson = probes.ctli.map(rd(_, 4)).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${rd(total, 3)},"unit":"sec","passes":$passes,""" +
         s""""ctl":$ctlJson,"ctlp":$ctlpJson,"ctld":$ctldJson,""" +
-        s""""ctlb":$ctlbJson,"cap":$capJson,""" +
+        s""""ctlb":$ctlbJson,"ctls":$ctlsJson,"ctli":$ctliJson,""" +
+        s""""cap":${capJson(probes.cap)},"capm":${capJson(probes.capm)},""" +
+        s""""caps":${capJson(probes.caps)},""" +
         s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
   }

@@ -113,6 +113,12 @@ object SparkEntry {
       // stay) rotated out to pay the ~18-char line budget of the
       // continuous capacity tracer's ctlb [p50, p90] certificate
       "evt_cumulative_stats",
+      // round 18 second batch: a sub-0.7 s stable time-weighted rolling
+      // scan (plan unchanged since round 4; oracle + goldens stay;
+      // evt_tw_cumulative / evt_tw_timewin / evt_tw_median keep the
+      // time-weighted family on the line) rotated out for the per-pass
+      // hypervisor steal certificate (ctls)
+      "evt_tw_rolling",
       // round 16: a sub-0.4 s stable running-accumulate window scan
       // (plan unchanged since round 2; its oracle stays) rotated out
       // for aug_ets_roll (the per-tick sliding-refit ETS joining the

@@ -46,24 +46,38 @@ class BenchSpec extends SparkSuite {
         s"the whole-run chunk trace is the cross-run demonstrator): $line")
   }
 
-  test("the capacity tracer yields per-query cap readings in BENCH_LOCAL") {
+  test("the capacity tracer yields per-query cap/capm readings in BENCH_LOCAL") {
+    // the 200M-row sum runs ~1-2 s — long enough to span several chunks
+    // of BOTH kinds (cpu xorshift ~0.05 s, 256 MiB mem stream ~0.02-0.1)
     val qs = Map[String, (SparkSession, String) => DataFrame](
-      "t" -> ((s, _) => s.range(0, 20000000).selectExpr("sum(id * id) as s")))
+      "t" -> ((s, _) => s.range(0, 200000000).selectExpr("sum(id * id) as s")))
     val (results, errors, probes) = Bench.run(spark, "/root/testdata/sf0.001", qs)
-    assert(probes.ctlb.size == 2 && probes.ctlb.forall(v => v > 0 && v < 60),
-      s"tracer [p50, p90] must be real chunk seconds: ${probes.ctlb}")
-    assert(probes.ctlb(0) <= probes.ctlb(1), "p50 <= p90")
-    // cap coverage depends on the query outlasting at least one ~50ms
-    // chunk — the 20M-row sum above does; a missing entry means the
-    // snapshot windows are broken
+    assert(probes.ctlb.size == 4 && probes.ctlb.forall(v => v > 0 && v < 60),
+      s"tracer [cpu_p50, cpu_p90, mem_p50, mem_p90] must be real chunk " +
+        s"seconds: ${probes.ctlb}")
+    assert(probes.ctlb(0) <= probes.ctlb(1) && probes.ctlb(2) <= probes.ctlb(3),
+      s"p50 <= p90 per kind: ${probes.ctlb}")
     assert(probes.cap.get("t").exists(v => v > 0 && v < 60),
-      s"per-query capacity reading recorded: ${probes.cap}")
+      s"per-query cpu capacity reading recorded: ${probes.cap}")
+    assert(probes.capm.get("t").exists(v => v > 0 && v < 60),
+      s"per-query mem-bandwidth reading recorded: ${probes.capm}")
+    // hypervisor steal accounting (Linux container — /proc/stat exists
+    // here): per-pass fractions in [0, 1), a per-query entry for the
+    // 1-2 s query above (its window spans many jiffies)
+    assert(probes.ctls.size == 2 && probes.ctls.forall(v => v >= 0 && v < 1),
+      s"per-pass steal fractions: ${probes.ctls}")
+    assert(probes.ctli.size == 2 && probes.ctli.forall(v => v >= 0 && v < 1),
+      s"per-pass iowait fractions: ${probes.ctli}")
+    assert(probes.caps.get("t").exists(v => v >= 0 && v < 1),
+      s"per-query steal fraction recorded: ${probes.caps}")
     val path = java.nio.file.Files.createTempFile("bench_cap", ".json")
     Bench.writeLocal(path.toString, results, errors, probes,
       "/root/testdata/sf0.001", passes = 2)
     val json = java.nio.file.Files.readString(path)
-    assert(json.contains("\"ctlb\":[") && json.contains("\"cap\":{\"t\":"),
-      s"tracer surfaces in the full-precision record: $json")
+    assert(json.contains("\"ctlb\":[") && json.contains("\"cap\":{\"t\":") &&
+      json.contains("\"capm\":{\"t\":") && json.contains("\"ctls\":[") &&
+      json.contains("\"caps\":{\"t\":"),
+      s"tracer + steal accounting surface in the full-precision record: $json")
     java.nio.file.Files.delete(path)
   }
 
