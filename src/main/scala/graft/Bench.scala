@@ -318,15 +318,24 @@ object Bench {
   private[graft] val CtlpRatioQuietMax = 1.5
   private[graft] val CtldQuietMax = 0.6
 
+  /** Hypervisor steal: >1% of a pass's cpu jiffies stolen is not a
+    * quiet window — it is the hypervisor's own statement that a
+    * co-tenant ran on our vCPUs (runs 5–7 measured 4–5% while every
+    * in-JVM probe read flat, and walls sat 13–40% over the best run).
+    * The most trustworthy certificate of the set: it cannot be fooled
+    * by in-JVM blind spots, because it is not measured in the JVM. */
+  private[graft] val CtlsQuietMax = 0.01
+
   /** True when any probe reading breaches its quiet contract. -1 ctld
     * sentinels (O_DIRECT unsupported) are skipped: an absent certificate
-    * is not evidence of noise. Pre-r17 records lacking ctlp/ctld are
-    * judged on what they carry. */
+    * is not evidence of noise. Pre-r17 records lacking ctlp/ctld (and
+    * pre-r18 ones lacking ctls) are judged on what they carry. */
   private[graft] def degradedWindow(ctl: Seq[Double], ctlp: Seq[Double],
-      ctld: Seq[Double]): Boolean =
+      ctld: Seq[Double], ctls: Seq[Double] = Seq.empty): Boolean =
     ctl.exists(_ > CtlQuietMax) ||
       ctl.zip(ctlp).exists { case (c, p) => c > 0 && p / c > CtlpRatioQuietMax } ||
-      ctld.exists(d => d >= 0 && d > CtldQuietMax)
+      ctld.exists(d => d >= 0 && d > CtldQuietMax) ||
+      ctls.exists(_ > CtlsQuietMax)
 
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],

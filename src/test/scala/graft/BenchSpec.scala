@@ -255,6 +255,18 @@ class BenchSpec extends SparkSuite {
       pinJson("[0.70,0.72,0.71,0.74]", "[0.90,0.95,0.92,0.96]", "[-1,-1,-1]"))
       .contains("DEGRADED"),
       "-1 O_DIRECT sentinel is an absent certificate, not noise evidence")
+    // hypervisor steal (round 18): >1% of a pass stolen flags even when
+    // every in-JVM probe reads quiet — runs 5-7's exact failure mode
+    val quietWithSteal = pinJson("[0.70,0.72,0.71,0.74]",
+      "[0.90,0.95,0.92,0.96]", "[0.30,0.20,0.25]")
+      .replace(""""queries"""", """"ctls":[0.002,0.047],"queries"""")
+    assert(PinRecord.renderFromJson(quietWithSteal).contains("DEGRADED-WINDOW PIN"),
+      "a stolen pass flags the pin regardless of flat in-JVM probes")
+    val quietNoSteal = pinJson("[0.70,0.72,0.71,0.74]",
+      "[0.90,0.95,0.92,0.96]", "[0.30,0.20,0.25]")
+      .replace(""""queries"""", """"ctls":[0.002,0.005],"queries"""")
+    assert(!PinRecord.renderFromJson(quietNoSteal).contains("DEGRADED"),
+      "sub-1% steal with quiet probes stays unflagged")
   }
 
   test("nonBenchQueries name real registry queries and stay oracle-gated") {
