@@ -147,16 +147,49 @@ object Bench {
     * long array at 64 B stride (one touch per cache line, prefetch-
     * friendly — a bandwidth gauge, ~0.02-0.05 s quiet). Cross-run
     * decision table: mem up + cpu flat = bandwidth co-tenant; both
-    * up = core theft; both flat with wall up = device (ctld) or code. */
-  private[graft] final class CapacityTracer {
+    * up = core theft; both flat with wall up = device (ctld) or code.
+    *
+    * DUTY-CYCLED since round 19 (r18 verdict #1 + advisor: the r18 form
+    * ran chunk-after-chunk with NO inter-chunk sleep — one core consumed
+    * 100% of every timed region, ~half of it deliberately streaming
+    * memory at 3–6 GB/s, an UNCALIBRATED SELF-LOAD inside the very
+    * regression the instrument was built to attribute; worse, r18's
+    * driver bench ran tracer-on against a tracer-off r17, confounding
+    * the cross-round comparison). Each chunk of measured duration d is
+    * now followed by a sleep of d·(1/duty − 1), so the tracer's CPU+
+    * bandwidth consumption is ≤ `duty` of one core BY CONSTRUCTION and
+    * stays there under contention (a slowed chunk earns a
+    * proportionally longer sleep). duty = 0.05 default ⇒ ≤5% of 1/32 of
+    * the box ≈ 0.16% self-load; quiet cadence ~1 chunk pair / ~1.6 s —
+    * a trend line, which is all cross-run attribution needs (the 20 Hz
+    * rate was never load-bearing). GRAFT_TRACER=full restores the r18
+    * behavior for A/B self-load measurement; =off disables entirely.
+    * The mode lands in BENCH_LOCAL.json (`trc`) so every record states
+    * which instrument ran — the r18 records' unknown tracer tax can
+    * never recur silently. */
+  private[graft] final class CapacityTracer(duty: Double = 0.05) {
+    require(duty > 0 && duty <= 1, s"duty fraction in (0,1]: $duty")
     private val chunkIters = CtlIters / 20
     @volatile private var stopped = false
     // paused around the BOUNDARY probes so ctl/ctlp stay comparable with
     // the r15–r17 records (an extra runnable thread would skew the
     // 32-thread probe by ~1/33)
-    @volatile var paused = false
+    @volatile private var paused = false
+    // true only while the worker is parked in its pause loop — the drain
+    // handshake: r18's bare `paused = true` left an in-flight 256 MiB mem
+    // chunk streaming INTO the probe's timed region (round-19 advisor)
+    @volatile private var parked = false
+    private[graft] def isParked: Boolean = parked
     private val cpuDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
     private val memDurs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+    /** Sets the pause flag and BLOCKS until the worker has parked, so no
+      * chunk overlaps what follows (boundary probes). Returns immediately
+      * if the worker already stopped. */
+    def pauseAndDrain(): Unit = {
+      paused = true
+      while (!parked && !stopped && th.isAlive) Thread.sleep(1)
+    }
+    def resume(): Unit = { paused = false }
     private val th = new Thread(() => {
       // bandwidth-gauge array: 32M longs = 256 MiB, initialized here so
       // the first mem chunk is not an allocation measurement
@@ -166,23 +199,31 @@ object Bench {
       var x = 0xDEADBEEFCAFEL
       var mem = false
       while (!stopped) {
-        if (paused) Thread.sleep(5)
-        else if (mem) {
+        if (paused) { parked = true; Thread.sleep(5) }
+        else {
+          parked = false
           val t0 = System.nanoTime()
-          var s = 0L
-          var i = 0
-          while (i < arr.length) { s += arr(i); i += 8 }
-          if (s == 42L) System.err.print("")
-          memDurs.add((System.nanoTime() - t0) / 1e9)
-        } else {
-          val t0 = System.nanoTime()
-          var i = 0
-          while (i < chunkIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-          if (x == 42L) System.err.print("")
-          cpuDurs.add((System.nanoTime() - t0) / 1e9)
+          if (mem) {
+            var s = 0L
+            var i = 0
+            while (i < arr.length) { s += arr(i); i += 8 }
+            if (s == 42L) System.err.print("")
+          } else {
+            var i = 0
+            while (i < chunkIters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+            if (x == 42L) System.err.print("")
+          }
+          val d = (System.nanoTime() - t0) / 1e9
+          (if (mem) memDurs else cpuDurs).add(d)
+          mem = !mem
+          // the duty-cycle sleep: measured-work / (work + sleep) = duty;
+          // capped at 5 s so a pathologically slow chunk (e.g. a 100×
+          // stolen window) cannot silence the tracer for minutes
+          val sleepMs = math.min(5000.0, d * (1.0 / duty - 1.0) * 1000.0)
+          if (sleepMs >= 1) Thread.sleep(sleepMs.toLong)
         }
-        mem = !mem
       }
+      parked = true
     }, "graft-capacity-tracer")
     def start(): this.type = { th.setDaemon(true); th.start(); this }
     private def sumCount(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double])
@@ -222,14 +263,23 @@ object Bench {
     * Returns None off-Linux (recorded as absent, never fabricated). */
   private[graft] def procStatSteal(): Option[(Long, Long, Long)] =
     try {
-      val line = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
-        .filter(_.startsWith("cpu ")).findFirst()
-      if (!line.isPresent) None
-      else {
-        val f = line.get.trim.split("\\s+").drop(1).map(_.toLong)
+      // readAllLines (not a Files.lines stream): the r18 form leaked the
+      // stream's file descriptor on every call — twice per query per pass,
+      // hundreds of FDs held until GC on a 128 GiB heap that may not GC
+      // for a whole pass (round-19 advisor)
+      import scala.jdk.CollectionConverters._
+      val line = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).asScala
+        .find(_.startsWith("cpu "))
+      line.flatMap { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
         // user nice system idle iowait irq softirq steal guest guest_nice
+        // — the total sums the FIRST 8 ONLY: the kernel already folds
+        // guest/guest_nice into user, so including them double-counts
+        // guest time and deflates the steal fraction right at the 1%
+        // quiet gate (round-19 advisor)
         if (f.length < 8) None
-        else Some((f(7), f(4), f.sum))
+        else Some((f(7), f(4), f.take(8).sum))
       }
     } catch { case _: Throwable => None }
 
@@ -239,6 +289,38 @@ object Bench {
       b: Option[(Long, Long, Long)]): Option[(Double, Double)] =
     for ((s0, w0, t0) <- a; (s1, w1, t1) <- b if t1 > t0)
       yield (((s1 - s0).toDouble / (t1 - t0)), ((w1 - w0).toDouble / (t1 - t0)))
+
+  /** Per-query SHUFFLE-WRITE byte tally (round 19, r18 verdict #3): the
+    * volume analog of PlanAuditSpec's exchange-count gates, and box-proof
+    * where wall clocks are not — a lost broadcast or a resurrected
+    * payload amplification (the exact class the r17 aug_dtw 20 GB sort
+    * belonged to, `ops/Augurs.scala` dtwMatrixOrdered scaladoc) moves
+    * BYTES deterministically on any box, quiet or stolen. Attribution
+    * rides Spark's job groups, not wall-clock windows: every stage is
+    * keyed to the `query#pass` group of the job that submitted it at
+    * [[SparkListenerJobStart]], so the listener bus's async delivery can
+    * never credit a late-arriving stage to the wrong query — a fixed
+    * end-of-run drain sleep bounds only the TAIL undercount, not
+    * attribution. Stage retries sum (they are real bytes moved). */
+  private[graft] final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]
+    private val groupBytes = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val g = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
+      if (g != null) j.stageIds.foreach(id => stageGroup.put(id, g))
+    }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val g = stageGroup.get(s.stageInfo.stageId)
+      if (g != null)
+        groupBytes.merge(g,
+          java.lang.Long.valueOf(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten),
+          (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+    }
+    def bytes(group: String): Long =
+      Option(groupBytes.get(group)).map(_.longValue).getOrElse(0L)
+  }
 
   /** Per-query isolation sweep, shared with [[Verify]]: clear the
     * CacheManager AND unpersist every still-registered RDD.
@@ -294,14 +376,21 @@ object Bench {
     * per-query attribution surface (BENCH_LOCAL only — see
     * [[CapacityTracer]] for the cross-run reading discipline). */
   /** `ctls`/`ctli` = per-pass hypervisor steal / iowait fractions from
-    * /proc/stat (empty off-Linux); `caps` = per-query steal fraction —
-    * the decisive attribution surface: a query far over its pin WITH
-    * elevated steal is the host's doing, by the hypervisor's own
-    * accounting. */
+    * /proc/stat (empty off-Linux); `caps` = per-query steal fraction,
+    * PER-PASS-MATCHED since round 19 (r18 verdict #4: the r18 form
+    * aggregated both passes' jiffies while the wall takes the per-query
+    * MIN, so the instrument could not attribute any single reading) —
+    * each entry is the steal fraction of exactly the pass the reported
+    * min wall came from, so "doc_gopher 6× of pin at caps 0.08" is
+    * adjudicable, not arguable. `shuf` = per-query shuffle-write bytes
+    * from that same min-wall pass ([[ShuffleTally]]); `trc` = which
+    * capacity-tracer instrument ran (duty | full | off), so no record
+    * carries an unknown tracer tax again. */
   final case class Probes(ctl: Seq[Double], ctlp: Seq[Double], ctld: Seq[Double],
       ctlb: Seq[Double] = Seq.empty, cap: Map[String, Double] = Map.empty,
       capm: Map[String, Double] = Map.empty, ctls: Seq[Double] = Seq.empty,
-      ctli: Seq[Double] = Seq.empty, caps: Map[String, Double] = Map.empty)
+      ctli: Seq[Double] = Seq.empty, caps: Map[String, Double] = Map.empty,
+      shuf: Map[String, Long] = Map.empty, trc: String = "duty")
 
   /** Quiet-window contracts, the pin-grade thresholds (round 18 — the
     * r17 pin embedded a ~1.5× box premium that silently became the 2×
@@ -337,6 +426,18 @@ object Bench {
       ctld.exists(d => d >= 0 && d > CtldQuietMax) ||
       ctls.exists(_ > CtlsQuietMax)
 
+  /** Tracer mode from GRAFT_TRACER: `duty` (default, ≤5%-duty trend
+    * sampler — see [[CapacityTracer]]), `full` (the r18 100%-duty form,
+    * kept ONLY for A/B self-load measurement), `off` (no tracer thread —
+    * the zero-self-load baseline for that A/B and the fallback if the
+    * duty band ever reads suspect). Unknown values fail loudly: a typo'd
+    * mode must not silently bench under a different instrument. */
+  private[graft] def tracerMode(): String = {
+    val m = sys.env.getOrElse("GRAFT_TRACER", "duty")
+    require(Set("duty", "full", "off")(m), s"GRAFT_TRACER must be duty|full|off: $m")
+    m
+  }
+
   def run(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       passes: Int = 2): (Map[String, Double], Map[String, String], Probes) = {
@@ -350,67 +451,96 @@ object Bench {
     val capS = scala.collection.mutable.Map.empty[String, Double]
     val capMN = scala.collection.mutable.Map.empty[String, Int]
     val capMS = scala.collection.mutable.Map.empty[String, Double]
-    val stealJ = scala.collection.mutable.Map.empty[String, Long]
-    val totalJ = scala.collection.mutable.Map.empty[String, Long]
     val ctls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ctli = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val tracer = new CapacityTracer().start()
-    val all = (1 to passes).map { _ =>
-      tracer.paused = true
+    val mode = tracerMode()
+    val tracer: Option[CapacityTracer] = mode match {
+      case "off"  => None
+      case "full" => Some(new CapacityTracer(duty = 1.0).start())
+      case _      => Some(new CapacityTracer().start())
+    }
+    def drained(): Unit = tracer.foreach(_.pauseAndDrain())
+    def resumed(): Unit = tracer.foreach(_.resume())
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    // per-pass per-query walls and steal fractions, so the reported caps/
+    // shuf can be matched to exactly the pass the min wall came from
+    val passWalls = Array.fill(passes)(Map.empty[String, Double])
+    val passSteal = Array.fill(passes)(Map.empty[String, Double])
+    (0 until passes).foreach { p =>
+      drained()
       ctl += controlProbe()
       ctlp += controlProbeParallel()
       ctld += controlProbeDisk()
-      tracer.paused = false
+      resumed()
       val passSt0 = procStatSteal()
-      val pass = queries.map { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         // per-query isolation: a persisted frame from one query must not
         // serve an identical subplan in another (Spark's cache matches on
         // canonicalized plans), or the second query's number is fiction;
         // the RDD-layer sweep also drops leaked localCheckpoint blocks
         // (see [[isolate]]) so no query pays for a predecessor's storage
         isolate(spark)
-        val ((cn0, cs0), (mn0, ms0)) = tracer.snapshot()
+        val snap0 = tracer.map(_.snapshot())
         val qSt0 = procStatSteal()
+        // job-group = this query+pass: every stage its jobs submit is
+        // tallied to this key no matter when the listener event lands
+        spark.sparkContext.setJobGroup(s"$name#$p", s"bench $name pass $p",
+          interruptOnCancel = false)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}"
         }
         val wall = (System.nanoTime() - t0) / 1e9
-        val ((cn1, cs1), (mn1, ms1)) = tracer.snapshot()
-        if (cn1 > cn0) {
-          capN(name) = capN.getOrElse(name, 0) + (cn1 - cn0)
-          capS(name) = capS.getOrElse(name, 0.0) + (cs1 - cs0)
+        spark.sparkContext.clearJobGroup()
+        passWalls(p) = passWalls(p) + (name -> wall)
+        snap0.zip(tracer.map(_.snapshot())).foreach {
+          case (((cn0, cs0), (mn0, ms0)), ((cn1, cs1), (mn1, ms1))) =>
+            if (cn1 > cn0) {
+              capN(name) = capN.getOrElse(name, 0) + (cn1 - cn0)
+              capS(name) = capS.getOrElse(name, 0.0) + (cs1 - cs0)
+            }
+            if (mn1 > mn0) {
+              capMN(name) = capMN.getOrElse(name, 0) + (mn1 - mn0)
+              capMS(name) = capMS.getOrElse(name, 0.0) + (ms1 - ms0)
+            }
         }
-        if (mn1 > mn0) {
-          capMN(name) = capMN.getOrElse(name, 0) + (mn1 - mn0)
-          capMS(name) = capMS.getOrElse(name, 0.0) + (ms1 - ms0)
-        }
-        for ((s0, _, tj0) <- qSt0; (s1, _, tj1) <- procStatSteal() if tj1 > tj0) {
-          stealJ(name) = stealJ.getOrElse(name, 0L) + (s1 - s0)
-          totalJ(name) = totalJ.getOrElse(name, 0L) + (tj1 - tj0)
-        }
-        name -> wall
+        for ((s0, _, tj0) <- qSt0; (s1, _, tj1) <- procStatSteal() if tj1 > tj0)
+          passSteal(p) = passSteal(p) + (name -> (s1 - s0).toDouble / (tj1 - tj0))
       }
       stealFrac(passSt0, procStatSteal()).foreach { case (s, w) =>
         ctls += s; ctli += w
       }
-      tracer.paused = true
+      drained()
       ctl += controlProbe()
       ctlp += controlProbeParallel()
-      tracer.paused = false
-      pass
+      resumed()
     }
-    tracer.paused = true
+    drained()
     ctld += controlProbeDisk()
-    val ctlb = tracer.stopAndPercentiles()
+    val ctlb = tracer.map(_.stopAndPercentiles()).getOrElse(Seq.empty)
+    Thread.sleep(1500) // drain the listener bus tail (attribution is
+    // group-keyed, so only the final flush needs bounding — see ShuffleTally)
+    spark.sparkContext.removeSparkListener(tally) // repeated run() calls
+    // (specs share one session) must not stack tally listeners
     val cap = capN.keys.map(n => n -> capS(n) / capN(n)).toMap
     val capm = capMN.keys.map(n => n -> capMS(n) / capMN(n)).toMap
-    val caps = stealJ.keys.filter(n => totalJ.getOrElse(n, 0L) > 0)
-      .map(n => n -> stealJ(n).toDouble / totalJ(n)).toMap
-    val results = queries.keys.map(name => name -> all.map(_(name)).min).toMap
+    // min wall per query + which pass it came from: caps/shuf report THAT
+    // pass's steal fraction and shuffle bytes (per-pass-matched)
+    val minPass = queries.keys.map { name =>
+      name -> (0 until passes).minBy(p => passWalls(p).getOrElse(name, Double.MaxValue))
+    }.toMap
+    val results = queries.keys
+      .map(name => name -> passWalls(minPass(name))(name)).toMap
+    val caps = queries.keys.flatMap { name =>
+      passSteal(minPass(name)).get(name).map(name -> _)
+    }.toMap
+    val shuf = queries.keys.map { name =>
+      name -> tally.bytes(s"$name#${minPass(name)}")
+    }.toMap
     (results, errors, Probes(ctl.toSeq, ctlp.toSeq, ctld.toSeq, ctlb, cap, capm,
-      ctls.toSeq, ctli.toSeq, caps))
+      ctls.toSeq, ctli.toSeq, caps, shuf, mode))
   }
 
   private def rd(v: Double, scale: Int): String = BigDecimal(v)
@@ -480,12 +610,19 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val ctlsJson = probes.ctls.map(rd(_, 4)).mkString("[", ",", "]")
     val ctliJson = probes.ctli.map(rd(_, 4)).mkString("[", ",", "]")
+    // per-query shuffle-write bytes from the min-wall pass — the volume
+    // record the ±20% byte budgets (BenchSpec) and cross-round shuffle
+    // regressions read; exact longs, no rounding
+    val shufJson = probes.shuf.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${rd(total, 3)},"unit":"sec","passes":$passes,""" +
+        s""""trc":"${probes.trc}",""" +
         s""""ctl":$ctlJson,"ctlp":$ctlpJson,"ctld":$ctldJson,""" +
         s""""ctlb":$ctlbJson,"ctls":$ctlsJson,"ctli":$ctliJson,""" +
         s""""cap":${capJson(probes.cap)},"capm":${capJson(probes.capm)},""" +
-        s""""caps":${capJson(probes.caps)},""" +
+        s""""caps":${capJson(probes.caps)},"shuf":$shufJson,""" +
         s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
   }

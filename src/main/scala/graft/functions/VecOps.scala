@@ -71,7 +71,11 @@ object VecOps {
     * at the DP rather than a lower-bound pre-pass. */
   def dtwLe(a: Array[Double], b: Array[Double], band: Int, eps: Double): Boolean = {
     val n = a.length; val m = b.length
-    if (n == 0 || m == 0) return false
+    // empty side: dtw() returns +Infinity, so the threshold decision is
+    // `Inf <= eps` — true exactly when eps is +Infinity (round-19 advisor:
+    // the old `return false` diverged from dtw() at eps = +Inf, reachable
+    // via the public GraftColumns.dtwBandLe, never via seriesOf)
+    if (n == 0 || m == 0) return eps == Double.PositiveInfinity
     val INF = Double.PositiveInfinity
     var prev = Array.fill(m + 1)(INF); prev(0) = 0.0
     var cur = Array.fill(m + 1)(INF)
@@ -170,8 +174,15 @@ case class DtwBandLe(left: Expression, right: Expression, band: Int, eps: Double
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], band, eps)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // eps is emitted BY BITS, not toString: a non-finite eps would
+    // interpolate as the identifier `Infinity`/`NaN` — invalid Java that
+    // forces a codegen compile failure + interpreted fallback for the
+    // whole stage (round-19 advisor). longBitsToDouble round-trips every
+    // double exactly, including ±Inf/NaN/-0.0.
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecOps.dtwLeArrays($a, $b, $band, $eps)")
+      s"graft.functions.VecOps.dtwLeArrays($a, $b, $band, " +
+        s"java.lang.Double.longBitsToDouble(" +
+        s"${java.lang.Double.doubleToRawLongBits(eps)}L))")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

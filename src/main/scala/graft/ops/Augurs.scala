@@ -545,11 +545,24 @@ object Augurs {
     *    `sortWithinPartitions(sid_a, sid_b)` completes the total order:
     *    buckets are ascending sid_a ranges with equal keys co-located
     *    (RangePartitioner contract), so partition-local sort ⇒ global
-    *    (sid_a, sid_b) order across partition indexes. */
+    *    (sid_a, sid_b) order across partition indexes.
+    *
+    * EXECUTION CONTRACT: this method runs Spark jobs EAGERLY at call time
+    * (the budget-guard count and the two localCheckpoint
+    * materializations execute before it returns) — it is not a lazy plan
+    * builder, same contract as [[clusterDtwDistributed]]. The series
+    * frame is checkpointed ONCE and BOTH consumers (the bucket rank that
+    * pins the sid→token map, and the pair DP) read that snapshot: with
+    * two live executions a non-deterministic source Timeline (e.g. a
+    * sampled frame) could surface sids in the pair frame that are absent
+    * from the pinned token map, and the inner tag join would silently
+    * drop those pairs (round-19 advisor). k-row × window blocks,
+    * executor-local and non-replicated — see the clusterDtwDistributed
+    * contract note for the recovery caveat. */
   def dtwMatrixOrdered(t: Timeline, window: Int, band: Int = Int.MaxValue,
       maxPairs: Long = DtwDefaultMaxPairs, buckets: Int = 32): DataFrame = {
     requirePairBudget(t, maxPairs, "dtwMatrixOrdered")
-    val s = seriesOf(t, window)
+    val s = seriesOf(t, window).localCheckpoint()
     val tok = bucketTokens(buckets)
     // WEIGHTED bucketing (round 18): equal sid-RANGES would load the
     // upper-triangle wedge unevenly — the rank-r sid owns (k-r) pairs,

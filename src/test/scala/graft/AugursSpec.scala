@@ -135,8 +135,47 @@ class AugursSpec extends SparkSuite {
           s"dtwLe mismatch at band=$band eps=$eps d=$d")
       }
     }
-    // empty side: dtw = +inf, dtwLe = false at any finite eps
+    // empty side: dtw = +inf, so the threshold decision is `Inf <= eps` —
+    // false at any finite eps, TRUE at eps = +Inf (round-19 advisor: the
+    // old `false` diverged from dtw() exactly there)
     assert(!VecOps.dtwLe(Array.empty[Double], Array(1.0), 4, 1e18))
+    assert(VecOps.dtwLe(Array.empty[Double], Array(1.0), 4, Double.PositiveInfinity))
+    assert(!VecOps.dtwLe(Array.empty[Double], Array(1.0), 4, Double.NaN))
+  }
+
+  test("dtwBandLe expression: non-finite eps survives codegen (bits-emitted literal)") {
+    // round-19 advisor: doGenCode used to interpolate eps via toString, so
+    // eps = Infinity/NaN emitted the bare identifier `Infinity` — invalid
+    // Java, codegen compile failure, silent interpreted fallback for the
+    // whole stage. eps is now emitted by raw bits; the generated source
+    // must carry the longBitsToDouble round-trip and the evaluated
+    // decision must match dtw(a,b,band) <= eps for non-finite eps too.
+    import graft.functions.{DtwBandLe, VecOps}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val at = ArrayType(DoubleType, containsNull = false)
+    for (eps <- Seq(Double.PositiveInfinity, Double.NaN, 1.5)) {
+      val e = DtwBandLe(BoundReference(0, at, nullable = false),
+        BoundReference(1, at, nullable = false), 4, eps)
+      val code = e.genCode(new CodegenContext).code.toString
+      assert(code.contains("longBitsToDouble"),
+        s"eps=$eps must be emitted by bits, got:\n$code")
+      assert(!code.contains("Infinity") && !code.contains("NaN"),
+        s"no bare non-finite literal may appear in generated Java:\n$code")
+    }
+    // end-to-end through the column API: +Inf accepts everything
+    // (including an empty side), NaN accepts nothing
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(9.0, 9.0)), (Seq.empty[Double], Seq(1.0)))
+      .toDF("a", "b")
+    def decisions(eps: Double): Seq[Boolean] =
+      df.select(org.apache.spark.sql.GraftColumns.dtwBandLe(
+        col("a"), col("b"), 4, eps).as("d")).as[Boolean].collect().toSeq
+    assert(decisions(Double.PositiveInfinity) == Seq(true, true))
+    assert(decisions(Double.NaN) == Seq(false, false))
+    assert(VecOps.dtwLe(Array(1.0, 2.0), Array(9.0, 9.0), 4, 14.0) ==
+      (VecOps.dtw(Array(1.0, 2.0), Array(9.0, 9.0), 4) <= 14.0))
   }
 
   test("bucketTokens: placement map matches Spark's own hash partitioning exactly") {

@@ -47,10 +47,13 @@ class BenchSpec extends SparkSuite {
   }
 
   test("the capacity tracer yields per-query cap/capm readings in BENCH_LOCAL") {
-    // the 200M-row sum runs ~1-2 s — long enough to span several chunks
-    // of BOTH kinds (cpu xorshift ~0.05 s, 256 MiB mem stream ~0.02-0.1)
+    // the 800M-row sum runs ~4-8 s per pass: the tracer is DUTY-CYCLED
+    // since round 19 (~1 chunk pair per ~1.6 s quiet), so the query must
+    // span several pair cadences for both kinds to land a completed
+    // chunk inside its snapshot window
     val qs = Map[String, (SparkSession, String) => DataFrame](
-      "t" -> ((s, _) => s.range(0, 200000000).selectExpr("sum(id * id) as s")))
+      "t" -> ((s, _) =>
+        s.range(0, 800000000).selectExpr("sum(cast(id as double) * id) as s")))
     val (results, errors, probes) = Bench.run(spark, "/root/testdata/sf0.001", qs)
     assert(probes.ctlb.size == 4 && probes.ctlb.forall(v => v > 0 && v < 60),
       s"tracer [cpu_p50, cpu_p90, mem_p50, mem_p90] must be real chunk " +
@@ -70,6 +73,14 @@ class BenchSpec extends SparkSuite {
       s"per-pass iowait fractions: ${probes.ctli}")
     assert(probes.caps.get("t").exists(v => v >= 0 && v < 1),
       s"per-query steal fraction recorded: ${probes.caps}")
+    // round 19: tracer mode + per-query shuffle bytes are first-class
+    // record fields — no record may carry an unknown tracer tax, and the
+    // byte tally (the box-proof volume surface) must attribute the sum
+    // aggregate's partial-result exchange to the query that ran it
+    assert(probes.trc == "duty", s"default tracer mode is duty-cycled: ${probes.trc}")
+    assert(probes.shuf.get("t").exists(_ > 0),
+      s"per-query shuffle-write bytes recorded (the sum's partial-agg " +
+        s"exchange moves real bytes): ${probes.shuf}")
     val path = java.nio.file.Files.createTempFile("bench_cap", ".json")
     Bench.writeLocal(path.toString, results, errors, probes,
       "/root/testdata/sf0.001", passes = 2)
@@ -78,7 +89,63 @@ class BenchSpec extends SparkSuite {
       json.contains("\"capm\":{\"t\":") && json.contains("\"ctls\":[") &&
       json.contains("\"caps\":{\"t\":"),
       s"tracer + steal accounting surface in the full-precision record: $json")
+    assert(json.contains("\"trc\":\"duty\"") && json.contains("\"shuf\":{\"t\":"),
+      s"tracer mode + shuffle bytes land in the record: $json")
     java.nio.file.Files.delete(path)
+  }
+
+  test("duty-cycled tracer: bounded self-load, and pause drains the in-flight chunk") {
+    // r18 verdict #1 + advisor: the r18 tracer ran chunk-after-chunk at
+    // 100% duty (one core consumed, ~3-6 GB/s of continuous bandwidth
+    // draw) inside every timed region, and `paused = true` did not wait
+    // for an in-flight 256 MiB mem chunk to finish streaming into the
+    // boundary probe's window. Gate both fixes structurally.
+    val tr = new Bench.CapacityTracer(duty = 0.05).start()
+    Thread.sleep(2500)
+    tr.pauseAndDrain()
+    assert(tr.isParked, "pauseAndDrain must not return before the worker parks")
+    val ((cn0, _), (mn0, _)) = tr.snapshot()
+    // at 5% duty a chunk pair (~0.08 s work) earns ~1.5 s of sleep: 2.5 s
+    // yields a handful of chunks, never the 100%-duty ~30-50
+    assert(cn0 + mn0 <= 10,
+      s"5% duty must bound the sample rate (full duty would read 30+ " +
+        s"chunks in 2.5 s): cpu=$cn0 mem=$mn0")
+    assert(cn0 + mn0 >= 1, "the tracer must still sample (trend line > silence)")
+    Thread.sleep(400)
+    val ((cn1, _), (mn1, _)) = tr.snapshot()
+    assert(cn1 == cn0 && mn1 == mn0, "no chunk may run while parked")
+    tr.resume()
+    Thread.sleep(300)
+    tr.pauseAndDrain()
+    assert(tr.isParked, "resume + re-drain round-trips")
+    tr.stopAndPercentiles()
+  }
+
+  test("pin provenance: PinSelect injects pinN; PinRecord renders count, rule, and tracer mode") {
+    // r18 "what's wrong" #4: the r18 pin was min-of-8 where earlier pins
+    // were min-of-2/3 and the record never said so — best-of-N bias must
+    // be visible cross-round. The operative record now renders the
+    // candidate-run count + selection rule (from PinSelect's injected
+    // field) and which tracer instrument ran; pre-r19 records render
+    // their absence honestly instead of fabricating.
+    val base = """{"metric":"total","value":1.0,"unit":"sec","passes":2,""" +
+      """"trc":"duty","ctl":[0.70],"ctlp":[0.90],"ctld":[0.30],""" +
+      """"queries":{"a":1.0},"sf":"sf0.1"}"""
+    val injected = PinSelect.inject(base, 5)
+    assert(injected.contains("\"pinN\":5,\"passes\":2"), s"field injected: $injected")
+    assert(PinSelect.inject(injected, 7).contains("\"pinN\":7,\"passes\":2") &&
+      !PinSelect.inject(injected, 7).contains("\"pinN\":5"),
+      "re-selection replaces the count (idempotent injection)")
+    val block = PinRecord.renderFromJson(injected)
+    assert(block.contains("min-total of 5 candidate fresh-JVM runs"),
+      s"candidate count + selection rule rendered: $block")
+    assert(block.contains("duty-cycled"), s"tracer mode rendered: $block")
+    val pre = PinRecord.renderFromJson(base.replace("\"trc\":\"duty\",", ""))
+    assert(pre.contains("candidate-run count") && pre.contains("not recorded"),
+      s"pre-r19 records render absent provenance honestly: $pre")
+    assert(PinRecord.renderFromJson(base.replace("\"duty\"", "\"full\""))
+      .contains("FULL-DUTY"),
+      "an r18-style full-duty record must announce its self-load")
   }
 
   test("the JSON line fits the driver's 2000-char stdout tail") {

@@ -81,13 +81,16 @@ class PlanAuditSpec extends SparkSuite {
     //   edges, labels, or k-row ids — the k²-pair frame dies inside the
     //   banded DP join and never shuffles. range+global sort = the
     //   output orderBy only.
-    // aug_dtw 7h/0r/0s/0g — two series builds (each: count-filter agg +
-    //   per-key window), the tag join off the CHECKPOINTED weighted-
-    //   bucket rank (its range exchange runs once at build time over the
-    //   K-ROW id frame and enters this plan as an RDD leaf — round-18
-    //   weighted bucketing), and ONE edges-only pair exchange
-    //   (sid_a, sid_b, dtw, tok). ZERO range exchanges and ZERO global
-    //   sorts in the executed plan — total order comes from
+    // aug_dtw 3h/0r/0s/0g — the series frame is now CHECKPOINTED once
+    //   at call time (round-19 advisor: both the token map and the pair
+    //   DP must read ONE snapshot, or a non-deterministic source could
+    //   surface pair sids absent from the pinned map and the tag join
+    //   would drop them) — so the series build's window exchanges run
+    //   once eagerly and BOTH in-plan consumers are RDD leaves; was 7h
+    //   when the build executed twice in-plan. Remaining: the two
+    //   bucket-count aggregates of the rank-offset join (32-row frames)
+    //   + ONE edges-only pair exchange (sid_a, sid_b, dtw, tok). ZERO
+    //   range exchanges and ZERO global sorts — total order comes from
     //   deterministic token placement + partition-local sorts.
     // emb_dedup_hier 9h/1r/0s/1g — hier descent: per-level cell
     //   assignment aggregates + ONE cell-keyed pairing exchange per
@@ -113,7 +116,7 @@ class PlanAuditSpec extends SparkSuite {
     //   doc_id exchange; range+global sort = output orderBy.
     val budgets: Map[String, (Int, Int, Int, Int)] = Map(
       "aug_cluster" -> ((38, 1, 0, 1)),
-      "aug_dtw" -> ((7, 0, 0, 0)),
+      "aug_dtw" -> ((3, 0, 0, 0)),
       "emb_dedup_hier" -> ((9, 1, 0, 1)),
       "emb_semdedup_inc_hier" -> ((20, 1, 0, 1)),
       "emb_semdedup_inc" -> ((3, 1, 0, 1)),
