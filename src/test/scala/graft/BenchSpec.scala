@@ -336,6 +336,58 @@ class BenchSpec extends SparkSuite {
       "sub-1% steal with quiet probes stays unflagged")
   }
 
+  test("top-10 shuffle-byte budgets: ±20% of pinned volume (box-proof where walls are not)") {
+    // r18 verdict #3: the volume analog of PlanAuditSpec's exchange-COUNT
+    // budgets. A lost broadcast or a resurrected payload amplification
+    // (the r17 aug_dtw class: ~256 B/pair series arrays through the sort
+    // exchange instead of ~30 B edges) moves BYTES deterministically on
+    // any box, quiet or stolen — so this gate catches what a wall gate
+    // cannot when the box is degraded. Same query set as the
+    // exchange-count budgets (the r17 pin's top-10). Budgets are measured
+    // under THIS suite's config (local[4], 4 shuffle partitions,
+    // sf0.001), min-of-2 agreeing runs, ±20% band — wide enough for
+    // compression jitter, far too tight for any structural regression
+    // (the aug_dtw class was 20×).
+    // pinned round 19 from two byte-IDENTICAL measurement runs (shuffle
+    // write volume at fixed data/partitioning is deterministic — the two
+    // runs agreed to the byte, so the ±20% band is pure headroom for
+    // future compression/codec drift)
+    val budgets: Map[String, Long] = Map(
+      "aug_cluster" -> 14918L,
+      "aug_dtw" -> 11780L,
+      "emb_dedup_hier" -> 1943011L,
+      "emb_semdedup_inc_hier" -> 1917349L,
+      "emb_semdedup_inc" -> 164669L,
+      "doc_lm_ppl" -> 197037L,
+      "doc_curate_e2e" -> 259927L,
+      "doc_dsir" -> 588071L,
+      "emb_decontam_hier" -> 1013835L,
+      "doc_winnow" -> 109237L)
+    val reg = Queries.registry.toMap
+    val tally = new Bench.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    budgets.keys.toSeq.sorted.foreach { name =>
+      Bench.isolate(spark)
+      spark.sparkContext.setJobGroup(s"shufgate:$name", name, interruptOnCancel = false)
+      reg(name).fn(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      spark.sparkContext.clearJobGroup()
+    }
+    Thread.sleep(1500) // group-keyed attribution; only the tail needs draining
+    spark.sparkContext.removeSparkListener(tally)
+    val measured = budgets.keys.toSeq.sorted
+      .map(n => n -> tally.bytes(s"shufgate:$n"))
+    info(measured.map { case (n, b) => s"$n=$b" }.mkString(" "))
+    measured.foreach { case (name, got) =>
+      val b = budgets(name)
+      assert(got >= (b * 0.8).toLong && got <= (b * 1.2).toLong,
+        s"$name shuffle-write bytes drifted: budget $b, measured $got " +
+          f"(${got.toDouble / b}%.2fx) — if the new volume is a DELIBERATE " +
+          "plan improvement, re-pin the budget with a rationale; if not, " +
+          "find the lost broadcast / payload amplification")
+    }
+  }
+
   test("nonBenchQueries name real registry queries and stay oracle-gated") {
     // the exclusion trims the bench LINE only — a name that drifted out of
     // the registry (or lost its oracle) would silently weaken the
