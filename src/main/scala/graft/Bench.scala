@@ -415,16 +415,42 @@ object Bench {
     * by in-JVM blind spots, because it is not measured in the JVM. */
   private[graft] val CtlsQuietMax = 0.01
 
+  /** Quiet band for the tracer's MEM-chunk p50 (round 19, r18 verdict
+    * #5 — promotes ctlb from diagnostic to gate). Calibration: the
+    * 256 MiB stride-64B sweep reads p50 = 0.0286–0.0295 s across every
+    * instrumented run on record — the r18 full-duty runs, the r19
+    * duty-cycled runs, at BOTH sf0.001 and sf0.1, on quiet and
+    * steal-degraded windows alike (steal freezes the prober and the
+    * probed together, so it never moves this chunk — that axis is
+    * ctls's job). What DOES move it is a bandwidth co-tenant (the r18
+    * run-5 failure mode: wall 1.16× on flat cpu chunks), so the
+    * threshold sits at ~2× the quiet band: p50 > 0.06 s means
+    * something else is eating ~half the memory channel and the window
+    * is not pin-grade. */
+  private[graft] val CtlbMemQuietMax = 0.06
+
+  /** Quiet-box reference for the mem-chunk p50 — the numerator of the
+    * relative in-suite normalizer (r18 verdict #2 fallback): with three
+    * rounds of no steal-free window, cross-round wall comparisons need
+    * a box-relative correction. total × min(1, quiet/memP50) divides
+    * out the bandwidth-co-tenant axis ONLY (see [[CtlbMemQuietMax]]:
+    * steal is invisible to this chunk and is NOT corrected — read ctls
+    * for that axis). Clamped at 1 so a better-than-reference box never
+    * inflates its own record. */
+  private[graft] val CtlbMemQuietP50 = 0.030
+
   /** True when any probe reading breaches its quiet contract. -1 ctld
     * sentinels (O_DIRECT unsupported) are skipped: an absent certificate
     * is not evidence of noise. Pre-r17 records lacking ctlp/ctld (and
     * pre-r18 ones lacking ctls) are judged on what they carry. */
   private[graft] def degradedWindow(ctl: Seq[Double], ctlp: Seq[Double],
-      ctld: Seq[Double], ctls: Seq[Double] = Seq.empty): Boolean =
+      ctld: Seq[Double], ctls: Seq[Double] = Seq.empty,
+      ctlbMemP50: Option[Double] = None): Boolean =
     ctl.exists(_ > CtlQuietMax) ||
       ctl.zip(ctlp).exists { case (c, p) => c > 0 && p / c > CtlpRatioQuietMax } ||
       ctld.exists(d => d >= 0 && d > CtldQuietMax) ||
-      ctls.exists(_ > CtlsQuietMax)
+      ctls.exists(_ > CtlsQuietMax) ||
+      ctlbMemP50.exists(_ > CtlbMemQuietMax)
 
   /** Tracer mode from GRAFT_TRACER: `duty` (default, ≤5%-duty trend
     * sampler — see [[CapacityTracer]]), `full` (the r18 100%-duty form,

@@ -334,6 +334,28 @@ class BenchSpec extends SparkSuite {
       .replace(""""queries"""", """"ctls":[0.002,0.005],"queries"""")
     assert(!PinRecord.renderFromJson(quietNoSteal).contains("DEGRADED"),
       "sub-1% steal with quiet probes stays unflagged")
+    // mem-chunk p50 (round 19): a bandwidth co-tenant moves the 256 MiB
+    // sweep where every CPU probe stays flat (r18 run-5 failure mode) —
+    // >0.06 s flags; the quiet 0.029-0.035 band does not. A flagged run
+    // also renders the bandwidth-normalized total (the relative in-suite
+    // axis for cross-round comparison); quiet runs render no normalizer.
+    def withCtlb(json: String, ctlb: String) =
+      json.replace(""""queries"""", s""""ctlb":$ctlb,"queries"""")
+    val quietBase = pinJson("[0.70,0.72,0.71,0.74]",
+      "[0.90,0.95,0.92,0.96]", "[0.30,0.20,0.25]")
+    val bandwidthHit = PinRecord.renderFromJson(
+      withCtlb(quietBase, "[0.05,0.06,0.08,0.10]"))
+    assert(bandwidthHit.contains("DEGRADED-WINDOW PIN"),
+      "an elevated mem-chunk p50 flags the pin on flat CPU probes")
+    assert(bandwidthHit.contains("bandwidth-normalized total"),
+      s"a bandwidth-degraded record renders its normalized total: $bandwidthHit")
+    assert(bandwidthHit.contains("0.375"), // 0.030/0.08
+      s"normalizer factor = quiet/run mem p50: $bandwidthHit")
+    val quietCtlb = PinRecord.renderFromJson(
+      withCtlb(quietBase, "[0.05,0.06,0.03,0.04]"))
+    assert(!quietCtlb.contains("DEGRADED") &&
+      !quietCtlb.contains("bandwidth-normalized"),
+      "a quiet mem band neither flags nor normalizes")
   }
 
   test("top-10 shuffle-byte budgets: ±20% of pinned volume (box-proof where walls are not)") {
