@@ -86,12 +86,18 @@ object DtwWinProbe {
     import spark.implicits._
     val big = walks(sparkK)
     val bigPairs = (for (i <- 0 until sparkK; j <- i + 1 until sparkK) yield (i, j))
+    // a meaningful p10 needs a real sample: below ~64 series the 20k-pair
+    // cap is nowhere near binding and the percentile index degenerates
+    require(sparkK >= 64, s"sparkK >= 64 for a meaningful eps sample: $sparkK")
     val bigDists = {
       // eps from a deterministic sample (full k² at sparkK is the thing
-      // being timed, not the calibration)
+      // being timed, not the calibration); index by the SAMPLE's length —
+      // the round-19 form indexed by the 20k cap, which threw past the
+      // end under small sparkK and silently picked a non-p10 percentile
+      // between ~64 and ~200 (round-19 advisor)
       val samp = bigPairs.take(20000)
-      samp.map { case (i, j) => VecOps.dtw(big(i), big(j), band) }
-        .sorted.apply((20000 * 0.10).toInt)
+        .map { case (i, j) => VecOps.dtw(big(i), big(j), band) }.sorted
+      samp((samp.length * 0.10).toInt)
     }
     val df = spark.createDataset(big.toSeq.zipWithIndex
       .map { case (arr, i) => (i, arr.toSeq) }).toDF("sid", "series")

@@ -3398,23 +3398,39 @@ object QueriesPipeline {
     * ≥ 1 bigram, nll 4dp-rounded. Shared by the registry entry and the
     * doc_ppl_buckets tercile split.
     *
-    * `bi` feeds three subtrees (c2, c1, the scoring join) and is
-    * deliberately RECOMPUTED per subtree — measured best of three
-    * formulations at the 1000× decade (all at pinned 32 partitions):
-    * (a) this one, pure map-side recompute: 72.6 s @300× / 278 s
-    *     @1000× — CPU-redundant but zero memory risk (scan + explode
-    *     + md5 is embarrassingly parallel, nothing held);
+    * Plan shape (round 19): `bi` (the raw bigram-instance pipeline —
+    * scan + tokenize + explode + hash) is RECOMPUTED per consumer, but
+    * it now has THREE consumers per execution instead of four: the
+    * scoring join, the shared `cc` count table, and the vocab scalar.
+    * Both marginal count tables derive from ONE (h1, h2) aggregation —
+    * c1(h1) = Σ_{h2} cc(h1, h2) and c2 likewise — so the second
+    * marginal is a ReusedExchange over distinct-bigram rows where the
+    * round-18 form re-scanned the whole corpus for each of c1 and c2
+    * (family A/B ≈ −20%). This differs from the REJECTED formulation
+    * (c) below, which aggregated per-(doc, bigram): that grouping
+    * carries doc_id, so column pruning de-canonicalized the two
+    * consumers' subtrees and the heavier aggregate planned twice; the
+    * (h1, h2) grouping is doc-free, canonicalizes identically for both
+    * marginals, and its exchange materializes once.
+    *
+    * Why `bi` itself is still recomputed, not cached — measured best
+    * of three formulations at the 1000× decade (pinned 32 partitions,
+    * pre-rewrite walls, the relative ordering is the point):
+    * (a) pure map-side recompute: 72.6 s @300× / 278 s @1000× —
+    *     CPU-redundant but zero memory risk (scan + explode + md5 is
+    *     embarrassingly parallel, nothing held);
     * (b) persist(bi): 44.1 s @300× (−39%) but the corpus-sized cache
     *     competes with execution memory at 1000× — 196 s with 16 s
     *     GC at 32 partitions and AGGREGATE_OUT_OF_MEMORY at 256;
-    * (c) derive both count tables from one per-(doc,bigram)
-    *     multiplicity aggregation: no ReuseExchange materializes
-    *     (column pruning de-canonicalizes the two consumers'
-    *     subtrees) so the HEAVIER aggregation computes twice —
-    *     78.3 s @300× / 243 s @1000×.
-    * At 100 TB (a) is the only shape that cannot fall over: a
-    * per-query corpus-sized cache is an anti-pattern, and the
-    * recomputed work never touches the aggregation memory pool. */
+    * (c) per-(doc, bigram) multiplicity aggregation: no ReuseExchange
+    *     materializes (see above) so the HEAVIER aggregation computes
+    *     twice — 78.3 s @300× / 243 s @1000×.
+    * At 100 TB (a)'s recompute discipline is the only shape that
+    * cannot fall over: a per-query corpus-sized cache is an
+    * anti-pattern, and the recomputed work never touches the
+    * aggregation memory pool. The round-19 shared-(h1,h2) rewrite
+    * keeps that discipline (nothing corpus-sized is ever held) while
+    * deleting one of the corpus passes outright. */
   private[graft] def lmPplScores(g: DataFrame): DataFrame = {
     val t = g.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
     val bi = t.where(size(col("toks")) >= 2)
