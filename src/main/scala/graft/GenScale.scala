@@ -56,9 +56,30 @@ object GenScale {
     * src19 with the corpus made doc_eval_contam_report read super-linear
     * (cost = corpus scan × eval probe size — linear in each factor, but
     * the default decade scales both). Pass Set("src19") to measure the
-    * production shape: eval fixed, corpus only scaling. */
+    * production shape: eval fixed, corpus only scaling.
+    *
+    * `heapsVocab` (round 20, r19 verdict #6): the default replica
+    * scheme gives every replica a FRESH vocabulary, so distinct tokens
+    * (and distinct bigrams) grow LINEARLY with the corpus — the
+    * vocab-adversarial regime, and the one in which the lm-ppl
+    * (h1,h2)-model trade's "model side shuffles ~2× bytes" cost was
+    * measured. Real corpora follow Heaps' law: vocab ≈ K·n^β with
+    * β ≈ 0.5. With `heapsVocab = true`, replica r > 0 takes suffix
+    * `_q{(r-1) mod m}` where m = round(√(factor-1)) — distinct suffix
+    * GROUPS number 1 + min(factor-1, m), so vocabulary (and the
+    * distinct-bigram model table) grows ~√factor while the corpus
+    * grows factor×: the regime the 100 TB lm-ppl argument actually
+    * targets. HONEST CAVEAT, loud by design: replicas sharing a suffix
+    * group are TOKEN-IDENTICAL texts (same text, distinct doc_ids) —
+    * exactly what the lm/token-count/quality families expect of a
+    * duplicated web crawl, but an ARTIFACT duplicate cluster for the
+    * dedup/minhash decade rows, which must keep the default
+    * (vocabulary-isomorphic, all-distinct) mode. The cross-group
+    * disjointness proof is the default mode's, unchanged (one `_` per
+    * replica token, zero in source tokens). */
   def scaleDocuments(docs: DataFrame, factor: Int,
-      fixedSources: Set[String] = Set.empty): DataFrame = {
+      fixedSources: Set[String] = Set.empty,
+      heapsVocab: Boolean = false): DataFrame = {
     require(docs.where(col("text").contains(TokenDelim)).isEmpty,
       s"scaleDocuments: source corpus contains the '$TokenDelim' delimiter — " +
         "the cross-replica disjointness proof needs a character absent from the vocabulary")
@@ -77,15 +98,23 @@ object GenScale {
           "a typo here silently replicates the eval split and mislabels the run")
     }
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+    // Heaps mode: m suffix groups for factor-1 suffixed replicas,
+    // m = round(√(factor-1)) ⇒ vocab ~ √factor. Replica 0 stays the
+    // identity in both modes (group "no suffix"), so a heaps suffix
+    // can never collide with a source token.
+    val heapsM = math.max(1, math.round(math.sqrt(math.max(0, factor - 1).toDouble)).toInt)
     (0 until factor).map { r =>
       if (r == 0) docs
-      else (if (fixedSources.isEmpty) docs
-            else docs.where(!col("source").isin(fixedSources.toSeq: _*))).select(
-        (col("doc_id") + lit(r * maxId)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1${TokenDelim}q$r").as("text"),
-        col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select("doc_id", "text", "lang", "source", "n_chars")
+      else {
+        val q = if (heapsVocab) (r - 1) % heapsM else r
+        (if (fixedSources.isEmpty) docs
+         else docs.where(!col("source").isin(fixedSources.toSeq: _*))).select(
+          (col("doc_id") + lit(r * maxId)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1${TokenDelim}q$q").as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -195,7 +224,17 @@ object GenScale {
       .orElse(if (args.length > 5 && args(5).nonEmpty && !args(5).contains("="))
         Some(args(5)) else None)
       .map(_.split(",").map(_.toInt).toSet).getOrElse(Set.empty[Int])
-    scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor, fixedSources)
+    // vocab=heaps → √factor vocabulary growth (lm-family decades ONLY —
+    // see scaleDocuments' caveat); anything else but "replica" aborts
+    // loudly (the fixedSources typo discipline)
+    val heapsVocab = named.get("vocab") match {
+      case Some("heaps")   => true
+      case Some("replica") | None => false
+      case Some(other) => sys.error(
+        s"GenScale: vocab=$other — expected 'heaps' or 'replica'")
+    }
+    scaleDocuments(spark.read.parquet(s"$src/documents.parquet"), factor,
+        fixedSources, heapsVocab)
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     scaleEmbeddings(spark.read.parquet(s"$src/embeddings.parquet"), factor, fixedLabels)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")

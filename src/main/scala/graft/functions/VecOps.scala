@@ -57,6 +57,28 @@ object VecOps {
     prev(m)
   }
 
+  /** Kernel-dispatch crossover for the `dtw <= eps` decision (round 20,
+    * r19 verdict #5): at or above this window the early-abandoning
+    * [[DtwBandLe]] kernel wins; below it the plain [[DtwBand]]` <= eps`
+    * form does, because the running row-min bookkeeping costs more than
+    * the whole DP it might abandon. Measured (DtwWinProbe, min-of-5
+    * kernel µs/pair over 4560 p10-eps pairs; Spark eps-graph wall over
+    * 319,600 pairs at local[32]):
+    *
+    *   window  8/band 4:  kernel 0.75× (dtwLe LOSES), wall 1.05×
+    *   window 16/band 4:  kernel 1.21×, wall 1.67×
+    *   window 32/band 4:  kernel 1.16×, wall 1.38×
+    *   window 64/band 8:  kernel 1.27×, wall 1.09×
+    *   window 128/band 16: kernel 1.43×, wall 2.33× (r19: 1.34×/1.38×)
+    *
+    * The crossover sits between 8 and 16; both kernels decide
+    * IDENTICALLY everywhere (the abandon is exact — see [[dtwLe]]), so
+    * the dispatch is a pure performance choice and the AugursSpec
+    * crossover golden gates decision equality on both sides. Public
+    * entry: `GraftColumns.dtwBandLeAuto` (callers state their window;
+    * `Augurs.clusterDtwDistributed` routes through it). */
+  val DtwLeKernelMinWindow = 16
+
   /** THRESHOLD test `dtw(a, b) <= eps` with EARLY ABANDONING — exact,
     * never approximate: every DP cell adds a non-negative local cost to
     * a min of predecessor cells, so cell values are monotone

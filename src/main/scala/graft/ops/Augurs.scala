@@ -716,20 +716,22 @@ object Augurs {
     requirePairBudget(ser.count(), maxPairs, "clusterDtwDistributed")
     lap("series build")
     val sids = ser.select("sid")
-    // the eps-graph needs only the DECISION dtw<=eps, so the DP runs as
-    // the early-abandoning boolean kernel (exact — see VecOps.dtwLe's
-    // monotonicity argument; AugursSpec sweeps the boundary): far pairs
-    // (the overwhelming majority at any real eps) abort within a few DP
-    // rows instead of paying the full O(n·band). HONEST MEASUREMENT
-    // (round 18): at the registry's window=16/band=4 the DP is ≤144
-    // cells and per-pair cost is dominated by the two 16-double
-    // ArrayData copies, so the abandon is wall-neutral locally — its
-    // win regime is larger windows/bands, where DP cells dominate the
-    // copies (the contract consumers at 100 TB run windows in the
-    // hundreds). Kept because it is exact, free, and scales right.
+    // the eps-graph needs only the DECISION dtw<=eps, so the DP is
+    // kernel-DISPATCHED on the window size (round 20, r19 verdict #5):
+    // at window >= VecOps.DtwLeKernelMinWindow the early-abandoning
+    // boolean kernel runs (exact — see VecOps.dtwLe's monotonicity
+    // argument; AugursSpec sweeps the boundary, and the crossover
+    // golden proves identical decisions on both sides): far pairs (the
+    // overwhelming majority at any real eps) abort within a few DP rows
+    // instead of paying the full O(n·band). Below the crossover the
+    // plain DP + comparison wins — the running row-min bookkeeping
+    // costs more than the tiny DP it might abandon (measured 0.75× at
+    // window=8; the full table is on the constant's scaladoc). The
+    // registry's window=16 sits exactly at the measured win boundary
+    // (1.21× kernel-level) and dispatches to the abandon kernel.
     val half = ser.as("a").join(ser.as("b"), col("a.sid") < col("b.sid"))
-      .where(org.apache.spark.sql.GraftColumns.dtwBandLe(
-        col("a.series"), col("b.series"), band, eps))
+      .where(org.apache.spark.sql.GraftColumns.dtwBandLeAuto(
+        col("a.series"), col("b.series"), band, eps, window))
       .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b")).localCheckpoint()
     lap("pair DP (early-abandon)")
     val edges = half.union(half.select(col("sid_b"), col("sid_a"))).toDF("u", "v")

@@ -24,6 +24,26 @@ object GraftColumns {
   def dtwBandLe(a: Column, b: Column, band: Int, eps: Double): Column =
     ExpressionUtils.column(
       DtwBandLe(ExpressionUtils.expression(a), ExpressionUtils.expression(b), band, eps))
+
+  /** Exact `dtw(a, b) <= eps` decision with the kernel selected by the
+    * series window size at the measured crossover
+    * ([[graft.functions.VecOps.DtwLeKernelMinWindow]]) — callers state
+    * their window; the measured win regime is not their problem (round
+    * 20, r19 verdict #5). Both branches are bit-identical decisions
+    * (the early-abandon is exact by DP monotonicity; the AugursSpec
+    * crossover golden proves equality on both sides). */
+  def dtwBandLeAuto(a: Column, b: Column, band: Int, eps: Double,
+      window: Int): Column =
+    if (window >= graft.functions.VecOps.DtwLeKernelMinWindow)
+      dtwBandLe(a, b, band, eps)
+    else dtwBand(a, b, band) <= eps
+
+  /** True when the column's root expression is the early-abandoning
+    * [[DtwBandLe]] kernel — the dispatch observability hook (Spark 4
+    * hides Column→Expression outside the sql package, so the AugursSpec
+    * crossover golden asserts kernel selection through this). */
+  def isAbandonKernel(c: Column): Boolean =
+    ExpressionUtils.expression(c).isInstanceOf[DtwBandLe]
 }
 
 /** Live-session registration of graft's SQL functions — the companion to

@@ -178,6 +178,52 @@ class AugursSpec extends SparkSuite {
       (VecOps.dtw(Array(1.0, 2.0), Array(9.0, 9.0), 4) <= 14.0))
   }
 
+  test("dtwBandLeAuto: kernel dispatched at the measured crossover, identical decisions both sides") {
+    // round 20 (r19 verdict #5): the public eps-decision API selects the
+    // kernel by window size (>= VecOps.DtwLeKernelMinWindow -> the
+    // early-abandoning DtwBandLe; below -> plain DtwBand <= eps) so the
+    // measured win regime is the library's knowledge, not the caller's.
+    // Gate (a): the dispatch actually switches expression class at the
+    // crossover; (b): decisions are identical to the scalar dtw <= eps
+    // ground truth on BOTH sides, across an eps sweep that includes the
+    // exact boundary value of some pair.
+    import graft.functions.VecOps
+    import org.apache.spark.sql.GraftColumns
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val lo = VecOps.DtwLeKernelMinWindow / 2   // below the crossover
+    val hi = VecOps.DtwLeKernelMinWindow       // at/above the crossover
+    assert(GraftColumns.isAbandonKernel(
+      GraftColumns.dtwBandLeAuto(col("a"), col("b"), 4, 1.0, hi)),
+      "window >= crossover dispatches to the early-abandon kernel")
+    assert(!GraftColumns.isAbandonKernel(
+      GraftColumns.dtwBandLeAuto(col("a"), col("b"), 4, 1.0, lo)),
+      "window < crossover dispatches to the plain DP + comparison")
+    val rng = new scala.util.Random(11)
+    for (w <- Seq(lo, hi)) {
+      val series = Array.fill(10) {
+        var v = 0.0; Array.fill(w) { v += rng.nextGaussian(); v }
+      }
+      val pairs = for (i <- series.indices; j <- series.indices if i < j)
+        yield (i, j)
+      val dists = pairs.map { case (i, j) => VecOps.dtw(series(i), series(j), 4) }
+      // eps sweep: a far value, a near value, and an EXACT pair distance
+      // (the <= boundary both kernels must agree on)
+      for (eps <- Seq(dists.min / 2, dists.max * 2, dists(dists.length / 2))) {
+        val df = spark.createDataset(pairs.map { case (i, j) =>
+          (i, j, series(i).toSeq, series(j).toSeq) })
+          .toDF("i", "j", "a", "b")
+        val got = df.select(col("i"), col("j"),
+            GraftColumns.dtwBandLeAuto(col("a"), col("b"), 4, eps, w).as("d"))
+          .as[(Int, Int, Boolean)].collect().map { case (i, j, d) => (i, j) -> d }.toMap
+        pairs.zip(dists).foreach { case ((i, j), dist) =>
+          assert(got((i, j)) == (dist <= eps),
+            s"window=$w eps=$eps pair($i,$j) dist=$dist: dispatch diverged from dtw<=eps")
+        }
+      }
+    }
+  }
+
   test("bucketTokens: placement map matches Spark's own hash partitioning exactly") {
     // the ordered matrix's deterministic exchange stands on this map:
     // repartition(n, tok) must put bucket b's rows in PARTITION b. Cross-

@@ -456,7 +456,23 @@ class BenchSpec extends SparkSuite {
       "doc_curate_e2e" -> 259927L,
       "doc_dsir" -> 588071L,
       "emb_decontam_hier" -> 1013835L,
-      "doc_winnow" -> 109237L)
+      "doc_winnow" -> 109237L,
+      // round 20 (r19 what's-wrong #1): the semdedup/decontam cell-
+      // assignment family + the tiny q_ movers joined the gate — the
+      // queries whose DRIVER-run byte record read 2.1–2.7× across pins.
+      // Under this suite's fixed config their bytes are deterministic
+      // (min-of-2 agreeing runs, same discipline as the r19 ten), so a
+      // structural regression shows here even while the driver-side
+      // per-pass record is being stabilized by the shufx field.
+      "emb_semdedup" -> 174734L,
+      "emb_semdedup_hier" -> 1338224L,
+      "emb_dedup_cosine" -> 169169L,
+      "emb_decontaminate" -> 170246L,
+      "emb_decontam_inc" -> 160477L,
+      "emb_decontam_inc_hier" -> 662276L,
+      "q_anti_join" -> 953L,
+      "q_semi_join" -> 1012L,
+      "q_top3_parts_per_brand" -> 2797L)
     val reg = Queries.registry.toMap
     val tally = new Bench.ShuffleTally
     spark.sparkContext.addSparkListener(tally)

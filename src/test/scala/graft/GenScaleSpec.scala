@@ -102,6 +102,48 @@ class GenScaleSpec extends SparkSuite {
       "ids stay disjoint under partial replication")
   }
 
+  test("heapsVocab: vocabulary grows ~sqrt(factor) while rows grow factor-x; groups disjoint, within-group identical") {
+    // round 20 (r19 verdict #6): the default mode's linear vocab growth
+    // is the lm-ppl model trade's ADVERSARIAL case; Heaps' law (vocab ~
+    // n^0.5) is the regime the 100 TB argument targets. Contract:
+    //  - rows still grow factor×,
+    //  - distinct tokens grow as 1 + m groups, m = round(√(factor-1)),
+    //  - suffix groups stay pairwise token-disjoint (the `_` proof),
+    //  - same-group replicas are token-identical (the documented,
+    //    deliberate duplicate-cluster caveat — lm families only).
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s0"),
+      (1L, "delta epsilon", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val factor = 10 // m = round(sqrt(9)) = 3 suffix groups + identity
+    val scaled = GenScale.scaleDocuments(docs, factor, heapsVocab = true)
+    assert(scaled.count() == 2L * factor, "rows grow factor-x")
+    val srcVocab = 5L
+    val vocab = scaled.select(explode(TextFunctions.distinctTokens(col("text"))))
+      .distinct().count()
+    assert(vocab == srcVocab * (1 + 3),
+      s"vocab = source x (identity + 3 groups): $vocab")
+    // default mode at the same factor: every replica a fresh vocabulary
+    val vocabLin = GenScale.scaleDocuments(docs, factor)
+      .select(explode(TextFunctions.distinctTokens(col("text"))))
+      .distinct().count()
+    assert(vocabLin == srcVocab * factor, s"default mode stays linear: $vocabLin")
+    // same-group replicas are token-identical text: 10 replicas over 4
+    // distinct text-images of doc 0
+    val texts = scaled.where(col("doc_id") % 2 === 0)
+      .select("text").distinct().count()
+    assert(texts == 4, s"doc-0 images: identity + 3 suffix groups: $texts")
+    // cross-GROUP disjointness still holds: doc 0's four distinct
+    // text-images (identity, q0, q1, q2) are pairwise token-disjoint
+    val images = scaled.where(col("doc_id") % 2 === 0)
+      .select(TextFunctions.distinctTokens(col("text")))
+      .distinct().as[Seq[String]].collect().map(_.toSet)
+    for (a <- images; b <- images if a != b)
+      assert(a.intersect(b).isEmpty,
+        s"distinct text-images of the same doc share no tokens: $a vs $b")
+  }
+
   test("suffix delimiter defeats vocabulary aliasing: a source token ending in 'q1' stays disjoint") {
     // the round-7 scheme suffixed bare "q1": source token "xq1" == replica-1
     // image of "x", so cross-replica Jaccard > 0. The delimiter ("_",

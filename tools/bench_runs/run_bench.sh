@@ -6,5 +6,8 @@ cd /root/repo
 export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
 export SPARK_GRAFT_BENCH_OUT="$1"
 export GRAFT_TRACER="${2:-duty}"
+# every pin-era record is local[32]; Bench.main's env default is 4, so
+# an unexported shell would silently produce a non-comparable candidate
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 sbt -batch "runMain graft.Bench" > "${1%.json}.log" 2>&1
 echo "rc=$? out=$1"
