@@ -732,10 +732,16 @@ object Bench {
     val ctlJson = probes.ctl.map(qv).mkString("[", ",", "]")
     val ctlpJson = probes.ctlp.map(qv).mkString("[", ",", "]")
     val ctldJson = probes.ctld.map(qv).mkString("[", ",", "]")
-    // the continuous tracer's [p50, p90] chunk seconds: 2-decimal (a
+    // the continuous tracer's chunk seconds, LINE form = the two
+    // gate-feeding p50s only ([cpu_p50, mem_p50] of the full
+    // [cpu_p50, cpu_p90, mem_p50, mem_p90] 4-tuple): 2-decimal (a
     // quiet-self-loaded chunk is ~0.05-0.2 s — 1dp would flatten it),
-    // ~18 chars of line budget
-    val ctlbJson = probes.ctlb.map(rd(_, 2)).mkString("[", ",", "]")
+    // ~11 chars of line budget. The p90s stay in BENCH_LOCAL.json at
+    // 4dp — the record every gate and PinRecord actually read; the
+    // round-20 qq field bought its line budget here.
+    val ctlbLine = if (probes.ctlb.size >= 4)
+      Seq(probes.ctlb(0), probes.ctlb(2)) else probes.ctlb
+    val ctlbJson = ctlbLine.map(rd(_, 2)).mkString("[", ",", "]")
     // per-pass hypervisor steal fraction, 3dp (a 0.1%-granular 0.012 is
     // a real signal; quiet is 0): the one certificate NO in-JVM probe
     // can fake or miss, ~14 chars

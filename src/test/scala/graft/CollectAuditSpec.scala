@@ -119,7 +119,12 @@ class CollectAuditSpec extends AnyFunSuite {
       "10-field /proc/stat jiffy line (round 19 - guest-field exclusion)"),
     "graft/DtwWinProbe.scala" -> (2, "diagnostic main: argv headOption; " +
       "scala take(20000) on the driver-built calibration pair sample " +
-      "(eps pinning, never Spark data)"))
+      "(eps pinning, never Spark data)"),
+    "graft/LmVocabProbe.scala" -> (3, "diagnostic main: argv headOption; " +
+      "single-row .head on the measurement-only r18-shape eager vocab " +
+      "aggregate (the very build-time action the r19 rewrite deleted - " +
+      "kept verbatim so the A/B measures it); one .head mention in its " +
+      "scaladoc prose"))
 
   private def countPattern(pattern: String): Map[String, Int] = {
     import scala.jdk.CollectionConverters._
