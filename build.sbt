@@ -30,6 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Round-20 note: a 32g default was tried (spread fix → 32 concurrent
+  // tasks) and REVERTED — the apparent 8g "GC thrash" readings
+  // (doc_dedup_minhash 31.9 s) turned out to be instances of a heap-size-
+  // independent slow mode (taskS×100 with ZERO GC and an idle box; also
+  // observed at 16g and 32g, and in pre-round-20 records), while clean 8g
+  // runs at 32-way spread read 2.5-5.6 s on the same queries with ≤0.4 s
+  // GC. No memory-pressure evidence survives, so the inherited default
+  // stands; SPARK_DRIVER_MEM remains the override.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // The 134-query bench generates enough whole-stage-codegen classes to
   // fill the JDK-17 default 240 MB reserved code cache mid-run: every

@@ -115,31 +115,39 @@ object QueriesPipeline {
   private[graft] def bm25Scores(doc: DataFrame, terms: Seq[String]): DataFrame = {
     val dls = doc.select(col("doc_id"),
       coalesce(size(TF.tokens(col("text"))), lit(0)).cast("double").as("dl"))
-    val st = dls.agg(count(lit(1)).cast("double"), sum("dl")).head
-    val n = st.getDouble(0)
-    if (n == 0)
-      dls.select(col("doc_id"), lit(0.0).as("sc")).where(lit(false))
-    else {
-      val avgdl = st.getDouble(1) / n
-      val tf = doc.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
-        .where(col("tok").isin(terms: _*))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-      val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-      tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
-        .withColumn("contrib", bm25Contrib(n, avgdl))
-        .groupBy("doc_id").agg(sum("contrib").as("sc"))
-    }
+    // (N, avgdl) RIDE THE PLAN as a broadcast 1-row aggregate (round 20,
+    // the dsir/lm-ppl discipline): the old eager `.head` tokenized the
+    // whole corpus as a separate build-time job on every execution.
+    // `avgdl` is the same division the driver performed (Σdl / N), now
+    // in-plan — bit-identical doubles. An empty corpus yields an empty
+    // `tf`, so the result is the same empty (doc_id, sc) frame the old
+    // eager branch returned (the NaN avgdl of the 0-row aggregate is
+    // never evaluated — no (doc, term) rows exist to score).
+    val st = dls.agg(count(lit(1)).cast("double").as("__n"), sum("dl").as("__sdl"))
+    val tf = doc.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfq), "tok").join(dls, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib", bm25ContribCols(col("__n"), col("__sdl") / col("__n")))
+      .groupBy("doc_id").agg(sum("contrib").as("sc"))
   }
 
   /** The Okapi BM25 per-(doc, term) contribution (k1=1.2, b=0.75) over
-    * columns (tf, df, dl) with frozen corpus scalars — the ONE copy of
-    * the scoring arithmetic shared by [[bm25Scores]] and the
-    * [[graft.streaming.RetrievalStream]] sparse leg, so batch/stream
-    * parity holds by construction rather than by hand-kept duplicates. */
-  private[graft] def bm25Contrib(n: Double, avgdl: Double): Column =
-    log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+    * columns (tf, df, dl) with corpus stats (n, avgdl) as COLUMNS — the
+    * ONE copy of the scoring arithmetic shared by [[bm25Scores]] (where
+    * the stats ride the plan) and the scalar overload below. */
+  private[graft] def bm25ContribCols(n: Column, avgdl: Column): Column =
+    log(lit(1.0) + (n - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+
+  /** Scalar-stat overload — the [[graft.streaming.RetrievalStream]] sparse
+    * leg's entry (frozen corpus scalars), delegating to the one column
+    * form so batch/stream parity holds by construction. */
+  private[graft] def bm25Contrib(n: Double, avgdl: Double): Column =
+    bm25ContribCols(lit(n), lit(avgdl))
 
   /** The `doc_hybrid_rrf` body for an arbitrary query (terms, dense
     * vector, self-id to exclude from the dense leg): BM25 sparse
@@ -203,23 +211,32 @@ object QueriesPipeline {
     val B = DsirBuckets
     def feats = dsirFeats(g)
     val lr = dsirLr(feats, targets)
-    val tot = lr.agg(sum("qc"), sum("pc")).head
-    if (tot.isNullAt(0))
-      // empty corpus: emit the result schema, the doc_bm25 discipline
-      g.select(col("doc_id"), lit(0L).as("n_feats"),
-        lit(0.0).as("logw")).where(lit(false))
-    else {
-      val (qn, pn) = (tot.getDouble(0), tot.getDouble(1))
-      val lam = lr.select(col("b"),
-        (log((col("pc") + lit(0.5)) / lit(pn + 0.5 * B)) -
-          log((col("qc") + lit(0.5)) / lit(qn + 0.5 * B))).as("lam"))
-      feats.join(broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"),
-          (sum("lam") / count(lit(1))).as("a"))
-        .select(col("doc_id"), col("n_feats"), r4(col("a")).as("logw"))
-        .orderBy(col("logw").desc, col("doc_id")).limit(50)
-    }
+    // (qn, pn) RIDE THE PLAN as a broadcast 1-row aggregate over lr
+    // (round 20; the lm-ppl vocab-scalar discipline, guide §1.2/§2.4):
+    // the old eager `lr.agg(...).head` ran the full feats pipeline —
+    // scan + tokenize + two explodes + md5 per gram — as a separate
+    // build-time job, so every execution paid THREE feats passes (the
+    // eager totals, the λ subtree, the scoring join side). In-plan, the
+    // totals subtree and the λ subtree share lr's final aggregate
+    // exchange (same canonical subtree → ReusedExchange), so feats runs
+    // TWICE per execution and the totals cost one broadcast of one row.
+    // Arithmetic is unchanged bit-for-bit: `col("qn") + lit(0.5 * B)`
+    // adds the same two doubles the old `lit(qn + 0.5 * B)` added on
+    // the driver. Empty corpus: lr is empty, so λ and the scoring join
+    // are empty and the frame keeps the (doc_id, n_feats, logw) schema —
+    // the old eager-branch behavior, now without the eager pass
+    // (PipelineSpec's empty-corpus gate pins it; mirrors the oracle's
+    // `tot` CTE exactly).
+    val tot = lr.agg(sum("qc").as("qn"), sum("pc").as("pn"))
+    val lam = lr.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("pc") + lit(0.5)) / (col("pn") + lit(0.5 * B))) -
+        log((col("qc") + lit(0.5)) / (col("qn") + lit(0.5 * B)))).as("lam"))
+    feats.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        (sum("lam") / count(lit(1))).as("a"))
+      .select(col("doc_id"), col("n_feats"), r4(col("a")).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id")).limit(50)
   }
 
   /** The frozen λ model for [[graft.streaming.DsirStream]]: bucket → log

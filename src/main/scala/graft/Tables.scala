@@ -45,6 +45,16 @@ object Tables {
       case other => throw new IllegalArgumentException(
         s"events.ts: expected LongType (nanosAsLong) or Timestamp[NTZ]Type, got $other")
     }
+    // NOT spread (round 20, measured decision): a user_id spread here
+    // would replace the evt windows' implicit exchange one-for-one, but
+    // several consumers re-key the stream (KeyedScan's string key in
+    // aug_ets_roll/aug_seasons_roll, the instrument key in mkt_vwap/
+    // mkt_ohlc) — for them the spread is a strictly ADDITIONAL full-stream
+    // exchange, which at 100 TB is real cost (PlanAuditSpec's "ONE
+    // exchange" contracts caught exactly this). The evt family's
+    // single-task window stages are an AQE-coalescing artifact of the
+    // tiny bench inputs, left as-is; see OPTIMIZATION_r20.md "Not yet
+    // optimized".
     Timeline(
       raw.withColumn("ts", tsNs).withColumn("seq", col("event_id")),
       keys = Seq("user_id"))
@@ -69,10 +79,22 @@ object Tables {
     * row-group can't be split, so `maxPartitionBytes` can't help; spread by
     * key instead (one tiny shuffle of the raw rows). At scale the file count
     * provides the parallelism and this branch never triggers. The key-hash
-    * partitioning is reused by downstream per-key groupBy/window stages. */
+    * partitioning is reused by downstream per-key groupBy/window stages.
+    *
+    * The partition count is EXPLICIT (round 20, guide §2.5): a bare
+    * `repartition(col)` plans as REPARTITION_BY_COL, which AQE is free to
+    * re-coalesce — and does, because the frame is kilobytes against a
+    * 64 MB advisory target, collapsing the "spread" back to ONE partition
+    * and silently serializing every md5/tokenize/DP projection downstream
+    * (measured round 20: doc_lm_ppl ran 15 consecutive single-task stages,
+    * wall ≈ sum of task times). Bytes are the wrong currency for these
+    * stages — rows are compute-dense — so the count is pinned to
+    * defaultParallelism, which AQE honors (REPARTITION_BY_NUM). At scale
+    * the branch still never triggers (file count ≥ cores), so this is a
+    * small-input correction, not a tuned constant. */
   private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame =
     if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
-      df.repartition(col(key))
+      df.repartition(spark.sparkContext.defaultParallelism, col(key))
     else df
 
   def documents(spark: SparkSession, dir: String): DataFrame =

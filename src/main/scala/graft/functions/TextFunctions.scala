@@ -20,8 +20,18 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** A 60-bit portable hash: first 15 hex digits of md5. Same value in
-    * DuckDB via ('0x' || substr(md5(x),1,15))::BIGINT. */
+    * DuckDB via ('0x' || substr(md5(x),1,15))::BIGINT. Since round 20
+    * this plans as the single native [[Md5Prefix60]] expression instead
+    * of the 4-expression conv(substring(md5)) chain — bit-identical
+    * values (HashSpec pins equality against the old chain and the JVM
+    * loop), ~3× cheaper per value (guide §4). */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.GraftColumns.md5Prefix60(c)
+
+  /** The pre-round-20 Column-chain form of [[hash60]] — kept ONLY as the
+    * equality oracle for HashSpec (it is the exact shape the DuckDB
+    * oracles compute); never used in a query path. */
+  private[graft] def hash60Chain(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Canonical document fingerprint: md5 of the sorted distinct token set
@@ -66,7 +76,6 @@ object TextFunctions {
       val toks = tokensJvm(t)
       if (toks.length < n) Array.empty[Long]
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
         val sb = new java.lang.StringBuilder
         Array.tabulate(toks.length - n + 1) { i =>
           sb.setLength(0)
@@ -75,13 +84,10 @@ object TextFunctions {
             if (j > 0) sb.append(' ')
             sb.append(toks(i + j)); j += 1
           }
-          md.reset()
-          val d = md.digest(sb.toString.getBytes("UTF-8"))
-          // first 15 hex chars = bytes 0-6 + the high nibble of byte 7
-          var v = 0L
-          var b = 0
-          while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-          (v << 4) | ((d(7) & 0xf0L) >> 4)
+          // first 15 hex chars = bytes 0-6 + the high nibble of byte 7 —
+          // the ONE kernel copy (HashOps), shared with the Md5Prefix60
+          // expression the Column-side hash60 plans
+          HashOps.md5Prefix60(sb.toString.getBytes("UTF-8"))
         }
       }
     }

@@ -480,7 +480,21 @@ object Augurs {
     * last `window` rows BEFORE the collect — bounded aggregate state. */
   private def seriesOf(t: Timeline, window: Int): DataFrame = {
     require(t.keys.size == 1, "dtwMatrix/clusterDtw need exactly one key column (the series id)")
+    // EXPLICIT key repartition in place of the window's implicit exchange
+    // (round 20, guide §2.5/§2.6): the window needs
+    // ClusteredDistribution(key) either way, so this adds NO exchange and
+    // moves the SAME bytes — but the implicit exchange is AQE-coalesced
+    // to one partition at bench scale (kilobytes against a 64 MB
+    // advisory), which serialized the k-row series frame and with it the
+    // O(k²) DtwBand/DtwBandLe pair stage downstream (the checkpoint pins
+    // the partitioning; the BroadcastNestedLoopJoin's task count IS the
+    // stream side's partition count). REPARTITION_BY_NUM is exempt from
+    // coalescing, so the DP fans out to the session's cores. At cluster
+    // scale the tick volume fills the partitions and the explicit count
+    // is simply the parallelism the implicit exchange would have had.
     t.ticks
+      .repartition(t.df.sparkSession.sparkContext.defaultParallelism,
+        col(t.keys.head))
       .withColumn("__rn", row_number().over(trimW(t)))
       .where(col("__rn") <= window)
       .groupBy(col(t.keys.head))

@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{DotPacked, DtwBand, DtwBandLe}
+import graft.functions.{DotPacked, DtwBand, DtwBandLe, Md5Prefix60}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** The one sql-package bridge graft needs: wrapping its native Catalyst
@@ -13,6 +13,12 @@ object GraftColumns {
   def dotPacked(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotPacked(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** [[graft.functions.Md5Prefix60]]: first 60 bits of md5 as a long —
+    * one codegen'd digest call in place of the md5→substring→conv chain
+    * (bit-identical values; see the expression's scaladoc). */
+  def md5Prefix60(c: Column): Column =
+    ExpressionUtils.column(Md5Prefix60(ExpressionUtils.expression(c.cast("binary"))))
 
   /** [[graft.functions.DtwBand]] over two array<double> series. */
   def dtwBand(a: Column, b: Column, band: Int): Column =

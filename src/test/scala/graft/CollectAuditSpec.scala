@@ -88,11 +88,16 @@ class CollectAuditSpec extends AnyFunSuite {
     "graft/GenScale.scala" -> (5,
       "4 single-row .head on max-id/dim aggregates (replication offsets); " +
         "1 scala Array.take(3) on argv"),
-    "graft/ops/Augurs.scala" -> (5,
-      "scala collection heads only: t.keys.head (single-key contract), " +
+    "graft/ops/Augurs.scala" -> (6,
+      "scala collection heads only: t.keys.head (single-key contract; +1 in " +
+        "round 20 for seriesOf's explicit key repartition), " +
         "forecast vector heads (incl. the round-18 scan vehicle's fc.head " +
         "on the 1-element horizon inside the executor fold) - no Spark " +
         "actions"),
+    "graft/QDecomp.scala" -> (2,
+      "measurement main only (round 20): argv headOption; scala " +
+        "Array.take(8) on the /proc/stat jiffy line (the Bench steal-probe " +
+        "form) - never query data"),
     "graft/ScaleProbes.scala" -> (4,
       "diagnostic main: 2 single-row avg aggregates, 2 argv headOptions"),
     "graft/streaming/KnnClassifyStream.scala" -> (2,

@@ -33,9 +33,15 @@ class PlanAuditSpec extends SparkSuite {
       // scalar riding the plan instead of an eager countDistinct().head
       // that re-ran a full corpus pass at every plan build) — a 1-row
       // build side is a constant attach at scan speed, not all-pairs.
+      // Round 20 extended the 1-row-rider family: doc_dsir's (qn, pn)
+      // totals and doc_bm25/doc_hybrid_rrf's (N, avgdl) corpus stats now
+      // ride the plan as broadcast single-row aggregates (the same shape
+      // as lm-ppl's vocab scalar) instead of eager build-time `.head`
+      // jobs that re-ran a full tokenize pass per execution.
       if (p.contains("BroadcastNestedLoopJoin"))
         assert(Set("emb_cosine_topk", "aug_dtw", "aug_cluster",
-          "doc_lm_ppl", "doc_ppl_buckets", "doc_curate_e2e").contains(name),
+          "doc_lm_ppl", "doc_ppl_buckets", "doc_curate_e2e",
+          "doc_dsir", "doc_bm25", "doc_hybrid_rrf").contains(name),
           s"$name uses a nested-loop join — banded/equi-join shape lost")
     }
   }
@@ -139,7 +145,18 @@ class PlanAuditSpec extends SparkSuite {
       "emb_semdedup_inc" -> ((3, 1, 0, 1)),
       "doc_lm_ppl" -> ((9, 1, 1, 1)),
       "doc_curate_e2e" -> ((12, 1, 1, 1)),
-      "doc_dsir" -> ((6, 0, 0, 0)),
+      // doc_dsir 10h/1s (round 20): the (qn, pn) totals ride the plan as
+      //   a broadcast 1-row aggregate (replacing the eager build-time
+      //   `.head` that re-ran the full feats pipeline as a separate job
+      //   every execution). The +1 single-partition exchange is that
+      //   global aggregate (the lm-ppl vocab shape); the +4 hash
+      //   exchanges are the totals subtree's STATIC copy of lr's
+      //   aggregation — column pruning de-canonicalizes it from the λ
+      //   subtree so the static planner prints both, but AQE's runtime
+      //   stage cache shares them: measured shuffle bytes DROPPED
+      //   588071 → 483725 (the old budget carried the eager job's own
+      //   lr shuffle), which is only possible if lr materializes once.
+      "doc_dsir" -> ((10, 0, 1, 0)),
       "emb_decontam_hier" -> ((10, 1, 0, 1)),
       "doc_winnow" -> ((1, 1, 0, 1)))
     budgets.toSeq.sortBy(_._1).foreach { case (name, (h, r, s, g)) =>
@@ -674,7 +691,13 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan("doc_hybrid_rrf")
     assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
       "both legs must cut to top-100 via per-partition top-k")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    // round 20: the sparse leg's (N, avgdl) corpus stats ride the plan as
+    // ONE broadcast single-row aggregate (the lm-ppl vocab shape) instead
+    // of an eager build-time `.head` tokenize pass — that rider is the
+    // only nested-loop join allowed; a second one would mean the dense
+    // leg degenerated to an all-pairs join.
+    assert(!p.contains("CartesianProduct") &&
+      p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
       "the dense leg must be a literal-vector projection, not an all-pairs join")
   }
 
