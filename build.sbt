@@ -15,6 +15,12 @@ run / fork := true
 // "[success] Total time" trailer would otherwise follow the JSON line
 // and eat into the recorded 2000-char stdout tail.
 ThisBuild / showSuccess := false
+// Round 21 (r20 verdict #1): the forked run's stdout was routed through
+// sbt's logger, which prefixes every line with "[info] " — the bench JSON
+// line was therefore never valid JSON at the driver's parser (parsed:
+// null in every BENCH_r*.json since round 1). StdoutOutput inherits the
+// sbt process's own stdout/stderr, so the line reaches the driver naked.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -49,4 +55,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // x8; only full-registry runs wobble). 1 GB is reserved virtual
   // address space, committed only as used.
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++
+  // Round 21 (r20 verdict #3, slow-mode A/B hook): extra JVM flags for the
+  // forked bench/test JVMs, e.g. GRAFT_JIT_OPTS="-XX:-TieredCompilation"
+  // or "-XX:+UnlockDiagnosticVMOptions -XX:+PrintCompilation". Empty by
+  // default — the driver's runs are unaffected.
+  sys.env.get("GRAFT_JIT_OPTS").map(_.trim).filter(_.nonEmpty)
+    .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)

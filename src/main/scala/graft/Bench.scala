@@ -441,13 +441,22 @@ object Bench {
     * adjudicated (task-retry re-writes under steal vs a genuinely
     * pass-varying plan) instead of silently flipping the record by
     * whichever pass won the min. */
+  /** Round-21 fields (r20 verdict #3): `jitp` = per-pass JIT compilation
+    * seconds (cumulative-counter deltas), `ccm` = code-cache used MB at
+    * each pass boundary (monotone unless flushed; pinned at ~the reserve
+    * = the compiler-disabled failure mode), `jitq` = per-query WORST
+    * single-attempt compilation seconds, recorded only when > 0.5 s — a
+    * slow instance then carries its own JIT certificate next to its
+    * steal/GC ones. BENCH_LOCAL.json only, never the stdout line. */
   final case class Probes(ctl: Seq[Double], ctlp: Seq[Double], ctld: Seq[Double],
       ctlb: Seq[Double] = Seq.empty, cap: Map[String, Double] = Map.empty,
       capm: Map[String, Double] = Map.empty, ctls: Seq[Double] = Seq.empty,
       ctli: Seq[Double] = Seq.empty, caps: Map[String, Double] = Map.empty,
       shuf: Map[String, Long] = Map.empty, trc: String = "duty",
       att: Map[String, Int] = Map.empty,
-      shufx: Map[String, Seq[Long]] = Map.empty)
+      shufx: Map[String, Seq[Long]] = Map.empty,
+      jitp: Seq[Double] = Seq.empty, ccm: Seq[Double] = Seq.empty,
+      jitq: Map[String, Double] = Map.empty)
 
   /** One timed execution of one query: its wall, the hypervisor steal
     * fraction of exactly its window (None when /proc/stat is absent or
@@ -455,6 +464,69 @@ object Bench {
     * bytes were tallied under. */
   private[graft] final case class Reading(wall: Double, steal: Option[Double],
       group: String)
+
+  /** JIT-compiler telemetry (round 21, r20 verdict #3 — naming the
+    * probabilistic slow mode): cumulative JIT compilation milliseconds
+    * (CompilationMXBean) and current code-cache occupancy across the
+    * three JDK-17 CodeHeap pools. The slow-mode signature is ~100–175×
+    * task-CPU inflation with ZERO GC and a quiet box; the two candidate
+    * JIT mechanisms separate on these counters — a recompilation/deopt
+    * storm shows a compilation-time spike during the slow query, while a
+    * full-code-cache compiler shutdown shows occupancy pinned at the
+    * reserve with compilation time FLAT (the round-12–14 "CodeCache is
+    * full" failure that motivated ReservedCodeCacheSize=1g). Recorded
+    * per pass and per query in BENCH_LOCAL.json so a slow instance
+    * carries its own JIT certificate. */
+  private[graft] def jitStat(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+    val compMs = if (comp != null && comp.isCompilationTimeMonitoringSupported)
+      comp.getTotalCompilationTime else -1L
+    val ccBytes = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum
+    (compMs, ccBytes)
+  }
+
+  /** Slow-instance watchdog (round 21, r20 verdict #3): a daemon timer
+    * armed around every timed execution; if the query is still running
+    * after `GRAFT_SLOWDUMP_MS` (default 30 s — >3× the slowest honest
+    * query at local[32] sf0.1, well under every recorded slow-mode
+    * instance), it captures the artifact the verdict asked for, once:
+    * executor-task thread stacks + JIT counters + GC time, to stderr
+    * (which the run log keeps). Bounded to 2 dumps per JVM so a globally
+    * degraded box cannot flood the log. */
+  private[graft] object SlowWatch {
+    @volatile private var dumps = 0
+    private val thresholdMs =
+      sys.env.get("GRAFT_SLOWDUMP_MS").map(_.toLong).getOrElse(30000L)
+    def arm(name: String): java.util.Timer = {
+      val t = new java.util.Timer("graft-slowwatch", true)
+      t.schedule(new java.util.TimerTask {
+        override def run(): Unit = if (dumps < 2) { dumps += 1; dump(name) }
+      }, thresholdMs)
+      t
+    }
+    private def dump(name: String): Unit = {
+      val (compMs, ccBytes) = jitStat()
+      import scala.jdk.CollectionConverters._
+      val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+      val sb = new StringBuilder
+      sb.append(s"[slowwatch] $name still running after ${thresholdMs} ms: ")
+        .append(s"jitCompMs=$compMs codeCacheUsedMB=${ccBytes >> 20} gcMs=$gcMs\n")
+      val infos = java.lang.management.ManagementFactory.getThreadMXBean
+        .dumpAllThreads(false, false)
+      infos.filter(i => i.getThreadName.startsWith("Executor task launch") ||
+          i.getThreadName == "main")
+        .take(40)
+        .foreach { i =>
+          sb.append(s"[slowwatch]   ${i.getThreadName} ${i.getThreadState}\n")
+          i.getStackTrace.take(12).foreach(f => sb.append(s"[slowwatch]     at $f\n"))
+        }
+      System.err.print(sb.toString)
+    }
+  }
 
   /** Kept-reading rule (round 20, r19 verdict #1): prefer the fastest
     * STEAL-QUIET attempt (steal ≤ [[CtlsQuietMax]] in its own window);
@@ -586,29 +658,43 @@ object Bench {
     val readings = scala.collection.mutable.Map.empty[String, Vector[Reading]]
       .withDefaultValue(Vector.empty)
     /** One timed execution under job-group `group`; appends its Reading. */
+    val jitq = scala.collection.mutable.Map.empty[String, Double]
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame,
         group: String, desc: String): Unit = {
       val qSt0 = procStatSteal()
+      val (jc0, _) = jitStat()
       // job-group = this query+attempt: every stage its jobs submit is
       // tallied to this key no matter when the listener event lands
       spark.sparkContext.setJobGroup(group, desc, interruptOnCancel = false)
+      val watch = SlowWatch.arm(s"$desc")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}"
-      }
+      } finally watch.cancel()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
       val steal = for ((s0, _, tj0) <- qSt0; (s1, _, tj1) <- procStatSteal()
         if tj1 > tj0) yield (s1 - s0).toDouble / (tj1 - tj0)
+      // worst single-attempt JIT compilation seconds, recorded past 0.5 s
+      // (see Probes.jitq — the slow-mode adjudication surface)
+      val (jc1, _) = jitStat()
+      if (jc0 >= 0 && jc1 > jc0) {
+        val sec = (jc1 - jc0) / 1e3
+        if (sec > 0.5 && sec > jitq.getOrElse(name, 0.0)) jitq(name) = sec
+      }
       readings(name) = readings(name) :+ Reading(wall, steal, group)
     }
+    val jitp = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ccm = scala.collection.mutable.ArrayBuffer.empty[Double]
     (0 until passes).foreach { p =>
       drained()
       ctl += controlProbe()
       ctlp += controlProbeParallel()
       ctld += controlProbeDisk()
       resumed()
+      val (passJc0, passCc0) = jitStat()
+      ccm += passCc0 / 1048576.0
       val passSt0 = procStatSteal()
       queries.foreach { case (name, fn) =>
         // per-query isolation: a persisted frame from one query must not
@@ -634,6 +720,9 @@ object Bench {
       stealFrac(passSt0, procStatSteal()).foreach { case (s, w) =>
         ctls += s; ctli += w
       }
+      val (passJc1, passCc1) = jitStat()
+      if (passJc0 >= 0 && passJc1 >= passJc0) jitp += (passJc1 - passJc0) / 1e3
+      ccm += passCc1 / 1048576.0
       drained()
       ctl += controlProbe()
       ctlp += controlProbeParallel()
@@ -696,7 +785,8 @@ object Bench {
       else None
     }.toMap
     (results, errors, Probes(ctl.toSeq, ctlp.toSeq, ctld.toSeq, ctlb, cap, capm,
-      ctls.toSeq, ctli.toSeq, caps, shuf, mode, att.toMap, shufx))
+      ctls.toSeq, ctli.toSeq, caps, shuf, mode, att.toMap, shufx,
+      jitp.toSeq, ccm.toSeq, jitq.toMap))
   }
 
   private def rd(v: Double, scale: Int): String = BigDecimal(v)
@@ -729,9 +819,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + qv(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val ctlJson = probes.ctl.map(qv).mkString("[", ",", "]")
-    val ctlpJson = probes.ctlp.map(qv).mkString("[", ",", "]")
-    val ctldJson = probes.ctld.map(qv).mkString("[", ",", "]")
+    // Round 21 (r20 verdict #1): the LINE form of every certificate is
+    // its gate-feeding scalars only — the full per-pass arrays live in
+    // BENCH_LOCAL.json (writeLocal), which every gate and PinRecord read.
+    // The r20 line ran 1957/2000 chars of the driver's tail window; the
+    // compressed forms below (+ the StdoutOutput fix in build.sbt) keep
+    // the whole line inside the window with headroom.
+    //   ctl  = [mean, max]  (mean feeds the CtlQuietRef normalizer,
+    //                        max feeds the CtlQuietMax quiet gate)
+    //   ctlp = [max p/c]    (the CtlpRatioQuietMax gate reads the ratio)
+    //   ctld = [max]        (-1 sentinels skipped unless all are -1)
+    //   ctls = [max]        (the CtlsQuietMax gate reads the worst pass)
+    def arr1(v: Double, scale: Int) = "[" + rd(v, scale) + "]"
+    val ctlJson = if (probes.ctl.isEmpty) "[]"
+      else s"[${rd(probes.ctl.sum / probes.ctl.size, 2)},${rd(probes.ctl.max, 2)}]"
+    val ratios = probes.ctl.zip(probes.ctlp).collect { case (c, p) if c > 0 => p / c }
+    val ctlpJson = if (ratios.isEmpty) "[]" else arr1(ratios.max, 2)
+    val ctldReal = probes.ctld.filter(_ >= 0)
+    val ctldJson = if (probes.ctld.isEmpty) "[]"
+      else if (ctldReal.isEmpty) "[-1]" else arr1(ctldReal.max, 2)
     // the continuous tracer's chunk seconds, LINE form = the two
     // gate-feeding p50s only ([cpu_p50, mem_p50] of the full
     // [cpu_p50, cpu_p90, mem_p50, mem_p90] 4-tuple): 2-decimal (a
@@ -742,10 +848,10 @@ object Bench {
     val ctlbLine = if (probes.ctlb.size >= 4)
       Seq(probes.ctlb(0), probes.ctlb(2)) else probes.ctlb
     val ctlbJson = ctlbLine.map(rd(_, 2)).mkString("[", ",", "]")
-    // per-pass hypervisor steal fraction, 3dp (a 0.1%-granular 0.012 is
-    // a real signal; quiet is 0): the one certificate NO in-JVM probe
-    // can fake or miss, ~14 chars
-    val ctlsJson = probes.ctls.map(rd(_, 3)).mkString("[", ",", "]")
+    // hypervisor steal fraction, 3dp (a 0.1%-granular 0.012 is a real
+    // signal; quiet is 0): the one certificate NO in-JVM probe can fake
+    // or miss
+    val ctlsJson = if (probes.ctls.isEmpty) "[]" else arr1(probes.ctls.max, 3)
     // qq = how many of THESE queries' kept readings are steal-quiet
     // (caps ≤ 1% in the kept attempt's own window) — the round-20
     // self-adjudication headline: qq ≈ the query count means every
@@ -794,6 +900,14 @@ object Bench {
     val shufxJson = probes.shufx.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // round 21 (r20 verdict #3): the JIT certificate — per-pass compile
+    // seconds, pass-boundary code-cache MB, per-query worst-attempt
+    // compile seconds (>0.5 s only); see Probes.jitp/ccm/jitq
+    val jitpJson = probes.jitp.map(rd(_, 2)).mkString("[", ",", "]")
+    val ccmJson = probes.ccm.map(rd(_, 1)).mkString("[", ",", "]")
+    val jitqJson = probes.jitq.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + rd(v, 2) }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${rd(total, 3)},"unit":"sec","passes":$passes,""" +
         s""""trc":"${probes.trc}",""" +
@@ -802,6 +916,7 @@ object Bench {
         s""""cap":${capJson(probes.cap)},"capm":${capJson(probes.capm)},""" +
         s""""caps":${capJson(probes.caps)},"shuf":$shufJson,""" +
         s""""att":$attJson,"shufx":$shufxJson,""" +
+        s""""jitp":$jitpJson,"ccm":$ccmJson,"jitq":$jitqJson,""" +
         s""""queries":$qs,${errJson(errors)}"sf":"${sfName(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
   }
@@ -866,9 +981,16 @@ object Bench {
     val lineResults = if (only.isEmpty)
       results.filter { case (n, _) => !SparkEntry.nonBenchQueries(n) }
     else results
-    println(formatLine(lineResults, errors, probes, sfDir))
+    // Round 21 (r20 verdict #1): the JSON line must be the process's
+    // FINAL output — the driver keeps only the last 2000 chars of the
+    // run's output, so anything printed after the line (error echoes,
+    // Spark shutdown warnings) would truncate the line's head (the
+    // total) out of the window. Errors and spark.stop() therefore run
+    // BEFORE the line is printed.
     errors.foreach { case (q, e) => System.err.println(s"[bench] FAILED $q: $e") }
     spark.stop()
+    println(formatLine(lineResults, errors, probes, sfDir))
+    Console.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -118,10 +118,13 @@ class CollectAuditSpec extends AnyFunSuite {
     "graft/Profile.scala" -> (1, "argv headOption"),
     "graft/PinRecord.scala" -> (1, "scala take(5) on the sorted worst-query seq"),
     "graft/Explain.scala" -> (1, "argv headOption"),
-    "graft/Bench.scala" -> (3, "scala String.take(200) - error message trim; " +
+    "graft/Bench.scala" -> (5, "scala String.take(200) - error message trim; " +
       "scala split-array head picking the first SPARK_LOCAL_DIRS entry " +
       "for the disk-probe file (round 18); scala Array.take(8) on the " +
-      "10-field /proc/stat jiffy line (round 19 - guest-field exclusion)"),
+      "10-field /proc/stat jiffy line (round 19 - guest-field exclusion); " +
+      "SlowWatch thread-dump takes (round 21, r20 verdict #3): take(40) " +
+      "on the JVM's own ThreadInfo array and take(12) on a stack trace - " +
+      "thread/frame-count-bounded driver diagnostics, never Spark data"),
     "graft/DtwWinProbe.scala" -> (2, "diagnostic main: argv headOption; " +
       "scala take(20000) on the driver-built calibration pair sample " +
       "(eps pinning, never Spark data)"),
