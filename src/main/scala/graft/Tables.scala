@@ -45,19 +45,26 @@ object Tables {
       case other => throw new IllegalArgumentException(
         s"events.ts: expected LongType (nanosAsLong) or Timestamp[NTZ]Type, got $other")
     }
-    // NOT spread (round 20, measured decision): a user_id spread here
-    // would replace the evt windows' implicit exchange one-for-one, but
-    // several consumers re-key the stream (KeyedScan's string key in
-    // aug_ets_roll/aug_seasons_roll, the instrument key in mkt_vwap/
-    // mkt_ohlc) — for them the spread is a strictly ADDITIONAL full-stream
-    // exchange, which at 100 TB is real cost (PlanAuditSpec's "ONE
-    // exchange" contracts caught exactly this). The evt family's
-    // single-task window stages are an AQE-coalescing artifact of the
-    // tiny bench inputs, left as-is; see OPTIMIZATION_r20.md "Not yet
-    // optimized".
+    // NOT spread here at the source (round 20, measured decision): a
+    // user_id repartition on the raw stream would be a strictly
+    // ADDITIONAL full-stream exchange for every consumer that re-keys it
+    // (KeyedScan's string key in aug_ets_roll/aug_seasons_roll, the
+    // instrument key in mkt_vwap/mkt_ohlc) — PlanAuditSpec's "ONE
+    // exchange" contracts caught exactly this. Round 21 instead passes
+    // the small-input parallelism hint LAZILY ([[Timeline.spreadN]]):
+    // only an op that needs ClusteredDistribution(user_id) anyway spends
+    // it, replacing its own implicit exchange one-for-one with a
+    // REPARTITION_BY_NUM that AQE cannot re-coalesce to a single
+    // partition — the same guarded trick as [[spread]], and like it the
+    // hint is never set at scale (scan partitions >= parallelism).
+    val hint = {
+      val p = raw.rdd.getNumPartitions
+      if (p < spark.sparkContext.defaultParallelism) Some(spreadTarget(spark))
+      else None
+    }
     Timeline(
       raw.withColumn("ts", tsNs).withColumn("seq", col("event_id")),
-      keys = Seq("user_id"))
+      keys = Seq("user_id"), spreadN = hint)
   }
 
   def eventsOf(spark: SparkSession, dir: String, eventType: String): Timeline = {
@@ -94,8 +101,20 @@ object Tables {
     * small-input correction, not a tuned constant. */
   private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame =
     if (df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
-      df.repartition(spark.sparkContext.defaultParallelism, col(key))
+      df.repartition(spreadTarget(spark), col(key))
     else df
+
+  /** The explicit partition count every small-input spread pins (round-20
+    * advisor): `defaultParallelism` alone can UNDERSHOOT the parallelism
+    * the replaced implicit exchange would have had on a real cluster,
+    * where `spark.sql.shuffle.partitions` is typically set well above
+    * total cores — REPARTITION_BY_NUM opts out of AQE advice, so the
+    * pinned count must be at least what the planner would have started
+    * from. Locally both values are the session's core count, so bench
+    * plans are unchanged. */
+  private[graft] def spreadTarget(spark: SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     spread(spark, load(spark, dir, "documents"), "doc_id")

@@ -23,11 +23,33 @@ import org.apache.spark.sql.functions._
   * All operators are lazy plan construction — Catalyst sees one DAG and
   * merges identical window specs, so chained scan ops cost ONE shuffle+sort
   * per (keys) set, not one per op.
+  *
+  * `spreadN` (round 21, guide §2.5/§2.6 — the [[graft.Tables]] spread /
+  * Augurs.seriesOf discipline applied to the keyed-window family): a
+  * small-input parallelism hint set by the SOURCE loader when the scan
+  * landed in fewer partitions than the session's parallelism (one
+  * unsplittable row group at bench scale). When set, the FIRST op that
+  * needs ClusteredDistribution(keys) — every `.over(w)` window, the
+  * asOfUnion carry-forward, the merge/combine/dataframe instant groupings
+  * — replaces its implicit exchange with an explicit
+  * `repartition(spreadN, keys)`: REPARTITION_BY_NUM is exempt from AQE
+  * coalescing (which re-coalesces kilobyte inputs to ONE partition —
+  * 64 MB advisory — serializing every window/sort/scan stage downstream),
+  * while the implicit exchange it replaces is not. Same exchange count,
+  * same bytes, same values; only the partition count changes. Ops whose
+  * output keeps the key partitioning clear the hint, so a chain spreads
+  * exactly once; ops that break partitioning (delay's union) keep it for
+  * the next keyed consumer. At scale the loader never sets the hint (scan
+  * partitions >= parallelism), so no plan changes off local mode.
+  * Re-keying consumers (KeyedScan's encoded string key, the market
+  * instrument key) read `ticks`/`df` directly and are untouched — the
+  * round-20 revert showed a source-side spread taxes exactly them.
   */
 final case class Timeline(
     df: DataFrame,
     keys: Seq[String] = Nil,
-    valueCol: String = "value") {
+    valueCol: String = "value",
+    spreadN: Option[Int] = None) {
 
   import Timeline._
 
@@ -36,6 +58,33 @@ final case class Timeline(
   /** Canonical ordered window: one spec shared by every scan op so Catalyst
     * plans a single sort (SURVEY §7.1). */
   def w: WindowSpec = Window.partitionBy(keyCols: _*).orderBy(col("ts"), col("seq"))
+
+  /** The [[spreadN]] replacement exchange: explicit key repartition ahead
+    * of a keyed-window/grouping op. `hashpartitioning(keys)` satisfies
+    * every ClusteredDistribution whose clustering CONTAINS keys (window
+    * over (keys, bucket), groupBy (keys, ts), ...), so the op plans no
+    * further exchange — a one-for-one replacement of the implicit one.
+    * No-op when the hint is absent (scale, tests) or the stream is
+    * keyless (the documented non-scalable single-stream case). */
+  private def spreadDf(d: DataFrame): DataFrame = spreadN match {
+    case Some(n) if keys.nonEmpty => d.repartition(n, keyCols: _*)
+    case _ => d
+  }
+
+  /** [[spreadDf]] for multi-stream ops (asOfUnion, merge, combine): the
+    * hint is honored when ANY participating stream carries it — the union
+    * of n tiny scans is still tiny. */
+  private def spreadWith(d: DataFrame, others: Seq[Timeline]): DataFrame =
+    (spreadN ++ others.flatMap(_.spreadN)).reduceOption(_ max _) match {
+      case Some(n) if keys.nonEmpty => d.repartition(n, keyCols: _*)
+      case _ => d
+    }
+
+  /** Result wrapper for ops whose OUTPUT keeps the key hash partitioning
+    * established by [[spreadDf]]: the hint is consumed — downstream keyed
+    * ops see the partitioning satisfied and plan zero exchanges, so a
+    * second explicit repartition would be a strictly ADDED shuffle. */
+  private def withKeyedDf(d: DataFrame): Timeline = copy(df = d, spreadN = None)
 
   def wRows(start: Long, end: Long): WindowSpec = w.rowsBetween(start, end)
 
@@ -128,7 +177,7 @@ final case class Timeline(
     * emit on change, NOT SQL DISTINCT. */
   def distinctConsecutive(): Timeline = {
     val prev = lag(v, 1).over(w)
-    withDf(tdf.withColumn("__prev", prev)
+    withKeyedDf(spreadDf(tdf).withColumn("__prev", prev)
       .where(col("__prev").isNull || v =!= col("__prev"))
       .drop("__prev"))
   }
@@ -136,16 +185,16 @@ final case class Timeline(
   /** `difference` (reference `ops.rs:263`): successive delta, quiet first tick. */
   def difference(out: String = "diff"): Timeline = {
     val prev = lag(v, 1).over(w)
-    withDf(tdf.withColumn(out, v - prev).where(col(out).isNotNull))
+    withKeyedDf(spreadDf(tdf).withColumn(out, v - prev).where(col(out).isNotNull))
   }
 
   /** `limit` (reference `ops.rs:357`): first n ticks per key then quiet. */
   def limitTicks(n: Int): Timeline =
-    withDf(tdf.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn"))
+    withKeyedDf(spreadDf(tdf).withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn"))
 
   /** `count` (reference `ops.rs:2819`): running tick count. */
   def runningCount(out: String = "n"): Timeline =
-    withDf(tdf.withColumn(out, row_number().over(w).cast("long")))
+    withKeyedDf(spreadDf(tdf).withColumn(out, row_number().over(w).cast("long")))
 
   /** Bucketed throttle: at most one emission per `intervalNs` bucket —
     * the scalable approximation of `throttle` (reference `ops.rs:381`).
@@ -176,7 +225,7 @@ final case class Timeline(
     // integer division: ts ~ 1.7e18 ns exceeds double's exact range
     val bucket = expr(s"ts DIV ${intervalNs}L")
     val wb = Window.partitionBy((keyCols :+ bucket): _*).orderBy(col("ts"), col("seq"))
-    withDf(tdf.withColumn("__rn", row_number().over(wb)).where(col("__rn") === 1).drop("__rn"))
+    withKeyedDf(spreadDf(tdf).withColumn("__rn", row_number().over(wb)).where(col("__rn") === 1).drop("__rn"))
   }
 
   // ───────────────────────── scans / buffers / shifts (§2.4) ──────────────
@@ -184,12 +233,12 @@ final case class Timeline(
   /** `fold`/`scan` for Column-expressible monoids: running aggregate. */
   def runningAgg(aggs: (String, Column => Column)*): Timeline = {
     val frame = wRows(Window.unboundedPreceding, Window.currentRow)
-    withDf(aggs.foldLeft(tdf) { case (d, (out, f)) => d.withColumn(out, f(v).over(frame)) })
+    withKeyedDf(aggs.foldLeft(spreadDf(tdf)) { case (d, (out, f)) => d.withColumn(out, f(v).over(frame)) })
   }
 
   /** `accumulate` (reference `ops.rs:2843`): all values so far. */
   def accumulate(out: String = "acc"): Timeline =
-    withDf(tdf.withColumn(out, collect_list(v).over(wRows(Window.unboundedPreceding, Window.currentRow))))
+    withKeyedDf(spreadDf(tdf).withColumn(out, collect_list(v).over(wRows(Window.unboundedPreceding, Window.currentRow))))
 
   /** `delay` (reference `ops.rs:3090-3155`): re-emit each value `delayNs`
     * later on the engine clock. Output re-sorts on the shifted ts lazily
@@ -208,7 +257,11 @@ final case class Timeline(
     val base = tdf
     val landed = base.withColumn("ts", col("ts") + delayNs)
       .withColumn("__silent", lit(false))
-    val seed = base.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    // only the SEED leg window gets the spread (replacing its implicit
+    // exchange); spreading `base` would add an exchange the landed leg
+    // never had. The union's partitioning is unknown either way, so the
+    // hint is KEPT for the next keyed consumer (withDf preserves it).
+    val seed = spreadDf(base).withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .drop("__rn").withColumn("__silent", lit(true))
     withDf(landed.unionByName(seed))
   }
@@ -224,7 +277,7 @@ final case class Timeline(
     * window end boundary (the flush instant). */
   def tumbling(intervalNs: Long, aggs: Seq[Column] = Nil): DataFrame = {
     val bucket = (expr(s"ts DIV ${intervalNs}L") * intervalNs + intervalNs).as("ts")
-    val sorted = tdf.withColumn("__b", bucket)
+    val sorted = spreadDf(tdf).withColumn("__b", bucket)
     val as = if (aggs.isEmpty)
       Seq(sort_array(collect_list(struct(col("ts"), col("seq"), v))).as("rows"))
     else aggs
@@ -234,7 +287,7 @@ final case class Timeline(
   /** `buffer` (reference `ops.rs:659`): count window flushing every
     * `capacity` values per key (+ final partial flush, as the reference). */
   def countBuffer(capacity: Int, aggs: Seq[Column] = Nil): DataFrame = {
-    val bucketed = tdf
+    val bucketed = spreadDf(tdf)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__b", expr(s"(__rn - 1) DIV $capacity"))
     val as = if (aggs.isEmpty)
@@ -271,7 +324,7 @@ final case class Timeline(
             sides.find(_._2.contains(c)).get._1.df.schema(c).dataType).as(c)): _*)
       base
     }
-    val unioned = tagged.reduce(_ unionByName _)
+    val unioned = spreadWith(tagged.reduce(_ unionByName _), sides.map(_._1))
     val wAll = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("ts"), col("__src"), col("seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -284,7 +337,7 @@ final case class Timeline(
     * each tick of `trigger`. Quiet until the first value tick. */
   def sample(trigger: Timeline): Timeline = {
     val u = asOfUnion(Seq((this, Seq(valueCol)), (trigger, Nil)))
-    withDf(u.where(col("__src") === 1 && !col("__silent") && col(valueCol).isNotNull)
+    withKeyedDf(u.where(col("__src") === 1 && !col("__silent") && col(valueCol).isNotNull)
       .drop("__src", "__silent"))
   }
 
@@ -312,7 +365,7 @@ final case class Timeline(
     val l = withDf(df.withColumnRenamed(valueCol, thisOut)).copy(valueCol = thisOut)
     val r = other.withDf(other.df.withColumnRenamed(other.valueCol, otherOut)).copy(valueCol = otherOut)
     val u = asOfUnion(Seq((l, Seq(thisOut)), (r, Seq(otherOut))))
-    withDf(lastPerInstant(u)
+    withKeyedDf(lastPerInstant(u)
       .where(col(thisOut).isNotNull && col(otherOut).isNotNull).drop("__src"))
   }
 
@@ -324,7 +377,7 @@ final case class Timeline(
     val l = withDf(df.withColumnRenamed(valueCol, thisOut)).copy(valueCol = thisOut)
     val r = other.withDf(other.df.withColumnRenamed(other.valueCol, otherOut)).copy(valueCol = otherOut)
     val u = asOfUnion(Seq((r, Seq(otherOut)), (l, Seq(thisOut))))
-    withDf(u.where(col("__src") === 1 && !col("__silent") && col(otherOut).isNotNull)
+    withKeyedDf(u.where(col("__src") === 1 && !col("__silent") && col(otherOut).isNotNull)
       .drop("__src", "__silent"))
   }
 
@@ -341,7 +394,7 @@ final case class Timeline(
     val u = asOfUnion(Seq((s1, Seq(out1)), (s2, Seq(out2)), (s3, Seq(out3))))
     copy(df = lastPerInstant(u)
       .where(col(out1).isNotNull && col(out2).isNotNull && col(out3).isNotNull)
-      .drop("__src"))
+      .drop("__src"), spreadN = None)
   }
 
   // ───────────────────── fallible twins (§2.2/2.5) ─────────────────────────
@@ -394,7 +447,7 @@ final case class Timeline(
   def filterGate(cond: Timeline): Timeline = {
     val c = cond.withDf(cond.df.withColumnRenamed(cond.valueCol, "__cond")).copy(valueCol = "__cond")
     val u = asOfUnion(Seq((this, Seq(valueCol)), (c, Seq("__cond"))))
-    withDf(lastPerInstant(u)
+    withKeyedDf(lastPerInstant(u)
       .where(col("__cond") && col(valueCol).isNotNull).drop("__src", "__cond"))
   }
 
@@ -407,9 +460,9 @@ final case class Timeline(
       t.ticks.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
         col(t.valueCol).as(valueCol) :+ lit(pri).as("__pri")): _*)
     }
-    val u = tagged.reduce(_ unionByName _)
+    val u = spreadWith(tagged.reduce(_ unionByName _), others)
     val wTs = Window.partitionBy((keyCols :+ col("ts")): _*)
-    withDf(u.withColumn("__win", min(col("__pri")).over(wTs))
+    withKeyedDf(u.withColumn("__win", min(col("__pri")).over(wTs))
       .where(col("__pri") === col("__win"))
       .drop("__win").withColumn("seq", col("__pri") * 1000000L + col("seq")).drop("__pri"))
   }
@@ -421,7 +474,7 @@ final case class Timeline(
       t.ticks.select((t.keys.map(col) :+ col("ts") :+ col("seq") :+
         col(t.valueCol).as(valueCol) :+ lit(pri).as("__pri")): _*)
     }
-    tagged.reduce(_ unionByName _)
+    spreadWith(tagged.reduce(_ unionByName _), others)
       .groupBy((keyCols :+ col("ts")): _*)
       .agg(array_sort(collect_list(struct(col("__pri"), col("seq"), v))).as("burst"))
   }
@@ -460,7 +513,7 @@ final case class Timeline(
   /** `rolling_*` (reference `ops.rs:984-1309`): last-N-values window. */
   def rolling(n: Int, stats: (String, String)*): Timeline = {
     val frame = wRows(-(n - 1).toLong, 0)
-    withDf(stats.foldLeft(df) { case (d, (stat, out)) =>
+    withKeyedDf(stats.foldLeft(spreadDf(df)) { case (d, (stat, out)) =>
       d.withColumn(out, statOver(stat, v, frame))
     })
   }
@@ -468,7 +521,7 @@ final case class Timeline(
   /** `cumulative_*` (reference `ops.rs:1339-1596`): expanding window. */
   def cumulative(stats: (String, String)*): Timeline = {
     val frame = wRows(Window.unboundedPreceding, Window.currentRow)
-    withDf(stats.foldLeft(df) { case (d, (stat, out)) =>
+    withKeyedDf(stats.foldLeft(spreadDf(df)) { case (d, (stat, out)) =>
       d.withColumn(out, statOver(stat, v, frame))
     })
   }
@@ -477,7 +530,7 @@ final case class Timeline(
     * ns clock; an entry exactly `windowNs` old is retained (stats.rs:87-89). */
   def timeWindowed(windowNs: Long, stats: (String, String)*): Timeline = {
     val frame = wRange(windowNs)
-    withDf(stats.foldLeft(df) { case (d, (stat, out)) =>
+    withKeyedDf(stats.foldLeft(spreadDf(df)) { case (d, (stat, out)) =>
       d.withColumn(out, statOver(stat, v, frame))
     })
   }
@@ -524,7 +577,7 @@ final case class Timeline(
     * reference's dynamic_group keyed-lifecycle analog for event data.) */
   def sessionize(gapNs: Long, out: String = "session_id"): Timeline = {
     val gap = (col("ts") - lag(col("ts"), 1).over(w) > gapNs).cast("long")
-    withDf(df.withColumn("__new", coalesce(gap, lit(1L)))
+    withKeyedDf(spreadDf(df).withColumn("__new", coalesce(gap, lit(1L)))
       .withColumn(out, sum(col("__new")).over(wRows(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new"))
   }
@@ -548,7 +601,13 @@ object Timeline {
       t.ticks.select((ks.map(col) :+ col("ts") :+ col("seq") :+
         lit(i).as("__src") :+ col(t.valueCol).cast("double").as("__v")): _*)
     }
-    val u = tagged.reduce(_ unionByName _)
+    val u0 = tagged.reduce(_ unionByName _)
+    // the spreadN hint, multi-stream form (see the class scaladoc): the
+    // instant-grouping's implicit exchange is replaced, never added
+    val u = streams.flatMap(_._2.spreadN).reduceOption(_ max _) match {
+      case Some(n) if ks.nonEmpty => u0.repartition(n, ks.map(col): _*)
+      case _ => u0
+    }
     val aggs = streams.zipWithIndex.map { case ((name, _), i) =>
       // max_by ignores rows whose ordering key is null (other sources)
       max_by(when(col("__src") === i, col("__v")), when(col("__src") === i, col("seq")))

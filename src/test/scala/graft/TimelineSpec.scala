@@ -164,4 +164,32 @@ class TimelineSpec extends SparkSuite {
     assert(got.map(_._1) == Seq(10L, 20L))
     assert(got.head._2.map(_._3) == Seq(1.0, 9.0), "burst ordered by source priority")
   }
+
+  test("spreadN hint: first keyed-window op spends it (REPARTITION_BY_NUM), " +
+      "exactly once per chain, values unchanged (round 21)") {
+    val src = Timeline.fromRows(spark,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)), keys = Seq(("k", "a")))
+    val hinted = src.copy(spreadN = Some(4))
+    val one = hinted.rolling(3, "sum" -> "s")
+    // the hint is CONSUMED by the op that spent it...
+    assert(one.spreadN.isEmpty, "keyed-window op must clear the consumed hint")
+    val two = one.runningCount("n")
+    val plan = two.df.queryExecution.executedPlan.toString
+    // ...whose explicit exchange REPLACED the implicit one: a 2-op chain
+    // has exactly ONE key exchange, and it is the AQE-coalescing-exempt
+    // explicit form (an added second exchange = the hint double-spent)
+    assert(plan.linesIterator.count(_.contains("REPARTITION_BY_NUM")) == 1,
+      s"exactly one explicit spread exchange in the chain:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"the spread must REPLACE the window exchange, not add one:\n$plan")
+    // stateless ops preserve the pending hint; delay (union output, no
+    // stable partitioning) keeps it live for the next keyed consumer
+    assert(hinted.mapValue(_ * 2).spreadN.contains(4))
+    assert(hinted.delay(5L).spreadN.contains(4))
+    // and values are byte-identical with and without the hint
+    val want = src.rolling(3, "sum" -> "s").runningCount("n")
+      .df.select("ts", "s", "n").orderBy("ts").collect().toSeq
+    val got = two.df.select("ts", "s", "n").orderBy("ts").collect().toSeq
+    assert(got == want, "the spread changes partitioning only, never values")
+  }
 }
