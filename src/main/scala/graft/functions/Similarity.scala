@@ -1088,31 +1088,21 @@ object Similarity {
     val ex = cv.withColumn("pbs", branchesU(col("v")))
       .select(col("id"), col("v"), posexplode(col("pbs")))
       .toDF("id", "v", "slot", "branch")
+    // leaves grouped in PACKED form (round 21, guide §4): the per-leaf
+    // binary blob makes the per-(row, branch) UDF input conversion one
+    // array copy per leaf instead of dim boxed Doubles — see
+    // [[packedScoreUdf]], which also documents why the scoring stays
+    // bit-identical. collect_list's arrival order is nondeterministic
+    // but irrelevant: topByRounded ranks on (rounded cos desc, cid) — a
+    // total order (cids unique) — so the result is a pure function of
+    // the SET, which is what the oracle replay proves at every SF.
+    // Per-branch top-nPerBranch truncation is lossless for the global
+    // (cs desc, cid) rank.
     val leafArr = hq.leaves
       .withColumn("nw", norm(col("cw")))
       .groupBy("branch")
-      .agg(collect_list(struct(col("cid"), col("cw"), col("nw"))).as("lc"))
-    val nP = nPerBranch
-    val scoreU = udf { (v: Seq[Double], lc: Seq[org.apache.spark.sql.Row]) =>
-      // one boxed→primitive conversion per (row, branch), then the same
-      // allocation-free scoring loop every IVF path uses. collect_list's
-      // arrival order is nondeterministic but irrelevant: topByRounded
-      // ranks on (rounded cos desc, cid) — a total order (cids unique) —
-      // so the result is a pure function of the SET, which is what the
-      // oracle replay proves at every SF. Per-branch top-nPerBranch
-      // truncation is lossless for the global (cs desc, cid) rank.
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      val cents = new Array[(Long, Array[Double], Double)](lc.length)
-      i = 0
-      while (i < lc.length) {
-        val r = lc(i)
-        cents(i) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-        i += 1
-      }
-      topByRounded(cents, va, math.sqrt(n2), nP)
-    }
+      .agg(collect_list(struct(col("cid"), packRaw(col("cw")).as("pw"), col("nw"))).as("lc"))
+    val scoreU = packedScoreUdf(nPerBranch)
     ex.join(leafArr, "branch")
       .select(col("id"), col("slot"), explode(scoreU(col("v"), col("lc"))).as("cc"))
       .select(col("id"), col("slot"), col("cc._1").as("cell"), col("cc._2").as("cs"))
@@ -1298,26 +1288,15 @@ object Similarity {
     * DESC, cid). Output `(id, v, cell, cs)`. */
   private def scoreChildren(rows: DataFrame, children: DataFrame,
       keep: Int): DataFrame = {
+    // packed-leaf form, same rationale and bit-identity argument as
+    // [[hierDescent]]'s leafArr (see [[packedScoreUdf]]); set-not-order
+    // function of lc: topByRounded ranks on a total order (rounded cos
+    // desc, cid unique) — collect_list nondeterminism is irrelevant,
+    // which is what the oracle replay proves
     val grouped = children.withColumn("nw", norm(col("cw")))
       .groupBy("parent")
-      .agg(collect_list(struct(col("cid"), col("cw"), col("nw"))).as("lc"))
-    val kp = keep
-    val scoreU = udf { (v: Seq[Double], lc: Seq[org.apache.spark.sql.Row]) =>
-      // set-not-order function of lc: topByRounded ranks on a total order
-      // (rounded cos desc, cid unique) — collect_list nondeterminism is
-      // irrelevant, which is what the oracle replay proves
-      val va = v.toArray
-      var n2 = 0.0; var i = 0
-      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
-      val cents = new Array[(Long, Array[Double], Double)](lc.length)
-      i = 0
-      while (i < lc.length) {
-        val r = lc(i)
-        cents(i) = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
-        i += 1
-      }
-      topByRounded(cents, va, math.sqrt(n2), kp)
-    }
+      .agg(collect_list(struct(col("cid"), packRaw(col("cw")).as("pw"), col("nw"))).as("lc"))
+    val scoreU = packedScoreUdf(keep)
     rows.join(grouped, "parent")
       .select(col("id"), col("v"), explode(scoreU(col("v"), col("lc"))).as("cc"))
       .select(col("id"), col("v"), col("cc._1").as("cell"), col("cc._2").as("cs"))
@@ -1441,6 +1420,54 @@ object Similarity {
     while (i < v.length) { bb.putDouble(v(i) * inv); i += 1 }
     bb.array()
   }
+
+  /** Pack a double vector little-endian into bytes AS-IS — the raw-bits
+    * twin of [[packUnit]] (no normalization, `putDouble` round-trips the
+    * exact IEEE bits), for payloads whose consumer needs the original
+    * values: the packed-leaf centroid frames ([[packedScoreUdf]]), whose
+    * scoring arithmetic must stay bit-identical to the unpacked form. */
+  private[graft] val packRaw = udf { (v: Seq[Double]) =>
+    val bb = java.nio.ByteBuffer.allocate(v.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < v.length) { bb.putDouble(v(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Unpack a [[packRaw]] blob: one bulk primitive copy, no per-element
+    * boxing. */
+  private[graft] def unpackRaw(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length >> 3)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asDoubleBuffer.get(out)
+    out
+  }
+
+  /** The packed-leaf scorer shared by [[hierDescent]] and
+    * [[scoreChildren]] (round 21, guide §4 — the DotPacked discipline
+    * applied to the leaf frame): the branch-grouped centroid list arrives
+    * as `(cid, pw: binary, nw)` structs, so ScalaUDF's input conversion
+    * copies ONE byte array per centroid instead of boxing every component
+    * into java.lang.Double — the old `(cid, cw: array<double>, nw)` form
+    * paid |leaves(branch)| × dim boxed conversions per (row, branch)
+    * BEFORE the scoring loop even ran, the dominant per-task cost of the
+    * emb _hier/_deep family. [[unpackRaw]] restores the exact IEEE bits,
+    * so [[topByRounded]] sees byte-identical inputs and the output is
+    * bit-identical to the unpacked form (oracle-replay-proven). */
+  private def packedScoreUdf(keep: Int) =
+    udf { (v: Seq[Double], lc: Seq[org.apache.spark.sql.Row]) =>
+      val va = v.toArray
+      var n2 = 0.0; var i = 0
+      while (i < va.length) { n2 += va(i) * va(i); i += 1 }
+      val cents = new Array[(Long, Array[Double], Double)](lc.length)
+      i = 0
+      while (i < lc.length) {
+        val r = lc(i)
+        cents(i) = (r.getLong(0), unpackRaw(r.getAs[Array[Byte]](1)), r.getDouble(2))
+        i += 1
+      }
+      topByRounded(cents, va, math.sqrt(n2), keep)
+    }
 
   /** Cell affinity for the IVF coarse quantizer: cosine of every row in
     * `df` to every centroid, as (idCol, cid, cs) with cs 4dp-rounded
