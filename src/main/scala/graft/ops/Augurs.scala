@@ -490,10 +490,12 @@ object Augurs {
     // the partitioning; the BroadcastNestedLoopJoin's task count IS the
     // stream side's partition count). REPARTITION_BY_NUM is exempt from
     // coalescing, so the DP fans out to the session's cores. At cluster
-    // scale the tick volume fills the partitions and the explicit count
-    // is simply the parallelism the implicit exchange would have had.
+    // scale the tick volume fills the partitions; the pinned count is
+    // max(defaultParallelism, shuffle.partitions) (round-20 advisor) so
+    // the explicit exchange never undershoots the parallelism the
+    // implicit one would have started from on a real cluster.
     t.ticks
-      .repartition(t.df.sparkSession.sparkContext.defaultParallelism,
+      .repartition(graft.Tables.spreadTarget(t.df.sparkSession),
         col(t.keys.head))
       .withColumn("__rn", row_number().over(trimW(t)))
       .where(col("__rn") <= window)
@@ -575,8 +577,16 @@ object Augurs {
     * contract note for the recovery caveat. */
   def dtwMatrixOrdered(t: Timeline, window: Int, band: Int = Int.MaxValue,
       maxPairs: Long = DtwDefaultMaxPairs, buckets: Int = 32): DataFrame = {
-    requirePairBudget(t, maxPairs, "dtwMatrixOrdered")
-    val s = seriesOf(t, window).localCheckpoint()
+    // LAZY checkpoints (round 21, guide §1.2): plan truncation is still
+    // immediate, block materialization rides the rank count below — the
+    // FIRST action, a full count, computes every partition of BOTH
+    // frames in one job (two fewer jobs, one fewer pass over the k-row
+    // frames). The pair budget is guarded on that same k (= the series
+    // actually entering the DP — the operand the k² bound is ABOUT),
+    // replacing the former separate distinct-count pass over the raw
+    // tick stream; the guard still throws at call time, before any DP
+    // task can run.
+    val s = seriesOf(t, window).localCheckpoint(false)
     val tok = bucketTokens(buckets)
     // WEIGHTED bucketing (round 18): equal sid-RANGES would load the
     // upper-triangle wedge unevenly — the rank-r sid owns (k-r) pairs,
@@ -589,8 +599,9 @@ object Augurs {
     // ~1.75×). Rank comes from the two-phase form; the checkpoint pins
     // ONE sampled bucket assignment for the offsets and the tag join
     // (the lexRankPhase1 consistency contract), k-row blocks.
-    val rankedB = lexRankPhase1(s.select("sid"), buckets).localCheckpoint()
-    val k = rankedB.count()
+    val rankedB = lexRankPhase1(s.select("sid"), buckets).localCheckpoint(false)
+    val k = rankedB.count() // materializes s and rankedB (full count)
+    requirePairBudget(k, maxPairs, "dtwMatrixOrdered")
     val wTot = math.max(1L, k * (k - 1) / 2)
     val sidTok = rankedB.join(broadcast(lexRankOffsets(rankedB)), "b")
       .select(col("sid").as("__sid"), (col("off") + col("rk") - 1L).as("__r0"))
@@ -726,7 +737,15 @@ object Augurs {
       System.err.println(f"[cluster] $what ${(System.nanoTime() - lt0) / 1e9}%.2f s")
       lt0 = System.nanoTime()
     }
-    val ser = seriesOf(t, window).localCheckpoint()
+    // LAZY checkpoints throughout (round 21, guide §1.2 — job fixed
+    // costs): plan truncation is immediate, block materialization rides
+    // the next full action — ser's rides the budget count below, half's
+    // and rankedB's ride CC's first convergence aggregate (whose plan
+    // reads both), so the eager per-frame materialization jobs disappear
+    // while every pin/consistency contract keeps holding: each frame is
+    // ONE fixed RDD from creation (range-partitioner sampling runs once,
+    // at RDD build), and its first action computes every partition.
+    val ser = seriesOf(t, window).localCheckpoint(false)
     requirePairBudget(ser.count(), maxPairs, "clusterDtwDistributed")
     lap("series build")
     val sids = ser.select("sid")
@@ -746,16 +765,16 @@ object Augurs {
     val half = ser.as("a").join(ser.as("b"), col("a.sid") < col("b.sid"))
       .where(org.apache.spark.sql.GraftColumns.dtwBandLeAuto(
         col("a.series"), col("b.series"), band, eps, window))
-      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b")).localCheckpoint()
-    lap("pair DP (early-abandon)")
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b")).localCheckpoint(false)
+    lap("pair DP (early-abandon, lazy)")
     val edges = half.union(half.select(col("sid_b"), col("sid_a"))).toDF("u", "v")
     val deg = sids.as("s").join(edges, col("s.sid") === col("u"), "left_outer")
       .groupBy(col("s.sid").as("sid")).agg((count(col("v")) + lit(1)).as("nn"))
     val core = deg.where(col("nn") >= minPts).select(col("sid"))
     // two-phase lex rank: checkpoint phase 1 so offsets and the final
     // join see ONE sampled bucket assignment (k-row blocks)
-    val rankedB = lexRankPhase1(sids, buckets = 32).localCheckpoint()
-    lap("lex rank phase 1")
+    val rankedB = lexRankPhase1(sids, buckets = 32).localCheckpoint(false)
+    lap("lex rank phase 1 (lazy)")
     val ranked = rankedB.join(broadcast(lexRankOffsets(rankedB)), "b")
       .select(col("sid"), (col("off") + col("rk")).as("rid"))
     val coreR = core.join(ranked, "sid")

@@ -81,13 +81,24 @@ object Graph {
       else edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
         .union(edges.select(col(dstCol).as("s"), col(srcCol).as("t")))
         .distinct()
-    val und = sym.repartition(col("s")).localCheckpoint()
-    lap("und checkpoint")
+    // LAZY localCheckpoints (round 21, guide §1.2 — driver/job fixed
+    // costs): eager=false still truncates the plan to a LogicalRDD at
+    // build time but defers block materialization to the FIRST action,
+    // so the labelSum convergence aggregate below materializes `und` and
+    // the label frame in the SAME job — one job per cycle instead of two
+    // (checkpoint-count + sum), halving CC's per-round fixed cost. The
+    // lazy-checkpoint contract (first action must compute EVERY
+    // partition or uncomputed ones are lost with the truncated lineage)
+    // holds by construction: every first action here is a full
+    // aggregate. At bench scale the job fixed cost dominated aug_cluster
+    // (79 jobs); at data scale this also removes one full cached-block
+    // read per cycle.
+    val und = sym.repartition(col("s")).localCheckpoint(false)
     // seeded init: label = min(id, neighbors) — the first propagation
     // round folded into the frame construction (one agg, no join)
     var labels = und.groupBy(col("s").as("id"))
-      .agg(least(col("id"), min(col("t"))).as("component")).localCheckpoint()
-    lap("labels init")
+      .agg(least(col("id"), min(col("t"))).as("component")).localCheckpoint(false)
+    lap("labels init (lazy)")
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.get(0)
       if (v == null) java.math.BigDecimal.ZERO
@@ -118,8 +129,8 @@ object Graph {
       // count. Convergence is still exact — a converged label frame is a
       // fixpoint of round(), so the extra composed round is a no-op, and
       // labels only ever decrease, so equal sums mean equal frames.
-      val next = round(round(labels)).localCheckpoint()
-      val nextSum = labelSum(next)
+      val next = round(round(labels)).localCheckpoint(false)
+      val nextSum = labelSum(next) // materializes next's blocks too (full agg)
       freeCheckpoint(labels) // next is materialized; last round's blocks are dead
       labels = next
       done = nextSum.compareTo(prevSum) == 0
