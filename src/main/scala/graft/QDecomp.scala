@@ -77,6 +77,9 @@ object QDecomp {
       val t3 = System.nanoTime()
       // pass 2: fresh build (bench re-invokes fn each pass)
       spark.sharedState.cacheManager.clearCache()
+      Thread.sleep(300) // drain pass-1's late listener events BEFORE the
+      // warm baseline (round-20 advisor: without this, in-flight pass-1
+      // task/stage events could inflate the warm pass's j-columns)
       val j0 = snap()
       val t4 = System.nanoTime()
       reg(n).fn(spark, sfDir).write.format("noop").mode("overwrite").save()

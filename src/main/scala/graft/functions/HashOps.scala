@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 
 /** The 60-bit portable-hash kernel (first 60 bits of md5) as one static
   * JVM call — shared by the interpreted eval path, generated code and the
@@ -47,19 +47,36 @@ object HashOps {
 case class Md5Prefix60(child: Expression)
     extends UnaryExpression {
 
+  /** String OR binary only (round-20 advisor) — the same effective
+    * contract as Spark's own `Md5` (whose implicit cast only accepts
+    * strings): a string hashes its UTF-8 bytes directly (`UTF8String.
+    * getBytes` ≡ `cast(s as binary)`, no cast node), while a numeric
+    * input FAILS ANALYSIS instead of silently hashing its big-endian
+    * bytes where the md5-SQL oracle form hashes the decimal string. The
+    * bridge ([[org.apache.spark.sql.GraftColumns]]) passes the raw
+    * expression, no explicit cast. */
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == BinaryType || child.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"md5_prefix60 needs binary (callers cast string→binary, the same " +
-        s"implicit cast Spark's md5 takes), got ${child.dataType}")
+      s"md5_prefix60 needs string or binary (the oracle md5 form hashes " +
+        s"the decimal STRING of numerics — cast explicitly), got ${child.dataType}")
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix60"
 
-  override protected def nullSafeEval(input: Any): Any =
-    HashOps.md5Prefix60(input.asInstanceOf[Array[Byte]])
+  override protected def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType =>
+      HashOps.md5Prefix60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    case _ => HashOps.md5Prefix60(input.asInstanceOf[Array[Byte]])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.md5Prefix60($c)")
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.md5Prefix60(($c).getBytes())")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.md5Prefix60($c)")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

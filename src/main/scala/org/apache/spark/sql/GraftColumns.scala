@@ -16,9 +16,13 @@ object GraftColumns {
 
   /** [[graft.functions.Md5Prefix60]]: first 60 bits of md5 as a long —
     * one codegen'd digest call in place of the md5→substring→conv chain
-    * (bit-identical values; see the expression's scaladoc). */
+    * (bit-identical values; see the expression's scaladoc). No explicit
+    * cast here (round-20 advisor): the expression declares IMPLICIT
+    * BinaryType input — string coerces like Spark's own md5, while a
+    * numeric input fails analysis instead of silently hashing its
+    * big-endian bytes where the oracle form hashes the decimal string. */
   def md5Prefix60(c: Column): Column =
-    ExpressionUtils.column(Md5Prefix60(ExpressionUtils.expression(c.cast("binary"))))
+    ExpressionUtils.column(Md5Prefix60(ExpressionUtils.expression(c)))
 
   /** [[graft.functions.DtwBand]] over two array<double> series. */
   def dtwBand(a: Column, b: Column, band: Int): Column =

@@ -50,4 +50,30 @@ class HashSpec extends SparkSuite {
     val n = inputs.toDF("s").where(TF.hash60(col("s")) >= 0L).count()
     assert(n == inputs.size.toLong)
   }
+
+  test("Expression.eval (interpreted path) pinned directly on literals") {
+    // round-20 advisor: nullSafeEval is also what constant folding runs on
+    // literal args — pin it without any codegen stage in between
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    inputs.foreach { s =>
+      val bytes = s.getBytes("UTF-8")
+      val v = graft.functions.Md5Prefix60(Literal(bytes)).eval()
+      assert(v == HashOps.md5Prefix60(bytes), s"interpreted eval diverges on '$s'")
+    }
+    assert(graft.functions.Md5Prefix60(
+      Literal.create(null, org.apache.spark.sql.types.BinaryType)).eval() == null,
+      "interpreted eval: null in, null out")
+  }
+
+  test("numeric input fails analysis (implicit-cast gate, round-20 advisor)") {
+    // the old chain's md5() only implicitly accepted strings; the native
+    // expression must not widen that to integral types (big-endian bytes
+    // would silently diverge from the oracle's decimal-string md5)
+    import spark.implicits._
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(TF.hash60(col("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("md5_prefix60") ||
+      err.getMessage.toLowerCase.contains("binary"), err.getMessage)
+  }
 }

@@ -699,6 +699,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") &&
       p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
       "the dense leg must be a literal-vector projection, not an all-pairs join")
+    // round 21 (r20 advisor): pin that the one permitted BNLJ IS the
+    // 1-row stats rider. Two properties together rule out a dense-leg
+    // all-pairs regression hiding under the <=1 count: (a) the join is
+    // the rider's exact shape — a conditionless Cross with the broadcast
+    // build side (an equi-join fallback BNLJ carries a condition); (b)
+    // the rider's __n/__sdl aggregate columns are actually consumed
+    // downstream — if the rider were ever planned away, (b) goes red
+    // rather than freeing the budget for a regression join.
+    val bnlLines = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toVector
+    assert(bnlLines.nonEmpty, "expected the (N, avgdl) rider BNLJ")
+    bnlLines.foreach { l =>
+      // the rider renders "BroadcastNestedLoopJoin BuildSide, Cross" — a
+      // conditionless cross; an equi-fallback/all-pairs BNLJ carries its
+      // join type + condition after the comma
+      assert(l.trim.endsWith("Cross"),
+        s"the only permitted BNLJ is the conditionless 1-row cross rider; got: $l")
+    }
+    assert(p.contains("__n#") && p.contains("__sdl#"),
+      "the (N, avgdl) rider columns must ride the plan (lost the in-plan stats)")
   }
 
   test("doc_dsir: λ broadcasts, top-k per-partition, grams hashed before any exchange") {
