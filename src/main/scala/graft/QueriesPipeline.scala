@@ -3586,10 +3586,15 @@ object QueriesPipeline {
       .join(broadcast(ev), "h").select("doc_id").distinct())
     val fClean = f.join(broadcast(contam), Seq("doc_id"), "left_anti")
     // stage 4: exact dedup among the clean survivors (one fp exchange,
-    // shared by the aggregate and the keep-join)
+    // shared by the aggregate and the keep-join). kept2 is persisted
+    // (round 21, verdict-#7 A/B): budgetSelect's sizing aggregate + each
+    // histogram round + the kept3 filter re-read it, and un-persisted
+    // each re-read replays the gate/anti-join/fp-dedup joins (one
+    // exchange per pass) off the base cache; the frame is #survivors ×
+    // 3 narrow cols — the same persist discipline as base/contam.
     val keep = fClean.groupBy("fp").agg(min("doc_id").as("keep"))
-    val kept2 = fClean.join(keep, "fp").where(col("doc_id") === col("keep"))
-      .select("doc_id", "score", "ntok")
+    val kept2 = cached(fClean.join(keep, "fp").where(col("doc_id") === col("keep"))
+      .select("doc_id", "score", "ntok"))
     // stage 5: budget descent over the cached frames — no corpus access
     val sel = graft.ops.Sketch.budgetSelect(kept2, "score", "ntok",
       "doc_id", budget = 8000L, buckets = 64, cap = 32)
